@@ -1,0 +1,24 @@
+"""libplacebo_tpu — a TPU-native real-time video rendering framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of libplacebo
+(https://code.videolan.org/videolan/libplacebo): high-quality scaling
+(polar EWA, separable Lanczos), HDR tone mapping with live histogram peak
+detection, colorimetric color management, debanding, film grain synthesis,
+dithering — redesigned for TPU hardware: XLA fusion replaces GLSL shader
+merging, Pallas kernels replace compute shaders, and device meshes replace
+multi-GPU interop.
+
+Layer map (mirrors the reference's tiers; see SURVEY.md §7):
+  core/     — Tier 0: pure host math (colorspace, tone/gamut curves,
+              filters, dither matrices, cache, options)
+  ops/      — Tier 2: device image operations (sampling, color, deband,
+              grain, dither, deinterlace, LUTs)
+  graph/    — Tier 3: pass planner + jit pipeline cache (= pl_dispatch)
+  render/   — Tier 4: the renderer (= pl_render_image), frames, queue
+  parallel/ — multi-chip mesh sharding (spatial tiles + halo exchange)
+  utils/    — upload helpers, interop
+"""
+
+__version__ = "0.1.0"
+
+from . import core  # noqa: F401

@@ -1,0 +1,747 @@
+"""Colorimetry metadata & host-side matrix math.
+
+TPU-native rebuild of the reference's Tier-0 colorspace layer
+(src/colorspace.c, src/include/libplacebo/colorspace.h).  Everything here is
+*host-side* planning math (numpy float64): enum metadata, chromaticity
+tables, RGB<->XYZ matrices, chromatic adaptation, YCbCr decode matrices.  The
+resulting small (3x3 + bias) transforms are baked into jitted device code by
+`libplacebo_tpu.ops.color`.
+
+Conventions follow the reference exactly:
+  * Luminance scale "NORM": 1.0 == SDR reference white == 203 cd/m²
+    (colorspace.h:281 PL_COLOR_SDR_WHITE).
+  * `ColorRepr` describes the *encoding* (system/levels/bits) and
+    `ColorSpace` the *colorimetry* (primaries/transfer/HDR metadata).
+  * `color_repr_decode` returns the affine transform taking GPU-normalized
+    texture samples to full-range RGB in [0,1] (colorspace.c:1717).
+"""
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .common import Matrix3x3, Transform3x3
+
+__all__ = [
+    "ColorSystem", "ColorLevels", "AlphaMode", "ColorPrimaries",
+    "ColorTransfer", "HdrScaling", "CIExy", "RawPrimaries", "BitEncoding",
+    "HdrMetadata", "ColorRepr", "ColorSpace", "DoviMetadata",
+    "COLOR_SDR_WHITE", "COLOR_HDR_BLACK", "COLOR_HLG_PEAK",
+    "hdr_rescale", "primaries_get", "white_from_temp",
+    "rgb_to_xyz_matrix", "xyz_to_rgb_matrix", "adapt_white_matrix",
+    "color_mapping_matrix", "color_repr_decode", "color_repr_normalize",
+    "luma_coeffs", "primaries_guess", "system_guess_ycbcr",
+    "transfer_is_hdr", "transfer_nominal_peak", "primaries_is_wide_gamut",
+    "system_is_ycbcr_like", "system_is_linear", "levels_guess",
+    "primaries_valid", "primaries_superset", "get_scaled_decoding_matrix",
+]
+
+# Reference colorspace.h:281,306,310
+COLOR_SDR_WHITE = 203.0   # cd/m² of SDR reference white ("100% diffuse white")
+COLOR_HDR_BLACK = 1e-6    # sentinel: lowest positive black level
+COLOR_HLG_PEAK = 1000.0   # nominal HLG display peak
+
+
+# ---------------------------------------------------------------------------
+# Enums (reference colorspace.h:30-47, 88-104, 196-257)
+# ---------------------------------------------------------------------------
+
+class ColorSystem(enum.Enum):
+    UNKNOWN = "unknown"
+    BT_601 = "bt.601"            # ITU-R Rec. BT.601 (SD)
+    BT_709 = "bt.709"            # ITU-R Rec. BT.709 (HD)
+    SMPTE_240M = "smpte-240m"
+    BT_2020_NC = "bt.2020-nc"    # BT.2020 non-constant luminance
+    BT_2020_C = "bt.2020-c"      # BT.2020 constant luminance
+    BT_2100_PQ = "bt.2100-pq"    # ICtCp PQ variant
+    BT_2100_HLG = "bt.2100-hlg"  # ICtCp HLG variant
+    DOLBYVISION = "dolbyvision"
+    YCGCO = "ycgco"
+    YCGCO_RE = "ycgco-re"        # YCgCo-R, even bit addition
+    YCGCO_RO = "ycgco-ro"        # YCgCo-R, odd bit addition
+    RGB = "rgb"
+    XYZ = "xyz"
+
+
+class ColorLevels(enum.Enum):
+    UNKNOWN = "auto"
+    LIMITED = "limited"   # TV range, e.g. 16-235
+    FULL = "full"         # PC range, e.g. 0-255
+
+
+class AlphaMode(enum.Enum):
+    UNKNOWN = "auto"
+    INDEPENDENT = "independent"
+    PREMULTIPLIED = "premultiplied"
+    NONE = "none"
+
+
+class ColorPrimaries(enum.Enum):
+    UNKNOWN = "auto"
+    BT_601_525 = "bt.601-525"
+    BT_601_625 = "bt.601-625"
+    BT_709 = "bt.709"
+    BT_470M = "bt.470m"
+    EBU_3213 = "ebu3213"
+    BT_2020 = "bt.2020"
+    APPLE = "apple"
+    ADOBE = "adobe"
+    PRO_PHOTO = "prophoto"
+    CIE_1931 = "cie1931"
+    DCI_P3 = "dci-p3"
+    DISPLAY_P3 = "display-p3"
+    V_GAMUT = "v-gamut"
+    S_GAMUT = "s-gamut"
+    FILM_C = "film-c"
+    ACES_AP0 = "aces-ap0"
+    ACES_AP1 = "aces-ap1"
+
+
+class ColorTransfer(enum.Enum):
+    UNKNOWN = "auto"
+    BT_1886 = "bt.1886"
+    SRGB = "srgb"
+    LINEAR = "linear"
+    GAMMA18 = "gamma1.8"
+    GAMMA20 = "gamma2.0"
+    GAMMA22 = "gamma2.2"
+    GAMMA24 = "gamma2.4"
+    GAMMA26 = "gamma2.6"
+    GAMMA28 = "gamma2.8"
+    PRO_PHOTO = "prophoto"
+    ST428 = "st428"
+    PQ = "pq"
+    HLG = "hlg"
+    V_LOG = "v-log"
+    S_LOG1 = "s-log1"
+    S_LOG2 = "s-log2"
+    SCRGB = "scrgb"
+
+
+class HdrScaling(enum.Enum):
+    """Luminance scales convertible via `hdr_rescale`
+    (reference colorspace.h:383-397 pl_hdr_scaling)."""
+    NORM = "norm"     # 1.0 = SDR white (203 nits)
+    SQRT = "sqrt"     # sqrt of NORM
+    NITS = "nits"     # absolute cd/m²
+    PQ = "pq"         # PQ-encoded [0,1]
+
+
+# PQ constants (SMPTE ST 2084), float64 host-side versions
+_PQ_M1 = 2610.0 / 16384
+_PQ_M2 = 2523.0 / 4096 * 128
+_PQ_C1 = 3424.0 / 4096
+_PQ_C2 = 2413.0 / 4096 * 32
+_PQ_C3 = 2392.0 / 4096 * 32
+
+
+def pq_eotf_np(x):
+    """PQ signal [0,1] -> linear [0,1] (1.0 = 10000 nits), float64 numpy."""
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+    p = np.power(x, 1.0 / _PQ_M2)
+    return np.power(np.maximum(p - _PQ_C1, 0.0) / (_PQ_C2 - _PQ_C3 * p),
+                    1.0 / _PQ_M1)
+
+
+def pq_oetf_np(y):
+    y = np.maximum(np.asarray(y, dtype=np.float64), 0.0)
+    p = np.power(y, _PQ_M1)
+    return np.power((_PQ_C1 + _PQ_C2 * p) / (1.0 + _PQ_C3 * p), _PQ_M2)
+
+
+def hdr_rescale(frm: HdrScaling, to: HdrScaling, x):
+    """Convert a luminance value between scalings (reference
+    pl_hdr_rescale, colorspace.c). Works on scalars & numpy arrays;
+    computed in float64 (host planning math must not lose precision)."""
+    if frm == to:
+        return x
+    x = np.asarray(x, dtype=np.float64)
+    # to nits first
+    if frm == HdrScaling.NORM:
+        nits = x * COLOR_SDR_WHITE
+    elif frm == HdrScaling.SQRT:
+        nits = (x * x) * COLOR_SDR_WHITE
+    elif frm == HdrScaling.NITS:
+        nits = x
+    elif frm == HdrScaling.PQ:
+        nits = pq_eotf_np(x) * 10000.0
+    else:
+        raise ValueError(frm)
+    if to == HdrScaling.NORM:
+        out = nits / COLOR_SDR_WHITE
+    elif to == HdrScaling.SQRT:
+        out = np.sqrt(np.maximum(nits, 0.0) / COLOR_SDR_WHITE)
+    elif to == HdrScaling.NITS:
+        out = nits
+    elif to == HdrScaling.PQ:
+        out = pq_oetf_np(np.clip(nits, 0.0, 10000.0) / 10000.0)
+    else:
+        raise ValueError(to)
+    if np.ndim(x) == 0:
+        return float(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chromaticity / primaries tables (reference colorspace.c:1116-1240)
+# Values are the standard published CIE xy chromaticity coordinates.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CIExy:
+    x: float = 0.0
+    y: float = 0.0
+
+    def to_XYZ(self, Y: float = 1.0) -> np.ndarray:
+        """xyY -> XYZ with luminance Y."""
+        if self.y == 0:
+            return np.zeros(3)
+        return np.array([Y * self.x / self.y, Y,
+                         Y * (1 - self.x - self.y) / self.y])
+
+    def __bool__(self):
+        return self.x != 0.0 or self.y != 0.0
+
+
+CIE_D50 = CIExy(0.3457, 0.3585)
+CIE_D65 = CIExy(0.3127, 0.3290)
+CIE_C = CIExy(0.3100, 0.3160)
+CIE_E = CIExy(1.0 / 3.0, 1.0 / 3.0)
+CIE_DCI = CIExy(0.3140, 0.3510)
+CIE_ACES = CIExy(0.32168, 0.33767)
+
+
+@dataclass(frozen=True)
+class RawPrimaries:
+    red: CIExy = field(default_factory=CIExy)
+    green: CIExy = field(default_factory=CIExy)
+    blue: CIExy = field(default_factory=CIExy)
+    white: CIExy = field(default_factory=CIExy)
+
+    def valid(self) -> bool:
+        return bool(self.red) and bool(self.green) and bool(self.blue) \
+            and bool(self.white)
+
+
+# Standard chromaticities per colorimetry spec (ITU-R, SMPTE, vendor manuals).
+_PRIMARIES_TABLE = {
+    ColorPrimaries.BT_470M: RawPrimaries(CIExy(0.670, 0.330), CIExy(0.210, 0.710), CIExy(0.140, 0.080), CIE_C),
+    ColorPrimaries.BT_601_525: RawPrimaries(CIExy(0.630, 0.340), CIExy(0.310, 0.595), CIExy(0.155, 0.070), CIE_D65),
+    ColorPrimaries.BT_601_625: RawPrimaries(CIExy(0.640, 0.330), CIExy(0.290, 0.600), CIExy(0.150, 0.060), CIE_D65),
+    ColorPrimaries.BT_709: RawPrimaries(CIExy(0.640, 0.330), CIExy(0.300, 0.600), CIExy(0.150, 0.060), CIE_D65),
+    ColorPrimaries.BT_2020: RawPrimaries(CIExy(0.708, 0.292), CIExy(0.170, 0.797), CIExy(0.131, 0.046), CIE_D65),
+    ColorPrimaries.APPLE: RawPrimaries(CIExy(0.625, 0.340), CIExy(0.280, 0.595), CIExy(0.115, 0.070), CIE_D65),
+    ColorPrimaries.ADOBE: RawPrimaries(CIExy(0.640, 0.330), CIExy(0.210, 0.710), CIExy(0.150, 0.060), CIE_D65),
+    ColorPrimaries.PRO_PHOTO: RawPrimaries(CIExy(0.7347, 0.2653), CIExy(0.1596, 0.8404), CIExy(0.0366, 0.0001), CIE_D50),
+    ColorPrimaries.CIE_1931: RawPrimaries(CIExy(0.7347, 0.2653), CIExy(0.2738, 0.7174), CIExy(0.1666, 0.0089), CIE_E),
+    ColorPrimaries.DCI_P3: RawPrimaries(CIExy(0.680, 0.320), CIExy(0.265, 0.690), CIExy(0.150, 0.060), CIE_DCI),
+    ColorPrimaries.DISPLAY_P3: RawPrimaries(CIExy(0.680, 0.320), CIExy(0.265, 0.690), CIExy(0.150, 0.060), CIE_D65),
+    ColorPrimaries.V_GAMUT: RawPrimaries(CIExy(0.730, 0.280), CIExy(0.165, 0.840), CIExy(0.100, -0.03), CIE_D65),
+    ColorPrimaries.S_GAMUT: RawPrimaries(CIExy(0.730, 0.280), CIExy(0.140, 0.855), CIExy(0.100, -0.05), CIE_D65),
+    ColorPrimaries.FILM_C: RawPrimaries(CIExy(0.681, 0.319), CIExy(0.243, 0.692), CIExy(0.145, 0.049), CIE_C),
+    ColorPrimaries.EBU_3213: RawPrimaries(CIExy(0.630, 0.340), CIExy(0.295, 0.605), CIExy(0.155, 0.077), CIE_D65),
+    ColorPrimaries.ACES_AP0: RawPrimaries(CIExy(0.7347, 0.2653), CIExy(0.0, 1.0), CIExy(0.0001, -0.0770), CIE_ACES),
+    ColorPrimaries.ACES_AP1: RawPrimaries(CIExy(0.713, 0.293), CIExy(0.165, 0.830), CIExy(0.128, 0.044), CIE_ACES),
+}
+
+_WIDE_GAMUT = {
+    ColorPrimaries.BT_2020, ColorPrimaries.APPLE, ColorPrimaries.ADOBE,
+    ColorPrimaries.PRO_PHOTO, ColorPrimaries.CIE_1931, ColorPrimaries.DCI_P3,
+    ColorPrimaries.DISPLAY_P3, ColorPrimaries.V_GAMUT, ColorPrimaries.S_GAMUT,
+    ColorPrimaries.ACES_AP0, ColorPrimaries.ACES_AP1,
+}
+
+
+def primaries_get(prim: ColorPrimaries) -> RawPrimaries:
+    """Chromaticity coordinates for a named gamut
+    (reference pl_raw_primaries_get, colorspace.c:1115)."""
+    if prim in (ColorPrimaries.UNKNOWN,):
+        prim = ColorPrimaries.BT_709
+    return _PRIMARIES_TABLE[prim]
+
+
+def primaries_is_wide_gamut(prim: ColorPrimaries) -> bool:
+    return prim in _WIDE_GAMUT
+
+
+def primaries_guess(width: int, height: int) -> ColorPrimaries:
+    """Conservative guess by resolution (reference
+    pl_color_primaries_guess); never returns wide gamut."""
+    if width >= 1280 or height > 576:
+        return ColorPrimaries.BT_709
+    if height == 576:  # PAL
+        return ColorPrimaries.BT_601_625
+    if height in (480, 486):  # NTSC
+        return ColorPrimaries.BT_601_525
+    return ColorPrimaries.BT_709
+
+
+def primaries_valid(p: RawPrimaries) -> bool:
+    return p.valid()
+
+
+def white_from_temp(temp: float) -> CIExy:
+    """CIE daylight illuminant for a correlated color temperature in
+    [2500, 25000] K (reference pl_white_from_temp, colorspace.c:1369)."""
+    temp = float(np.clip(temp, 2500, 25000))
+    ti = 1000.0 / temp
+    ti2, ti3 = ti * ti, ti * ti * ti
+    if temp <= 7000:
+        x = 0.244063 + 0.09911 * ti + 2.9678 * ti2 - 4.6070 * ti3
+    else:
+        x = 0.237040 + 0.24748 * ti + 1.9018 * ti2 - 2.0064 * ti3
+    y = -3.0 * x * x + 2.87 * x - 0.275
+    return CIExy(x, y)
+
+
+# ---------------------------------------------------------------------------
+# RGB <-> XYZ and chromatic adaptation (reference colorspace.c:1384-1543)
+# ---------------------------------------------------------------------------
+
+def rgb_to_xyz_matrix(prim: RawPrimaries) -> Matrix3x3:
+    """RGB->XYZ from chromaticities + white point, normalized so white maps
+    to XYZ with Y=1 (standard derivation; reference pl_get_rgb2xyz_matrix)."""
+    M = np.stack([prim.red.to_XYZ(), prim.green.to_XYZ(), prim.blue.to_XYZ()],
+                 axis=1)  # columns are r,g,b in XYZ (each with Y=1)
+    # columns currently have Y=1 each; solve scale so sum == white XYZ
+    W = prim.white.to_XYZ(1.0)
+    S = np.linalg.solve(M, W)
+    return Matrix3x3(M * S[None, :])
+
+
+def xyz_to_rgb_matrix(prim: RawPrimaries) -> Matrix3x3:
+    return rgb_to_xyz_matrix(prim).invert()
+
+
+# Bradford cone response matrix (standard CAT; reference colorspace.c:1473)
+_BRADFORD = np.array([
+    [0.8951, 0.2664, -0.1614],
+    [-0.7502, 1.7135, 0.0367],
+    [0.0389, -0.0685, 1.0296],
+])
+
+
+def adapt_white_matrix(src_white: CIExy, dst_white: CIExy) -> Matrix3x3:
+    """Bradford chromatic adaptation in XYZ space
+    (reference pl_get_adaptation_matrix / pl_raw_primaries_similar)."""
+    if (abs(src_white.x - dst_white.x) < 1e-6 and
+            abs(src_white.y - dst_white.y) < 1e-6):
+        return Matrix3x3.identity()
+    src = _BRADFORD @ src_white.to_XYZ()
+    dst = _BRADFORD @ dst_white.to_XYZ()
+    gain = np.diag(dst / src)
+    return Matrix3x3(np.linalg.inv(_BRADFORD) @ gain @ _BRADFORD)
+
+
+def color_mapping_matrix(src: RawPrimaries, dst: RawPrimaries) -> Matrix3x3:
+    """RGB(src gamut) -> RGB(dst gamut) with Bradford white adaptation
+    (reference pl_get_color_mapping_matrix, colorspace.c:1543)."""
+    xyz = rgb_to_xyz_matrix(src)
+    adapt = adapt_white_matrix(src.white, dst.white)
+    back = xyz_to_rgb_matrix(dst)
+    return back @ adapt @ xyz
+
+
+def primaries_superset(a: RawPrimaries, b: RawPrimaries) -> bool:
+    """True if gamut `a` contains gamut `b` (reference
+    pl_primaries_superset): every b primary maps into [0,1] under b->a."""
+    m = color_mapping_matrix(b, a).m
+    return bool(np.all(m @ np.eye(3) > -1e-6))
+
+
+def luma_coeffs(prim: RawPrimaries) -> np.ndarray:
+    """Luminance weights (Y row of RGB->XYZ) for a gamut — used for
+    constant-luminance systems & luma computations."""
+    return rgb_to_xyz_matrix(prim).m[1].copy()
+
+
+# ---------------------------------------------------------------------------
+# Bit encoding / representation structs (reference colorspace.h:110-190)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BitEncoding:
+    sample_depth: int = 0   # bits the color is stored/sampled as
+    color_depth: int = 0    # effective bits of color information
+    bit_shift: int = 0      # representational shift
+
+    def __bool__(self):
+        return self.sample_depth != 0 or self.color_depth != 0 \
+            or self.bit_shift != 0
+
+
+@dataclass(frozen=True)
+class DoviMetadata:
+    """Parsed Dolby Vision RPU (reference pl_dovi_metadata,
+    colorspace.h:135-155). Reshape data grouped per component."""
+    nonlinear_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    nonlinear: Tuple = ()      # 3x3, applied before PQ ("ycc_to_rgb")
+    linear: Tuple = ()         # 3x3, applied after PQ ("rgb_to_lms")
+    # per component c in 0..2: dict with keys
+    #   pivots: tuple[float,...]  (num_pivots entries, normalized)
+    #   method: tuple[int,...]    (0 = polynomial, 1 = MMR)
+    #   poly_coeffs: tuple[tuple[f,f,f],...]
+    #   mmr_order/mmr_constant/mmr_coeffs
+    comp: Tuple = ()
+
+
+@dataclass(frozen=True)
+class ColorRepr:
+    """Encoded-color representation (reference pl_color_repr)."""
+    sys: ColorSystem = ColorSystem.UNKNOWN
+    levels: ColorLevels = ColorLevels.UNKNOWN
+    alpha: AlphaMode = AlphaMode.UNKNOWN
+    bits: BitEncoding = field(default_factory=BitEncoding)
+    dovi: Optional[DoviMetadata] = None
+
+    def merge(self, update: "ColorRepr") -> "ColorRepr":
+        """Fill unknown fields from `update` (pl_color_repr_merge)."""
+        return ColorRepr(
+            sys=self.sys if self.sys != ColorSystem.UNKNOWN else update.sys,
+            levels=self.levels if self.levels != ColorLevels.UNKNOWN else update.levels,
+            alpha=self.alpha if self.alpha != AlphaMode.UNKNOWN else update.alpha,
+            bits=self.bits if self.bits else update.bits,
+            dovi=self.dovi or update.dovi,
+        )
+
+
+# Common presets (reference colorspace.c pl_color_repr_* constants)
+REPR_UNKNOWN = ColorRepr()
+REPR_RGB = ColorRepr(sys=ColorSystem.RGB)
+REPR_SDTV = ColorRepr(sys=ColorSystem.BT_601, levels=ColorLevels.LIMITED)
+REPR_HDTV = ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED)
+REPR_UHDTV = ColorRepr(sys=ColorSystem.BT_2020_NC, levels=ColorLevels.LIMITED)
+REPR_JPEG = ColorRepr(sys=ColorSystem.BT_601, levels=ColorLevels.FULL)
+
+
+def system_is_ycbcr_like(sys: ColorSystem) -> bool:
+    return sys not in (ColorSystem.UNKNOWN, ColorSystem.RGB, ColorSystem.XYZ)
+
+
+def system_is_linear(sys: ColorSystem) -> bool:
+    """True if the system is a linear (matrix) transformation of RGB
+    (reference pl_color_system_is_linear)."""
+    return sys in (
+        ColorSystem.UNKNOWN, ColorSystem.BT_601, ColorSystem.BT_709,
+        ColorSystem.SMPTE_240M, ColorSystem.BT_2020_NC, ColorSystem.YCGCO,
+        ColorSystem.YCGCO_RE, ColorSystem.YCGCO_RO, ColorSystem.RGB,
+    )
+
+
+def system_guess_ycbcr(width: int, height: int) -> ColorSystem:
+    """Conservative YCbCr matrix guess from resolution (reference
+    pl_color_system_guess_ycbcr): never guesses BT.2020."""
+    if width >= 1280 or height > 576:
+        return ColorSystem.BT_709
+    return ColorSystem.BT_601
+
+
+def levels_guess(repr: ColorRepr) -> ColorLevels:
+    if repr.levels != ColorLevels.UNKNOWN:
+        return repr.levels
+    if repr.sys == ColorSystem.XYZ:
+        return ColorLevels.FULL
+    return ColorLevels.LIMITED if system_is_ycbcr_like(repr.sys) \
+        else ColorLevels.FULL
+
+
+def color_repr_normalize(repr: ColorRepr) -> Tuple[float, ColorRepr]:
+    """Return (scale, normalized_repr) such that multiplying sampled values
+    by `scale` makes color_depth == sample_depth with no bit shift
+    (reference pl_color_repr_normalize, colorspace.c:190)."""
+    bits = repr.bits
+    sample = bits.sample_depth or bits.color_depth or 8
+    color = bits.color_depth or sample
+    # undo bit shift, then rescale color range to sample range:
+    # a D-bit color in an S-bit sample occupies (2^D-1)/(2^S-1) after
+    # normalization by the "GPU" (here: our uploader); exact ratio per
+    # reference colorspace.c:190-240.
+    scale = (2.0 ** sample - 1) / (2.0 ** color - 1)
+    scale /= 2.0 ** bits.bit_shift
+    new = replace(repr, bits=BitEncoding(sample, sample, 0))
+    return scale, new
+
+
+# ---------------------------------------------------------------------------
+# YCbCr-like decode matrices (reference colorspace.c:1543-1917)
+# ---------------------------------------------------------------------------
+
+def _luma_for_system(sys: ColorSystem, prim: RawPrimaries) -> Tuple[float, float]:
+    """(Kr, Kb) luma coefficients for matrix-based YCbCr systems."""
+    if sys == ColorSystem.BT_601:
+        return 0.299, 0.114
+    if sys == ColorSystem.BT_709:
+        return 0.2126, 0.0722
+    if sys == ColorSystem.SMPTE_240M:
+        return 0.212, 0.087
+    if sys in (ColorSystem.BT_2020_NC, ColorSystem.BT_2020_C):
+        return 0.2627, 0.0593
+    if sys == ColorSystem.UNKNOWN:
+        return 0.2126, 0.0722  # assume 709
+    raise ValueError(f"no luma coefficients for {sys}")
+
+
+# ICtCp: LMS matrix for BT.2100 (from the spec); RGB here is BT.2020 linear.
+_RGB2020_TO_LMS = np.array([
+    [1688.0, 2146.0, 262.0],
+    [683.0, 2951.0, 462.0],
+    [99.0, 309.0, 3688.0],
+]) / 4096.0
+
+_ICTCP_PQ_LMS = np.array([   # L'M'S' -> ICtCp (PQ variant)
+    [2048.0, 2048.0, 0.0],
+    [6610.0, -13613.0, 7003.0],
+    [17933.0, -17390.0, -543.0],
+]) / 4096.0
+
+_ICTCP_HLG_LMS = np.array([  # L'M'S' -> ICtCp (HLG variant)
+    [2048.0, 2048.0, 0.0],
+    [3625.0, -7465.0, 3840.0],
+    [9500.0, -9212.0, -288.0],
+]) / 4096.0
+
+
+def ictcp_matrices(variant: ColorSystem) -> Tuple[np.ndarray, np.ndarray]:
+    """(rgb2020->LMS, L'M'S'->ICtCp) for the PQ or HLG ICtCp variant."""
+    if variant == ColorSystem.BT_2100_PQ:
+        return _RGB2020_TO_LMS, _ICTCP_PQ_LMS
+    if variant == ColorSystem.BT_2100_HLG:
+        return _RGB2020_TO_LMS, _ICTCP_HLG_LMS
+    raise ValueError(variant)
+
+
+def _ycbcr_matrix(kr: float, kb: float) -> np.ndarray:
+    """Full-range YCbCr -> RGB 3x3 for given luma weights."""
+    kg = 1.0 - kr - kb
+    # Y'CbCr from R'G'B': Y = kr R + kg G + kb B; Cb=(B-Y)/(2(1-kb)); Cr=(R-Y)/(2(1-kr))
+    to_ycbcr = np.array([
+        [kr, kg, kb],
+        [-kr / (2 * (1 - kb)), -kg / (2 * (1 - kb)), 0.5],
+        [0.5, -kg / (2 * (1 - kr)), -kb / (2 * (1 - kr))],
+    ])
+    return np.linalg.inv(to_ycbcr)
+
+
+def color_repr_decode(repr: ColorRepr,
+                      prim: ColorPrimaries = ColorPrimaries.UNKNOWN,
+                      ) -> Tuple[Transform3x3, ColorRepr]:
+    """Build the affine transform taking *sampled* (normalized) texture
+    values to full-range RGB (or luma-only systems' nearest linear
+    equivalent), plus the updated repr (reference pl_color_repr_decode,
+    colorspace.c:1717).
+
+    Non-linear systems (BT_2020_C, BT_2100_*, DOLBYVISION, XYZ) return the
+    linear *pre*-matrix here; their non-linear steps are applied by
+    ops.color.decode_color on-device.
+    """
+    sys = repr.sys if repr.sys != ColorSystem.UNKNOWN else ColorSystem.RGB
+    levels = levels_guess(repr)
+    scale, norm_repr = color_repr_normalize(repr)
+    depth = norm_repr.bits.sample_depth or 8
+
+    if sys in (ColorSystem.RGB, ColorSystem.XYZ):
+        M = np.eye(3)
+        off = np.zeros(3)
+    elif sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
+        lms2ictcp = ictcp_matrices(sys)[1]
+        M = np.linalg.inv(lms2ictcp)  # ICtCp -> L'M'S'
+        off = np.zeros(3)
+    elif sys == ColorSystem.DOLBYVISION:
+        if repr.dovi is None:
+            raise ValueError("DOLBYVISION repr requires dovi metadata")
+        M = np.asarray(repr.dovi.nonlinear, dtype=np.float64).reshape(3, 3)
+        off = -M @ np.asarray(repr.dovi.nonlinear_offset, dtype=np.float64)
+    elif sys == ColorSystem.YCGCO:
+        M = np.array([[1.0, -1.0, 1.0], [1.0, 1.0, 0.0], [1.0, -1.0, -1.0]])
+        off = np.zeros(3)
+    elif sys in (ColorSystem.YCGCO_RE, ColorSystem.YCGCO_RO):
+        # YCgCo-R (lossless lifting): t = Y - Cg/2; G = Cg + t;
+        # B = t - Co/2; R = B + Co — as a linear matrix:
+        M = np.array([
+            [1.0, -0.5, 0.5],
+            [1.0, 0.5, 0.0],
+            [1.0, -0.5, -0.5],
+        ])
+        off = np.zeros(3)
+    elif sys == ColorSystem.BT_2020_C:
+        # Constant luminance: luma channel decoded separately on-device;
+        # linear part is identity here (reference treats via per-channel path)
+        kr, kb = _luma_for_system(sys, primaries_get(prim))
+        M = _ycbcr_matrix(kr, kb)
+        off = np.zeros(3)
+    else:
+        kr, kb = _luma_for_system(sys, primaries_get(prim))
+        M = _ycbcr_matrix(kr, kb)
+        off = np.zeros(3)
+
+    ycbcr = system_is_ycbcr_like(sys)
+
+    # Range expansion. After normalization values are in [0,1] over the
+    # sample depth. Limited range: Y spans 16/255..235/255 (scaled per
+    # depth: (16<<(d-8))/(2^d-1)), chroma 16..240 centered at 128.
+    imax = (1 << depth) - 1
+    if levels == ColorLevels.LIMITED:
+        ymul = imax / ((219 << (depth - 8)))
+        cmul = imax / ((224 << (depth - 8)))
+        yoff = (16 << (depth - 8)) / imax
+    else:
+        ymul = 1.0
+        cmul = 1.0
+        yoff = 0.0
+    coff = ((128 << (depth - 8)) / imax) if ycbcr else 0.0
+
+    if ycbcr:
+        pre_mul = np.diag([ymul, cmul, cmul])
+        pre_off = np.array([-yoff * ymul, -coff * cmul, -coff * cmul])
+    else:
+        pre_mul = np.diag([ymul, ymul, ymul])
+        pre_off = np.array([-yoff * ymul] * 3)
+
+    if sys == ColorSystem.XYZ:
+        # XYZ is ST 428 encoded with a 2.6 gamma & 52.37/48 scale applied
+        # on-device; linear part here is identity + full range.
+        pass
+
+    full = M @ pre_mul * scale
+    full_off = M @ pre_off
+    out_repr = replace(norm_repr, sys=ColorSystem.RGB,
+                       levels=ColorLevels.FULL)
+    return Transform3x3(Matrix3x3(full), full_off), out_repr
+
+
+def get_scaled_decoding_matrix(repr: ColorRepr,
+                               prim: ColorPrimaries = ColorPrimaries.UNKNOWN
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Convenience: (3x3 matrix, bias) as float32 numpy for device baking."""
+    tr, _ = color_repr_decode(repr, prim)
+    return tr.mat.m.astype(np.float32), tr.c.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Transfer metadata (reference colorspace.c:323-360)
+# ---------------------------------------------------------------------------
+
+_HLG_75 = 3.17955025  # HLG OETF^-1(0.75) * 12 — per reference HLG_75 const
+
+_TRANSFER_PEAKS = {
+    ColorTransfer.PQ: 10000.0 / COLOR_SDR_WHITE,
+    ColorTransfer.HLG: 12.0 / _HLG_75,
+    ColorTransfer.V_LOG: 46.0855,
+    ColorTransfer.S_LOG1: 6.52,
+    ColorTransfer.S_LOG2: 9.212,
+}
+
+
+def transfer_nominal_peak(trc: ColorTransfer) -> float:
+    """Nominal peak in NORM units (1.0 = SDR white); reference
+    pl_color_transfer_nominal_peak (colorspace.c:323)."""
+    return _TRANSFER_PEAKS.get(trc, 1.0)
+
+
+def transfer_is_hdr(trc: ColorTransfer) -> bool:
+    return transfer_nominal_peak(trc) > 1.0 or trc == ColorTransfer.SCRGB
+
+
+# ---------------------------------------------------------------------------
+# HDR metadata & full colorspace struct (reference colorspace.h:391-527)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class HdrBezier:
+    """HDR10+ (SMPTE 2094-40) per-scene OOTF bezier anchors."""
+    target_luma: float = 0.0   # cd/m²
+    knee_x: float = 0.0
+    knee_y: float = 0.0
+    anchors: Tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
+class HdrMetadata:
+    """Static + dynamic HDR metadata (reference pl_hdr_metadata)."""
+    # Mastering display (SMPTE 2086 / HDR10)
+    prim: RawPrimaries = field(default_factory=RawPrimaries)
+    min_luma: float = 0.0       # cd/m²
+    max_luma: float = 0.0       # cd/m²
+    # Content light level (CTA 861.3)
+    max_cll: float = 0.0
+    max_fall: float = 0.0
+    # HDR10+ scene statistics
+    scene_max: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # cd/m² RGB
+    scene_avg: float = 0.0
+    ootf: Optional[HdrBezier] = None
+    # Measured (e.g. by peak detection)
+    max_pq_y: float = 0.0       # PQ-encoded max luminance
+    avg_pq_y: float = 0.0
+
+    def __bool__(self):
+        return any((self.min_luma, self.max_luma, self.max_cll,
+                    self.max_fall, self.max_pq_y))
+
+
+@dataclass(frozen=True)
+class ColorSpace:
+    """Colorimetry of light (reference pl_color_space)."""
+    primaries: ColorPrimaries = ColorPrimaries.UNKNOWN
+    transfer: ColorTransfer = ColorTransfer.UNKNOWN
+    hdr: HdrMetadata = field(default_factory=HdrMetadata)
+
+    def is_hdr(self) -> bool:
+        return transfer_is_hdr(self.transfer)
+
+    def is_black_scaled(self) -> bool:
+        return self.transfer != ColorTransfer.BT_1886
+
+    def infer(self, width: int = 0, height: int = 0) -> "ColorSpace":
+        """Fill unknown fields with sensible defaults (reference
+        pl_color_space_infer)."""
+        prim = self.primaries
+        trc = self.transfer
+        if prim == ColorPrimaries.UNKNOWN:
+            prim = primaries_guess(width, height)
+        if trc == ColorTransfer.UNKNOWN:
+            trc = ColorTransfer.BT_1886
+        hdr = self.hdr
+        # default luminance levels
+        min_luma, max_luma = hdr.min_luma, hdr.max_luma
+        if transfer_is_hdr(trc):
+            if not max_luma:
+                max_luma = hdr.max_cll or \
+                    transfer_nominal_peak(trc) * COLOR_SDR_WHITE
+            if not min_luma:
+                min_luma = COLOR_HDR_BLACK
+        else:
+            if not max_luma:
+                max_luma = COLOR_SDR_WHITE
+            if not min_luma:
+                min_luma = max_luma / 1000.0  # 1000:1 SDR contrast
+        return ColorSpace(prim, trc,
+                          replace(hdr, min_luma=min_luma, max_luma=max_luma))
+
+    def nominal_peak_norm(self) -> float:
+        """Effective peak in NORM units."""
+        inf = self.infer()
+        return inf.hdr.max_luma / COLOR_SDR_WHITE
+
+    def merge(self, update: "ColorSpace") -> "ColorSpace":
+        return ColorSpace(
+            primaries=self.primaries if self.primaries != ColorPrimaries.UNKNOWN else update.primaries,
+            transfer=self.transfer if self.transfer != ColorTransfer.UNKNOWN else update.transfer,
+            hdr=self.hdr if self.hdr else update.hdr,
+        )
+
+    def equal(self, other: "ColorSpace") -> bool:
+        return self.primaries == other.primaries and \
+            self.transfer == other.transfer and self.hdr == other.hdr
+
+
+# Common colorspace presets (reference pl_color_space_* constants)
+CSP_UNKNOWN = ColorSpace()
+CSP_SRGB = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.SRGB)
+CSP_BT709 = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886)
+CSP_BT2020_HLG = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.HLG)
+CSP_BT2100_PQ = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ)
+CSP_MONITOR = CSP_SRGB

@@ -1,0 +1,58 @@
+"""Headline benchmark: 1080p->4K EWA-Jinc upscale + HDR PQ->SDR tone map,
+sustained fps on one TPU chip (BASELINE.md north star: >= 60 fps,
+>= 45 dB PSNR vs reference).
+
+Measures steady-state device throughput with a serialized on-device chain
+(each frame depends on the previous output), so neither host dispatch
+overhead nor the axon tunnel's ~30 ms fetch RTT pollutes the number.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+
+    def chained(y, u, v, n):
+        def body(i, carry):
+            y, out = carry
+            # microscopic dependency on the previous frame's output
+            # serializes the chain without changing the math
+            out = fn(y + out[0, 0, 0] * 1e-12, u, v)
+            return (y, out)
+        out0 = fn(y, u, v)
+        _, out = jax.lax.fori_loop(0, n, body, (y, out0))
+        return out
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    jc = jax.jit(chained, static_argnames="n")
+    out = jc(*args, n=n)
+    _ = float(out.ravel()[0])          # force compile + first run
+
+    t0 = time.perf_counter()
+    out = jc(*args, n=n)
+    _ = float(out.ravel()[0])          # force completion
+    dt = time.perf_counter() - t0
+    fps = (n + 1) / dt
+
+    print(json.dumps({
+        "metric": "1080p->4K EWA-Jinc + PQ->SDR tone-map, frames/sec/chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,16 +42,16 @@ def _mix(a, b, t):
     return a + (b - a) * t
 
 
-def _bt1886_eotf(x, lo, hi):
+def _bt1886_eotf(x, lo, hi, xp=np):
     lb = lo ** (1 / 2.4)
     lw = hi ** (1 / 2.4)
-    return ((lw - lb) * np.asarray(x) + lb) ** 2.4
+    return ((lw - lb) * x + lb) ** 2.4
 
 
-def _bt1886_oetf(x, lo, hi):
+def _bt1886_oetf(x, lo, hi, xp=np):
     lb = lo ** (1 / 2.4)
     lw = hi ** (1 / 2.4)
-    return (np.maximum(np.asarray(x), 0.0) ** (1 / 2.4) - lb) / (lw - lb)
+    return (xp.maximum(x, 0.0) ** (1 / 2.4) - lb) / (lw - lb)
 
 
 # ---------------------------------------------------------------------------
@@ -192,15 +192,15 @@ def _fix_params(p: ToneMapParams) -> ToneMapParams:
 # Relative rescaling helpers (tone_mapping.c:185-205)
 
 def _rescale_in(x, p):
-    return (np.asarray(x) - p.input_min) / (p.input_max - p.input_min)
+    return (x - p.input_min) / (p.input_max - p.input_min)
 
 
 def _rescale(x, p):
-    return (np.asarray(x) - p.input_min) / (p.output_max - p.output_min)
+    return (x - p.input_min) / (p.output_max - p.output_min)
 
 
 def _rescale_out(x, p):
-    return np.asarray(x) * (p.output_max - p.output_min) + p.output_min
+    return x * (p.output_max - p.output_min) + p.output_min
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +241,8 @@ def _st2094_pick_knee(p: ToneMapParams):
 # Operators — each is (x_array, fixed_params) -> y_array
 # ---------------------------------------------------------------------------
 
-def _map_clip(x, p):
-    return np.asarray(x, dtype=np.float64)
+def _map_clip(x, p, xp=np):
+    return xp.asarray(x)
 
 
 def _st2094_intercept(N, Kx, Ky):
@@ -252,7 +252,7 @@ def _st2094_intercept(N, Kx, Ky):
     return min(slope / N, 1.0)
 
 
-def _map_st2094_40(x, p):
+def _map_st2094_40(x, p, xp=np):
     """SMPTE ST 2094-40 Annex B (HDR10+ OOTF bezier), tone_mapping.c:409."""
     D = p.output_max
     ootf = p.hdr.ootf
@@ -293,27 +293,27 @@ def _map_st2094_40(x, p):
         P[2:N] = _mix(anchors_lin, P[2:N], w)
         P[1] = _mix(_st2094_intercept(N, Kx, Ky), P[1], w)
 
-    x = np.asarray(x, dtype=np.float64)
-    x = _bt1886_oetf(x, p.input_min, p.input_max)
-    x = _bt1886_eotf(x, 0.0, 1.0)
+    x = xp.asarray(x)
+    x = _bt1886_oetf(x, p.input_min, p.input_max, xp)
+    x = _bt1886_eotf(x, 0.0, 1.0, xp)
 
     # Bezier section (vectorized Bernstein evaluation)
     t = (x - Kx) / max(1 - Kx, 1e-9)
-    t = np.clip(t, 0.0, 1.0)
+    t = xp.clip(t, 0.0, 1.0)
     from math import comb
-    bez = np.zeros_like(x)
+    bez = xp.zeros_like(x)
     for i in range(N + 1):
-        bez += comb(N, i) * t**i * (1 - t)**(N - i) * P[i]
+        bez = bez + comb(N, i) * t**i * (1 - t)**(N - i) * float(P[i])
     bez = Ky + (1 - Ky) * bez
     lin = x * (Ky / Kx if Kx else 0.0)
-    y = np.where((x <= Kx) & (Kx > 0), lin, bez)
+    y = xp.where((x <= Kx) & (Kx > 0), lin, bez)
 
-    y = _bt1886_oetf(y, 0.0, 1.0)
-    y = _bt1886_eotf(y, p.output_min, p.output_max)
+    y = _bt1886_oetf(y, 0.0, 1.0, xp)
+    y = _bt1886_eotf(y, p.output_min, p.output_max, xp)
     return y
 
 
-def _map_st2094_10(x, p):
+def _map_st2094_10(x, p, xp=np):
     """SMPTE ST 2094-10 Annex B.2 rational curve, tone_mapping.c:451."""
     src_knee, dst_knee = _st2094_pick_knee(p)
     x1, x2, x3 = p.input_min, src_knee, p.input_max
@@ -325,12 +325,12 @@ def _map_st2094_10(x, p):
     ])
     coeffs = cmat @ np.array([y1, y2, y3])
     k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1) + x1 * y1 * (x2 - x3))
-    c1, c2, c3 = k * coeffs
-    x = np.asarray(x, dtype=np.float64)
+    c1, c2, c3 = (float(v) for v in k * coeffs)
+    x = xp.asarray(x)
     return (c1 + c2 * x) / (1 + c3 * x)
 
 
-def _map_bt2390(x, p):
+def _map_bt2390(x, p, xp=np):
     """BT.2390 EETF hermite spline (PQ domain), tone_mapping.c:496."""
     minLum = float(_rescale_in(p.output_min, p))
     maxLum = float(_rescale_in(p.output_max, p))
@@ -340,46 +340,46 @@ def _map_bt2390(x, p):
     gain_inv = 1 + minLum / maxLum * (1 - maxLum) ** bp
     gain = 1 / gain_inv if maxLum < 1 else 1.0
 
-    x = _rescale_in(np.asarray(x, dtype=np.float64), p)
+    x = _rescale_in(xp.asarray(x), p)
     if ks < 1:
         tb = (x - ks) / (1 - ks)
         tb2, tb3 = tb * tb, tb**3
         pb = ((2 * tb3 - 3 * tb2 + 1) * ks +
               (tb3 - 2 * tb2 + tb) * (1 - ks) +
               (-2 * tb3 + 3 * tb2) * maxLum)
-        x = np.where(x < ks, x, pb)
+        x = xp.where(x < ks, x, pb)
     mask = x < 1
-    x_bpc = x + minLum * np.where(mask, (1 - np.minimum(x, 1.0)) ** bp, 0.0)
-    x_bpc = np.where(mask, gain * (x_bpc - minLum) + minLum, x_bpc)
-    x = np.where(mask, x_bpc, x)
+    x_bpc = x + minLum * xp.where(mask, (1 - xp.minimum(x, 1.0)) ** bp, 0.0)
+    x_bpc = xp.where(mask, gain * (x_bpc - minLum) + minLum, x_bpc)
+    x = xp.where(mask, x_bpc, x)
     return x * (p.input_max - p.input_min) + p.input_min
 
 
-def _map_bt2446a(x, p):
+def _map_bt2446a(x, p, xp=np):
     """BT.2446 Method A (nits domain), tone_mapping.c:544."""
     phdr = 1 + 32 * (p.input_max / 10000.0) ** (1 / 2.4)
     psdr = 1 + 32 * (p.output_max / 10000.0) ** (1 / 2.4)
-    x = np.asarray(x, dtype=np.float64)
-    y = np.maximum(_rescale_in(x, p), 0.0) ** (1 / 2.4)
-    y = np.log1p((phdr - 1) * y) / math.log(phdr)
-    y = np.where(y <= 0.7399, 1.0770 * y,
-                 np.where(y < 0.9909, (-1.1510 * y + 2.7811) * y - 0.6302,
+    x = xp.asarray(x)
+    y = xp.maximum(_rescale_in(x, p), 0.0) ** (1 / 2.4)
+    y = xp.log1p((phdr - 1) * y) / math.log(phdr)
+    y = xp.where(y <= 0.7399, 1.0770 * y,
+                 xp.where(y < 0.9909, (-1.1510 * y + 2.7811) * y - 0.6302,
                           0.5 * y + 0.5))
     y = (psdr ** y - 1) / (psdr - 1)
-    return _bt1886_eotf(y, p.output_min, p.output_max)
+    return _bt1886_eotf(y, p.output_min, p.output_max, xp)
 
 
-def _map_bt2446a_inv(x, p):
-    x = np.asarray(x, dtype=np.float64)
-    y = _bt1886_oetf(x, p.input_min, p.input_max) * 255.0
-    hi = np.maximum(y, 1e-9) ** ((2.8305e-6 * y - 7.4622e-4) * y + 1.2528)
-    lo = np.maximum(y, 1e-9) ** ((1.8712e-5 * y - 2.7334e-3) * y + 1.3141)
-    y = np.where(y > 70, hi, lo)
+def _map_bt2446a_inv(x, p, xp=np):
+    x = xp.asarray(x)
+    y = _bt1886_oetf(x, p.input_min, p.input_max, xp) * 255.0
+    hi = xp.maximum(y, 1e-9) ** ((2.8305e-6 * y - 7.4622e-4) * y + 1.2528)
+    lo = xp.maximum(y, 1e-9) ** ((1.8712e-5 * y - 2.7334e-3) * y + 1.3141)
+    y = xp.where(y > 70, hi, lo)
     y = (y / 1000.0) ** 2.4
     return _rescale_out(y, p)
 
 
-def _map_spline(x, p):
+def _map_spline(x, p, xp=np):
     """Single-pivot polynomial spline (default op; PQ domain),
     tone_mapping.c:601."""
     src_pivot, dst_pivot = _st2094_pick_knee(p)
@@ -402,30 +402,30 @@ def _map_spline(x, p):
     Qb = -3 * (slope * in_max - out_max) / t
     Qc = slope
 
-    x = np.asarray(x, dtype=np.float64) - src_pivot
-    y = np.where(x > 0,
+    x = xp.asarray(x) - src_pivot
+    y = xp.where(x > 0,
                  ((Qa * x + Qb) * x + Qc) * x,
                  (Pa * x + Pb) * x)
     return y + dst_pivot
 
 
-def _map_reinhard(x, p):
+def _map_reinhard(x, p, xp=np):
     peak = float(_rescale(p.input_max, p))
     contrast = p.constants.reinhard_contrast
     offset = (1.0 - contrast) / contrast
     scale = (peak + offset) / peak
-    x = _rescale(np.asarray(x, dtype=np.float64), p)
+    x = _rescale(xp.asarray(x), p)
     return _rescale_out(scale * x / (x + offset), p)
 
 
-def _map_mobius(x, p):
+def _map_mobius(x, p, xp=np):
     peak = float(_rescale(p.input_max, p))
     j = p.constants.linear_knee
     a = -j * j * (peak - 1.0) / (j * j - 2.0 * j + peak)
     b = (j * j - 2.0 * j * peak + peak) / max(1e-6, peak - 1.0)
     scale = (b * b + 2.0 * b * j + j * j) / (b - a)
-    x = _rescale(np.asarray(x, dtype=np.float64), p)
-    y = np.where(x <= j, x, scale * (x + a) / (x + b))
+    x = _rescale(xp.asarray(x), p)
+    y = xp.where(x <= j, x, scale * (x + a) / (x + b))
     return _rescale_out(y, p)
 
 
@@ -434,28 +434,28 @@ def _hable(x):
     return ((x * (A * x + C * B) + D * E) / (x * (A * x + B) + D * F)) - E / F
 
 
-def _map_hable(x, p):
+def _map_hable(x, p, xp=np):
     peak = p.input_max / p.output_max
     scale = 1.0 / _hable(peak)
-    x = np.asarray(x, dtype=np.float64)
-    y = _bt1886_oetf(x, p.input_min, p.input_max)
-    y = _bt1886_eotf(y, 0.0, peak)
+    x = xp.asarray(x)
+    y = _bt1886_oetf(x, p.input_min, p.input_max, xp)
+    y = _bt1886_eotf(y, 0.0, peak, xp)
     y = scale * _hable(y)
-    y = _bt1886_oetf(y, 0.0, 1.0)
-    return _bt1886_eotf(y, p.output_min, p.output_max)
+    y = _bt1886_oetf(y, 0.0, 1.0, xp)
+    return _bt1886_eotf(y, p.output_min, p.output_max, xp)
 
 
-def _map_gamma(x, p):
+def _map_gamma(x, p, xp=np):
     peak = float(_rescale(p.input_max, p))
     cutoff = p.constants.linear_knee
     gamma = math.log(cutoff) / math.log(cutoff / peak)
-    x = _rescale(np.asarray(x, dtype=np.float64), p)
-    y = np.where(x > cutoff, np.maximum(x / peak, 1e-9) ** gamma, x)
+    x = _rescale(xp.asarray(x), p)
+    y = xp.where(x > cutoff, xp.maximum(x / peak, 1e-9) ** gamma, x)
     return _rescale_out(y, p)
 
 
-def _map_linear(x, p):
-    x = _rescale_in(np.asarray(x, dtype=np.float64), p)
+def _map_linear(x, p, xp=np):
+    x = _rescale_in(xp.asarray(x), p)
     return _rescale_out(x * p.constants.exposure, p)
 
 
@@ -516,12 +516,12 @@ def find_tone_map_function(name: str) -> Optional[ToneMapFunction]:
 # LUT generation & pointwise sampling (tone_mapping.c:147-183)
 # ---------------------------------------------------------------------------
 
-def _map_vals(x: np.ndarray, p: ToneMapParams) -> np.ndarray:
+def _map_vals(x, p: ToneMapParams, xp=np):
     fun = p.function
     if p.output_max > p.input_max + 1e-4:
         assert fun.map_inverse is not None
-        return fun.map_inverse(x, p)
-    return fun.map(x, p)
+        return fun.map_inverse(x, p, xp=xp)
+    return fun.map(x, p, xp=xp)
 
 
 def generate(params: ToneMapParams) -> np.ndarray:
@@ -547,3 +547,50 @@ def sample(x: float, params: ToneMapParams) -> float:
     y = _map_vals(np.asarray([xn], dtype=np.float64), fixed)[0]
     y = float(np.clip(y, fixed.output_min, fixed.output_max))
     return hdr_rescale(fun.scaling, params.output_scaling, y)
+
+
+# ---------------------------------------------------------------------------
+# Device-side (traced) application — TPU-native replacement for the reference's
+# GLSL texture LUT: tone curves are closed-form elementwise math, which
+# XLA fuses into the surrounding color pass for free. Gathers (LUT
+# lookups) are expensive on TPU; FMAs are not.
+# ---------------------------------------------------------------------------
+
+def _hdr_rescale_dev(frm: HdrScaling, to: HdrScaling, x, jnp):
+    """Traced luminance rescaling between NORM/SQRT/NITS/PQ."""
+    if frm == to:
+        return x
+    from . import transfer as _tf
+    if frm == HdrScaling.NORM:
+        nits = x * COLOR_SDR_WHITE
+    elif frm == HdrScaling.SQRT:
+        nits = (x * x) * COLOR_SDR_WHITE
+    elif frm == HdrScaling.NITS:
+        nits = x
+    elif frm == HdrScaling.PQ:
+        nits = _tf.pq_eotf(x) * 10000.0
+    else:
+        raise ValueError(frm)
+    if to == HdrScaling.NORM:
+        return nits / COLOR_SDR_WHITE
+    if to == HdrScaling.SQRT:
+        return jnp.sqrt(jnp.maximum(nits, 0.0) / COLOR_SDR_WHITE)
+    if to == HdrScaling.NITS:
+        return nits
+    if to == HdrScaling.PQ:
+        return _tf.pq_oetf(jnp.clip(nits, 0.0, 10000.0) / 10000.0)
+    raise ValueError(to)
+
+
+def apply_device(x, params: ToneMapParams):
+    """Apply the tone curve to a traced jnp array `x` (in
+    params.input_scaling units) closed-form on device. Numerically
+    equivalent to sampling `generate`'s LUT at infinite resolution."""
+    import jax.numpy as jnp
+    fixed = _fix_params(params)
+    fun = fixed.function
+    x = jnp.clip(x, params.input_min, params.input_max)
+    xn = _hdr_rescale_dev(params.input_scaling, fun.scaling, x, jnp)
+    y = _map_vals(xn, fixed, xp=jnp)
+    y = jnp.clip(y, fixed.output_min, fixed.output_max)
+    return _hdr_rescale_dev(fun.scaling, params.output_scaling, y, jnp)

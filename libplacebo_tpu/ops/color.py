@@ -1,0 +1,244 @@
+"""Color decoding/encoding & (de)linearization on device.
+
+TPU-native rebuild of the reference's color shaders
+(src/shaders/colorspace.c: pl_shader_decode_color:275, encode_color:462,
+linearize:589, delinearize:722, sigmoidize/unsigmoidize:851+).  All
+functions take/return planar float32 images of shape (..., C, H, W) and
+are fully traceable; ColorRepr/ColorSpace metadata are *static* arguments
+baked into the trace (the jit cache in graph/ keys on them, playing the
+role of the reference's pass signature cache).
+
+Scale convention: linear light is NORM (1.0 = 203 nits SDR white).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import transfer as tf
+from ..core.colorspace import (COLOR_SDR_WHITE, ColorPrimaries, ColorRepr,
+                               ColorSpace, ColorSystem, ColorTransfer,
+                               color_repr_decode, ictcp_matrices, luma_coeffs,
+                               primaries_get, transfer_is_hdr)
+
+__all__ = [
+    "apply_matrix", "decode_color", "encode_color", "linearize",
+    "delinearize", "sigmoidize", "desigmoidize", "nominal_luma_norm",
+    "SigmoidParams",
+]
+
+_HLG_REF = 1000.0 / COLOR_SDR_WHITE
+_SCRGB_WHITE = 80.0 / COLOR_SDR_WHITE
+
+
+def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
+    """out[c] = sum_k mat[c,k] * img[k] (+ bias[c]); img (..., C, H, W)."""
+    mat = jnp.asarray(np.asarray(mat, dtype=np.float32))
+    out = jnp.einsum("ck,...khw->...chw", mat, img)
+    if bias is not None and np.any(np.asarray(bias) != 0):
+        out = out + jnp.asarray(np.asarray(bias, dtype=np.float32)
+                                ).reshape(-1, 1, 1)
+    return out
+
+
+def nominal_luma_norm(csp: ColorSpace) -> Tuple[float, float]:
+    """(min, max) display luminance in NORM units (reference
+    pl_color_space_nominal_luma_ex with HDR10 metadata)."""
+    inf = csp.infer()
+    return (inf.hdr.min_luma / COLOR_SDR_WHITE,
+            inf.hdr.max_luma / COLOR_SDR_WHITE)
+
+
+# ---------------------------------------------------------------------------
+# Decode / encode (reference pl_shader_decode_color / encode_color)
+# ---------------------------------------------------------------------------
+
+def decode_color(img, repr: ColorRepr,
+                 prim: ColorPrimaries = ColorPrimaries.UNKNOWN):
+    """Encoded (sampled, normalized) planes -> full-range RGB [0,1].
+
+    Handles the linear matrix systems via the host-computed transform
+    (core.colorspace.color_repr_decode) plus the non-linear post-steps for
+    ICtCp (PQ/HLG), BT.2020-C, and XYZ/ST428, mirroring
+    pl_shader_decode_color (shaders/colorspace.c:275).
+    """
+    sys = repr.sys
+
+    if sys == ColorSystem.XYZ:
+        # ST 428 linearization then XYZ->RGB with the target primaries
+        tr, _ = color_repr_decode(repr, prim)
+        img = apply_matrix(img, tr.mat.m, tr.c)
+        img = (52.37 / 48.0) * jnp.power(jnp.maximum(img, 0.0), 2.6)
+        from ..core.colorspace import xyz_to_rgb_matrix
+        rgb_m = xyz_to_rgb_matrix(primaries_get(prim)).m
+        img = apply_matrix(img, rgb_m)
+        # renormalize: back to gamma light (reference keeps XYZ linear
+        # until linearize; we return "linearized" flag separately — for
+        # simplicity we re-encode with gamma 2.6 so downstream linearize
+        # applies uniformly)
+        img = jnp.power(jnp.maximum(img / (52.37 / 48.0), 0.0), 1 / 2.6)
+        return img
+
+    if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
+        # ICtCp -> L'M'S' (linear part) -> LMS -> RGB(2020)
+        tr, _ = color_repr_decode(repr, prim)
+        lmsp = apply_matrix(img, tr.mat.m, tr.c)
+        rgb2lms, _ = ictcp_matrices(sys)
+        lms2rgb = np.linalg.inv(rgb2lms)
+        if sys == ColorSystem.BT_2100_PQ:
+            lms = tf.pq_eotf(lmsp)
+            rgb = apply_matrix(lms, lms2rgb)
+            return tf.pq_oetf(jnp.maximum(rgb, 0.0))
+        else:
+            lms = tf.hlg_oetf_inv(lmsp) / 12.0
+            rgb = apply_matrix(lms, lms2rgb)
+            return tf.hlg_oetf(jnp.maximum(rgb, 0.0) * 12.0)
+
+    if sys == ColorSystem.BT_2020_C:
+        # Constant luminance: decode B'-Y' and R'-Y' around the *gamma*
+        # luma, reconstruct via the CL spec piecewise scale
+        # (simplified: use the NCL matrix path like most practical players)
+        tr, _ = color_repr_decode(repr, prim)
+        return apply_matrix(img, tr.mat.m, tr.c)
+
+    tr, _ = color_repr_decode(repr, prim)
+    return apply_matrix(img, tr.mat.m, tr.c)
+
+
+def encode_color(img, repr: ColorRepr,
+                 prim: ColorPrimaries = ColorPrimaries.UNKNOWN):
+    """Full-range RGB -> encoded representation (inverse of decode_color;
+    reference pl_shader_encode_color, shaders/colorspace.c:462)."""
+    sys = repr.sys
+    if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG,
+               ColorSystem.XYZ):
+        raise NotImplementedError(f"encode to {sys} not yet supported")
+    tr, _ = color_repr_decode(repr, prim)
+    inv = tr.invert()
+    return apply_matrix(img, inv.mat.m, inv.c)
+
+
+# ---------------------------------------------------------------------------
+# Linearize / delinearize (reference pl_shader_linearize:589)
+# ---------------------------------------------------------------------------
+
+def linearize(img, csp: ColorSpace):
+    """Signal -> linear light (NORM), with black-point/peak scaling from
+    the colorspace's nominal luminance — exact reference semantics."""
+    trc = csp.infer().transfer
+    if trc == ColorTransfer.LINEAR:
+        return img
+    lo, hi = nominal_luma_norm(csp)
+
+    if trc != ColorTransfer.SCRGB:
+        img = jnp.maximum(img, 0.0)
+
+    if trc == ColorTransfer.BT_1886:
+        lb = lo ** (1 / 2.4)
+        lw = hi ** (1 / 2.4)
+        a = (lw - lb) ** 2.4
+        b = lb / (lw - lb)
+        return a * jnp.power(img + b, 2.4)
+    if trc == ColorTransfer.PQ:
+        return tf.pq_eotf(img) * (10000.0 / COLOR_SDR_WHITE)
+    if trc == ColorTransfer.HLG:
+        y = 1.2 * math.pow(1.111, math.log2(hi / _HLG_REF))
+        b = math.sqrt(3 * math.pow(lo / hi, 1 / y))
+        # OETF^-1 with black lift
+        e = (1 - b) * img + b
+        scene = tf.hlg_oetf_inv(e) / 12.0
+        # OOTF: luma-dependent gamma
+        lw_ = jnp.asarray(luma_coeffs(primaries_get(
+            csp.infer().primaries)).astype(np.float32))
+        luma = jnp.einsum("c,...chw->...hw", lw_, scene)[..., None, :, :]
+        return hi * scene * jnp.power(jnp.maximum(luma, 0.0), y - 1)
+    if trc == ColorTransfer.SCRGB:
+        return img * _SCRGB_WHITE
+
+    lin = tf.linearize(img, trc)
+    # "black scaled" SDR curves stretch into [lo, hi]
+    if hi != 1.0 or lo != 0.0:
+        lin = (hi - lo) * lin + lo
+    return lin
+
+
+def delinearize(img, csp: ColorSpace):
+    """Linear light (NORM) -> signal. Inverse of `linearize`
+    (reference pl_shader_delinearize:722)."""
+    trc = csp.infer().transfer
+    if trc == ColorTransfer.LINEAR:
+        return img
+    lo, hi = nominal_luma_norm(csp)
+
+    if trc not in (ColorTransfer.PQ, ColorTransfer.HLG, ColorTransfer.SCRGB,
+                   ColorTransfer.BT_1886):
+        # undo black scaling first
+        if hi != 1.0 or lo != 0.0:
+            img = (img - lo) / (hi - lo)
+
+    if trc != ColorTransfer.SCRGB:
+        img = jnp.maximum(img, 0.0)
+
+    if trc == ColorTransfer.BT_1886:
+        lb = lo ** (1 / 2.4)
+        lw = hi ** (1 / 2.4)
+        a = (lw - lb) ** 2.4
+        b = lb / (lw - lb)
+        return jnp.power(jnp.maximum(img, 0.0) / a, 1 / 2.4) - b
+    if trc == ColorTransfer.PQ:
+        return tf.pq_oetf(img * (COLOR_SDR_WHITE / 10000.0))
+    if trc == ColorTransfer.HLG:
+        y = 1.2 * math.pow(1.111, math.log2(hi / _HLG_REF))
+        b = math.sqrt(3 * math.pow(lo / hi, 1 / y))
+        disp = img / hi
+        lw_ = jnp.asarray(luma_coeffs(primaries_get(
+            csp.infer().primaries)).astype(np.float32))
+        luma = jnp.einsum("c,...chw->...hw", lw_, disp)[..., None, :, :]
+        scene = 12.0 * disp * jnp.power(jnp.maximum(luma, 1e-6),
+                                        (1 - y) / y)
+        e = tf.hlg_oetf(scene)
+        return (e - b) / (1 - b)
+    if trc == ColorTransfer.SCRGB:
+        return img / _SCRGB_WHITE
+
+    return tf.delinearize(img, trc)
+
+
+# ---------------------------------------------------------------------------
+# Sigmoidization (reference pl_shader_sigmoidize, shaders/colorspace.c:851)
+# ---------------------------------------------------------------------------
+
+class SigmoidParams:
+    """Reference pl_sigmoid_params: defaults center=0.75, slope=6.5."""
+    def __init__(self, center: float = 0.75, slope: float = 6.5):
+        self.center = center
+        self.slope = slope
+
+    def key(self):
+        return (self.center, self.slope)
+
+
+DEFAULT_SIGMOID = SigmoidParams()
+
+
+def sigmoidize(img, params: SigmoidParams = DEFAULT_SIGMOID):
+    """Nonlinear [0,1] -> sigmoid domain, for ringing-resistant linear
+    scaling. Passes through (0,0) and (1,1)."""
+    center, slope = params.center, params.slope
+    offset = 1.0 / (1 + math.exp(slope * center))
+    scale = 1.0 / (1 + math.exp(slope * (center - 1))) - offset
+    x = jnp.clip(img, 0.0, 1.0)
+    return center - (1.0 / slope) * jnp.log(
+        1.0 / (x * scale + offset) - 1.0)
+
+
+def desigmoidize(img, params: SigmoidParams = DEFAULT_SIGMOID):
+    center, slope = params.center, params.slope
+    offset = 1.0 / (1 + math.exp(slope * center))
+    scale = 1.0 / (1 + math.exp(slope * (center - 1))) - offset
+    x = jnp.clip(img, 0.0, 1.0)
+    return (1.0 / scale) / (1.0 + jnp.exp(slope * (center - x))) \
+        - offset / scale

@@ -1,0 +1,156 @@
+"""Frame & plane representation.
+
+TPU-native equivalent of the reference's pl_frame/pl_plane
+(src/include/libplacebo/renderer.h:342-520): a frame is a set of planar
+float32 device arrays plus colorimetry metadata.  Unlike the reference
+(GPU textures with sampler state), planes are jnp arrays of shape
+(components, H, W); the metadata fields are static Python values that key
+the jit cache.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.colorspace import (BitEncoding, ColorLevels, ColorPrimaries,
+                               ColorRepr, ColorSpace, ColorSystem,
+                               ColorTransfer)
+from ..core.common import Rect, RectF, Rotation
+
+__all__ = ["Plane", "Frame", "Overlay", "frame_from_yuv420p",
+           "frame_from_rgb"]
+
+
+@dataclass
+class Plane:
+    """One image plane (reference pl_plane, renderer.h:342).
+
+    data: (components, H, W) float32 jnp array, values already normalized
+    to [0,1] over the sample depth (the uploader does the bit-depth
+    normalization, like GPU texture sampling in the reference).
+    component_mapping: for each component, which canonical channel it
+    carries (0=R/Y, 1=G/Cb, 2=B/Cr, 3=A).
+    """
+    data: jnp.ndarray
+    component_mapping: Tuple[int, ...] = (0,)
+    # subtexel shift of this plane relative to the reference plane, in
+    # units of *this plane's* texels (reference pl_plane.shift_x/y)
+    shift_x: float = 0.0
+    shift_y: float = 0.0
+
+    @property
+    def components(self) -> int:
+        return len(self.component_mapping)
+
+    @property
+    def h(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def w(self) -> int:
+        return self.data.shape[-1]
+
+
+@dataclass
+class Overlay:
+    """Overlay part (subtitles/OSD); reference pl_overlay
+    (renderer.h:254-340). `data` is (4, H, W) RGBA, premultiplied per
+    `repr.alpha`."""
+    data: jnp.ndarray
+    rect: RectF
+    color: ColorSpace = field(default_factory=ColorSpace)
+    repr: ColorRepr = field(default_factory=ColorRepr)
+
+
+@dataclass
+class Frame:
+    """Reference pl_frame (renderer.h:491-520)."""
+    planes: List[Plane]
+    repr: ColorRepr = field(default_factory=ColorRepr)
+    color: ColorSpace = field(default_factory=ColorSpace)
+    crop: Optional[RectF] = None
+    rotation: Rotation = Rotation(0)
+    overlays: List[Overlay] = field(default_factory=list)
+    # profiling / mixing identity
+    pts: float = 0.0
+    signature: int = 0
+
+    @property
+    def ref_plane(self) -> Plane:
+        """The plane carrying luma/alpha-free channel 0 (reference
+        fix_refs_and_rects picks the largest plane containing Y/R)."""
+        best = self.planes[0]
+        for p in self.planes:
+            if 0 in p.component_mapping:
+                if (p.w * p.h) >= (best.w * best.h) or \
+                        0 not in best.component_mapping:
+                    best = p
+        return best
+
+    @property
+    def w(self) -> int:
+        return self.ref_plane.w
+
+    @property
+    def h(self) -> int:
+        return self.ref_plane.h
+
+    def get_crop(self) -> RectF:
+        return self.crop or RectF(0, 0, self.w, self.h)
+
+    def meta_key(self) -> tuple:
+        """Static signature of everything that affects the compiled
+        pipeline (the jit-cache key contribution)."""
+        return (
+            tuple((p.data.shape, p.component_mapping, p.shift_x, p.shift_y)
+                  for p in self.planes),
+            self.repr.sys, self.repr.levels, self.repr.alpha,
+            self.repr.bits,
+            self.color.primaries, self.color.transfer,
+            self.get_crop(), self.rotation,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Convenience constructors (the moral equivalent of utils/upload.c helpers)
+# ---------------------------------------------------------------------------
+
+def frame_from_yuv420p(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       repr: Optional[ColorRepr] = None,
+                       color: Optional[ColorSpace] = None,
+                       bit_depth: int = 8) -> Frame:
+    """Build a Frame from planar YUV 4:2:0 integer or float data.
+    Integer data is normalized by 2^depth-1 (like GPU UNORM sampling)."""
+    def norm(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.integer):
+            x = x.astype(np.float32) / float(2 ** bit_depth - 1)
+        return jnp.asarray(x.astype(np.float32))
+
+    h, w = y.shape
+    repr = repr or ColorRepr(
+        sys=ColorSystem.BT_709 if w >= 1280 else ColorSystem.BT_601,
+        levels=ColorLevels.LIMITED,
+        bits=BitEncoding(bit_depth, bit_depth, 0))
+    color = color or ColorSpace()
+    planes = [
+        Plane(norm(y)[None], (0,)),
+        Plane(norm(u)[None], (1,), shift_x=0.25),  # MPEG-2 chroma siting
+        Plane(norm(v)[None], (2,), shift_x=0.25),
+    ]
+    return Frame(planes=planes, repr=repr, color=color)
+
+
+def frame_from_rgb(rgb: np.ndarray, color: Optional[ColorSpace] = None,
+                   levels: ColorLevels = ColorLevels.FULL) -> Frame:
+    """Frame from an interleaved (H, W, 3) or planar (3, H, W) RGB array."""
+    rgb = np.asarray(rgb, dtype=np.float32)
+    if rgb.ndim == 3 and rgb.shape[-1] in (3, 4):
+        rgb = np.moveaxis(rgb, -1, 0)
+    planes = [Plane(jnp.asarray(rgb), tuple(range(rgb.shape[0])))]
+    return Frame(planes=planes,
+                 repr=ColorRepr(sys=ColorSystem.RGB, levels=levels),
+                 color=color or ColorSpace())

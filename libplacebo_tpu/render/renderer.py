@@ -1,0 +1,317 @@
+"""The renderer: frame -> target image pipeline.
+
+TPU-native rebuild of pl_render_image (src/renderer.c:3433).  The
+reference dynamically fuses GLSL fragments and dispatches 2-6 GPU passes
+per frame; here the whole pipeline is *one* traced JAX function that XLA
+fuses, compiled once per (frame-geometry, params) signature and cached —
+the cache plays the role of pl_dispatch's pass cache (dispatch.c:893).
+
+Stage order mirrors the reference call stack (SURVEY.md §3.1):
+  pass_read_image    -> _merge_planes + decode_color (+deband/grain later)
+  pass_scale_main    -> linearize/sigmoidize + main scaler
+  pass_convert_colors-> color-space conversion (+tone/gamut map for HDR)
+  pass_output_target -> delinearize + encode + dither
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import filters as flt
+from ..core import tone_mapping as tm
+from ..core.colorspace import (COLOR_SDR_WHITE, ColorLevels, ColorPrimaries,
+                               ColorRepr, ColorSpace, ColorSystem,
+                               ColorTransfer, HdrScaling,
+                               color_mapping_matrix, hdr_rescale,
+                               primaries_get, transfer_is_hdr)
+from ..core.common import RectF
+from ..ops import color as ops_color
+from ..ops import dithering as ops_dither
+from ..ops import sampling as ops_sampling
+from ..ops.color import SigmoidParams
+from ..ops.dithering import DitherParams
+from .frame import Frame, Plane
+
+__all__ = ["RenderParams", "Target", "Renderer", "render_image",
+           "RenderError"]
+
+
+class RenderError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class Target:
+    """Render target description (reference: the target pl_frame)."""
+    w: int
+    h: int
+    repr: ColorRepr = field(default_factory=lambda: ColorRepr(
+        sys=ColorSystem.RGB, levels=ColorLevels.FULL))
+    color: ColorSpace = field(default_factory=ColorSpace)
+    bit_depth: int = 0           # 0 = no dither/quantization
+    crop: Optional[RectF] = None
+
+    def meta_key(self):
+        return (self.w, self.h, self.repr.sys, self.repr.levels,
+                self.repr.bits, self.color.primaries, self.color.transfer,
+                self.bit_depth, self.crop)
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    """Subset of reference pl_render_params (renderer.h) driving the
+    pipeline; grows as features land. Presets mirror the reference's
+    fast/default/high_quality bundles."""
+    upscaler: str = "lanczos"
+    downscaler: str = "hermite"
+    plane_upscaler: str = "bilinear"     # chroma merge scaler
+    frame_mixer: str = "oversample"
+    antiringing_strength: float = 0.0
+    # scaling in (sigmoidized) linear light
+    linear_scaling: bool = True
+    sigmoid: Optional[Tuple[float, float]] = (0.75, 6.5)  # (center, slope)
+    # features
+    dither: Optional[DitherParams] = field(default_factory=DitherParams)
+    error_diffusion: Optional[str] = None   # kernel name, overrides dither
+    tone_mapping_function: str = "spline"
+    # disables
+    skip_anti_aliasing: bool = False
+    disable_linear_scaling: bool = False
+
+    def key(self):
+        return (self.upscaler, self.downscaler, self.plane_upscaler,
+                self.antiringing_strength, self.linear_scaling,
+                self.sigmoid, self.dither, self.error_diffusion,
+                self.tone_mapping_function, self.skip_anti_aliasing,
+                self.disable_linear_scaling)
+
+
+# preset bundles (reference renderer.c:203-224)
+FAST_PARAMS = RenderParams(upscaler="bilinear", downscaler="bilinear",
+                           linear_scaling=False, sigmoid=None,
+                           dither=DitherParams(
+                               method=ops_dither.DitherMethod.ORDERED_FIXED))
+DEFAULT_PARAMS = RenderParams()
+HIGH_QUALITY_PARAMS = RenderParams(upscaler="ewa_lanczossharp",
+                                   downscaler="hermite")
+
+
+def _find_scaler(name: str) -> flt.FilterConfig:
+    cfg = flt.find_filter_config(name)
+    if cfg is None:
+        raise RenderError(f"unknown filter: {name}")
+    return cfg
+
+
+class Renderer:
+    """Holds the compiled-pipeline cache and (later) temporal state:
+    HDR peak detection, frame mixing FBO pool analogs
+    (reference pl_renderer_t, renderer.c:56-93)."""
+
+    def __init__(self):
+        self._cache: Dict[tuple, object] = {}
+        self.errors: set = set()     # degradation flags (PL_RENDER_ERR_*)
+
+    # -- pipeline stages (traced) -------------------------------------
+
+    def _merge_planes(self, planes, frame_meta, params: RenderParams):
+        """Align all planes to the reference grid and stack channels
+        (reference pass_read_image plane loop, renderer.c:1553)."""
+        plane_metas, repr_sys = frame_meta
+        ref_i = 0
+        best = -1
+        for i, (shape, mapping, sx, sy) in enumerate(plane_metas):
+            if 0 in mapping and shape[-2] * shape[-1] > best:
+                best = shape[-2] * shape[-1]
+                ref_i = i
+        ref_shape = plane_metas[ref_i][0]
+        H, W = ref_shape[-2], ref_shape[-1]
+
+        cfg = _find_scaler(params.plane_upscaler)
+        channels = {}
+        for (shape, mapping, sx, sy), data in zip(plane_metas, planes):
+            ph, pw = shape[-2], shape[-1]
+            if (ph, pw) != (H, W) or sx or sy:
+                rx, ry = W / pw, H / ph
+                s0x = -sx * pw / W
+                s0y = -sy * ph / H
+                data = ops_sampling.resize_separable(
+                    data, H, W, cfg,
+                    RectF(s0x, s0y, s0x + pw, s0y + ph))
+            for ci, ch in enumerate(mapping):
+                channels[ch] = data[..., ci, :, :]
+        order = sorted(channels)
+        img = jnp.stack([channels[c] for c in order], axis=-3)
+        return img, order
+
+    def _trace_pipeline(self, frame_meta_key, target: Target,
+                        params: RenderParams, frame_repr: ColorRepr,
+                        frame_color: ColorSpace, crop: RectF):
+        """Build the traced pipeline function for one signature."""
+        plane_metas = frame_meta_key[0]
+        src_color = frame_color.infer()
+        dst_color = target.color.infer(target.w, target.h)
+
+        def pipeline(*planes):
+            # ---- pass_read_image
+            img, order = self._merge_planes(
+                planes, (plane_metas, frame_repr.sys), params)
+            has_alpha = 3 in order
+            if has_alpha:
+                alpha = img[..., -1:, :, :]
+                img = img[..., :3, :, :]
+            img = ops_color.decode_color(img, frame_repr,
+                                         src_color.primaries)
+
+            # ---- pass_scale_main
+            src_h = crop.y1 - crop.y0
+            src_w = crop.x1 - crop.x0
+            dst_crop = target.crop or RectF(0, 0, target.w, target.h)
+            dst_w = int(round(dst_crop.w))
+            dst_h = int(round(dst_crop.h))
+            needs_scale = (abs(src_h - dst_h) > 1e-6 or
+                           abs(src_w - dst_w) > 1e-6 or
+                           crop.x0 != 0 or crop.y0 != 0)
+            upscaling = dst_w > src_w or dst_h > src_h
+
+            use_linear = (params.linear_scaling and needs_scale
+                          and not params.disable_linear_scaling)
+            use_sigmoid = (use_linear and params.sigmoid is not None
+                           and not src_color.is_hdr())
+            if use_linear:
+                img = ops_color.linearize(img, src_color)
+                if use_sigmoid:
+                    sig = SigmoidParams(*params.sigmoid)
+                    img = ops_color.sigmoidize(img, sig)
+
+            if needs_scale:
+                up = _find_scaler(params.upscaler)
+                down = _find_scaler(params.downscaler)
+                cfg = up if upscaling else down
+                if cfg.polar:
+                    from ..ops import polar as ops_polar
+                    img = ops_polar.sample_polar(
+                        img, cfg, dst_h, dst_w, crop,
+                        antiring=params.antiringing_strength or cfg.antiring)
+                    if has_alpha:
+                        alpha = ops_polar.sample_polar(
+                            alpha, cfg, dst_h, dst_w, crop)
+                else:
+                    img = ops_sampling.resize_separable(
+                        img, dst_h, dst_w, cfg, crop, cfg_down=down)
+                    if has_alpha:
+                        alpha = ops_sampling.resize_separable(
+                            alpha, dst_h, dst_w, cfg, crop, cfg_down=down)
+
+            if use_sigmoid:
+                img = ops_color.desigmoidize(img, sig)
+
+            # ---- pass_convert_colors
+            need_color_map = (src_color.primaries != dst_color.primaries or
+                              src_color.transfer != dst_color.transfer)
+            if need_color_map:
+                if not use_linear:
+                    img = ops_color.linearize(img, src_color)
+                img = self._color_map(img, src_color, dst_color, params)
+                img = ops_color.delinearize(img, dst_color)
+            elif use_linear:
+                img = ops_color.delinearize(img, src_color)
+
+            # ---- pass_output_target
+            img = ops_color.encode_color(img, target.repr,
+                                         dst_color.primaries)
+            if has_alpha:
+                img = jnp.concatenate([img, alpha], axis=-3)
+            if target.bit_depth:
+                if params.error_diffusion:
+                    from ..core.dither import find_error_diffusion_kernel
+                    k = find_error_diffusion_kernel(params.error_diffusion)
+                    img = ops_dither.error_diffusion(img, target.bit_depth, k)
+                elif params.dither is not None:
+                    dp = replace(params.dither,
+                                 transfer=dst_color.transfer) \
+                        if params.dither.transfer == ColorTransfer.UNKNOWN \
+                        else params.dither
+                    img = ops_dither.dither(img, target.bit_depth, dp)
+            return jnp.clip(img, 0.0, 1.0)
+
+        return pipeline
+
+    def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
+                   params: RenderParams):
+        """Linear-light color conversion: gamut matrix + tone map
+        (full pl_shader_color_map_ex pipeline lands with the HDR step;
+        this covers primaries conversion + peak-clipping tone map)."""
+        if src.primaries != dst.primaries:
+            m = color_mapping_matrix(primaries_get(src.primaries),
+                                     primaries_get(dst.primaries))
+            img = ops_color.apply_matrix(img, m.m)
+        src_peak = src.nominal_peak_norm()
+        dst_peak = dst.nominal_peak_norm()
+        if src_peak > dst_peak + 1e-3:
+            # build tone LUT in PQ domain, apply via interp
+            fun = tm.find_tone_map_function(params.tone_mapping_function) \
+                or tm.TONE_MAP_SPLINE
+            p = tm.ToneMapParams(
+                function=fun,
+                input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
+                lut_size=256,
+                input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                      src.infer().hdr.min_luma),
+                input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                      src.infer().hdr.max_luma),
+                output_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                       dst.infer().hdr.min_luma),
+                output_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                       dst.infer().hdr.max_luma))
+            # tone map maxRGB closed-form on device (tm.apply_device —
+            # elementwise math XLA fuses; a LUT gather would be ~70x
+            # slower on TPU), scale channels by the ratio (the hybrid
+            # mode of the reference's color_map)
+            from ..core.transfer import pq_eotf, pq_oetf
+            maxrgb = jnp.max(img, axis=-3, keepdims=True)
+            maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
+            mapped_pq = tm.apply_device(maxrgb_pq, p)
+            mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
+            ratio = mapped / jnp.maximum(maxrgb, 1e-6)
+            img = img * ratio
+        return img
+
+    # -- public API ----------------------------------------------------
+
+    def render(self, frame: Frame, target: Target,
+               params: Optional[RenderParams] = None) -> jnp.ndarray:
+        """Render `frame` into an array of shape (C, target.h, target.w)
+        (reference pl_render_image, renderer.c:3433)."""
+        params = params or DEFAULT_PARAMS
+        crop = frame.get_crop()
+        key = (frame.meta_key(), target.meta_key(), params.key())
+        fn = self._cache.get(key)
+        if fn is None:
+            pipeline = self._trace_pipeline(
+                frame.meta_key(), target, params, frame.repr, frame.color,
+                crop)
+            fn = jax.jit(pipeline)
+            self._cache[key] = fn
+        return fn(*[p.data for p in frame.planes])
+
+    def flush_cache(self):
+        self._cache.clear()
+
+
+_default_renderer: Optional[Renderer] = None
+
+
+def render_image(frame: Frame, target: Target,
+                 params: Optional[RenderParams] = None) -> jnp.ndarray:
+    """Module-level convenience mirroring pl_render_image."""
+    global _default_renderer
+    if _default_renderer is None:
+        _default_renderer = Renderer()
+    return _default_renderer.render(frame, target, params)

@@ -1,0 +1,143 @@
+"""Device color ops — mirrors the reference's color shader tests in
+pl_shader_tests (src/tests/gpu_tests.c:331)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                            ColorPrimaries, ColorRepr,
+                                            ColorSpace, ColorSystem,
+                                            ColorTransfer, CSP_BT2100_PQ,
+                                            CSP_SRGB)
+from libplacebo_tpu.ops import color as C
+from libplacebo_tpu.ops.color import SigmoidParams
+from libplacebo_tpu.ops import dithering as D
+
+
+def _img(vals):
+    """(N,3) colors -> (3, 1, N) image."""
+    a = np.asarray(vals, dtype=np.float32).T[:, None, :]
+    return jnp.asarray(a)
+
+
+def _colors(img):
+    return np.asarray(img)[:, 0, :].T
+
+
+def test_decode_bt709_black_white():
+    repr = ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED,
+                     bits=BitEncoding(8, 8, 0))
+    img = _img([[16 / 255, 128 / 255, 128 / 255],
+                [235 / 255, 128 / 255, 128 / 255]])
+    out = _colors(C.decode_color(img, repr))
+    np.testing.assert_allclose(out[0], [0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(out[1], [1, 1, 1], atol=1e-5)
+
+
+def test_decode_encode_roundtrip():
+    repr = ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED,
+                     bits=BitEncoding(10, 10, 0))
+    rng = np.random.default_rng(0)
+    rgb = rng.random((32, 3))
+    enc = C.encode_color(_img(rgb), repr)
+    dec = C.decode_color(enc, repr)
+    np.testing.assert_allclose(_colors(dec), rgb, atol=1e-5)
+
+
+def test_linearize_delinearize_roundtrip():
+    for csp in (CSP_SRGB, CSP_BT2100_PQ,
+                ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886),
+                ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.HLG)):
+        rng = np.random.default_rng(1)
+        rgb = rng.random((64, 3)).astype(np.float32)
+        img = _img(rgb)
+        lin = C.linearize(img, csp)
+        back = C.delinearize(lin, csp)
+        np.testing.assert_allclose(_colors(back), rgb, atol=2e-3,
+                                   err_msg=str(csp.transfer))
+
+
+def test_linearize_bt1886_black_lift():
+    """BT.1886 maps signal 0 to the display black level, not 0."""
+    csp = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886)
+    lo, hi = C.nominal_luma_norm(csp)
+    img = _img([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    out = _colors(C.linearize(img, csp))
+    np.testing.assert_allclose(out[0], lo, rtol=1e-4)
+    np.testing.assert_allclose(out[1], hi, rtol=1e-4)
+
+
+def test_linearize_pq_absolute():
+    csp = CSP_BT2100_PQ
+    img = _img([[1.0, 1.0, 1.0]])
+    out = _colors(C.linearize(img, csp))
+    np.testing.assert_allclose(out[0], 10000.0 / 203.0, rtol=1e-4)
+
+
+def test_sigmoid_roundtrip():
+    rng = np.random.default_rng(2)
+    vals = rng.random((64, 3)).astype(np.float32)
+    img = _img(vals)
+    sig = SigmoidParams()
+    out = C.desigmoidize(C.sigmoidize(img, sig), sig)
+    np.testing.assert_allclose(_colors(out), vals, atol=1e-5)
+
+
+def test_sigmoid_fixed_points():
+    sig = SigmoidParams()
+    img = _img([[0.0, 0.5, 1.0]])
+    out = _colors(C.sigmoidize(img, sig))
+    assert abs(out[0][0] - 0.0) < 1e-6
+    assert abs(out[0][2] - 1.0) < 2e-6
+
+
+def test_decode_ictcp_pq_gray():
+    """Achromatic ICtCp (Ct=Cp=0) decodes to gray RGB."""
+    repr = ColorRepr(sys=ColorSystem.BT_2100_PQ, levels=ColorLevels.FULL,
+                     bits=BitEncoding(10, 10, 0))
+    # Ct/Cp are centered at 0.5 in the encoded representation
+    img = _img([[0.5, 0.5, 0.5]])
+    out = _colors(C.decode_color(img, repr, ColorPrimaries.BT_2020))
+    # f32 PQ roundtrip + inexact published inverse matrix -> ~5e-4
+    assert np.allclose(out[0], out[0][0], atol=1e-3)   # R==G==B
+    assert abs(out[0][0] - 0.5) < 2e-3                 # I==PQ gray value
+
+
+def test_dither_statistics():
+    """Dithered quantization preserves the mean (blue noise)."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(np.full((1, 64, 64), 0.4, np.float32))
+    out = np.asarray(D.dither(img, 3))
+    levels = np.unique(out)
+    assert len(levels) <= 3
+    assert abs(out.mean() - 0.4) < 0.01
+
+
+def test_dither_gamma_correct_low_depth():
+    """<=4 bit dither with known gamma preserves *linear* mean."""
+    from libplacebo_tpu.ops.dithering import DitherParams
+    img = jnp.asarray(np.full((1, 128, 128), 0.5, np.float32))
+    p = DitherParams(transfer=ColorTransfer.GAMMA22)
+    out = np.asarray(D.dither(img, 2, p))
+    lin_mean = (out ** 2.2).mean()
+    assert abs(lin_mean - 0.5 ** 2.2) < 0.01
+
+
+def test_error_diffusion_preserves_mean():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((1, 40, 56)).astype(np.float32))
+    out = np.asarray(D.error_diffusion(img, 2))
+    assert abs(out.mean() - np.asarray(img).mean()) < 0.01
+    # only 4 quantization levels
+    assert len(np.unique(out)) <= 4
+
+
+@pytest.mark.parametrize("kname", ["floyd-steinberg", "atkinson",
+                                   "jarvis-judice-ninke", "sierra-lite"])
+def test_error_diffusion_kernels_run(kname):
+    from libplacebo_tpu.core.dither import find_error_diffusion_kernel
+    img = jnp.asarray(np.full((1, 16, 24), 0.3, np.float32))
+    k = find_error_diffusion_kernel(kname)
+    out = np.asarray(D.error_diffusion(img, 3, k))
+    tol = 0.05 if kname == "atkinson" else 0.01  # atkinson leaks error
+    assert abs(out.mean() - 0.3) < tol

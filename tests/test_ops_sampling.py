@@ -1,0 +1,168 @@
+"""Device sampling ops vs independent numpy oracles — mirrors the
+reference's pl_scaler_tests (src/tests/gpu_tests.c:912)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.core import filters as flt
+from libplacebo_tpu.core.common import RectF
+from libplacebo_tpu.ops import polar as P
+from libplacebo_tpu.ops import sampling as S
+
+
+def _numpy_ortho(img, idx, w, axis):
+    """Oracle: straightforward numpy banded resample."""
+    img = np.asarray(img)
+    out_shape = list(img.shape)
+    out_shape[axis] = idx.shape[0]
+    out = np.zeros(out_shape, dtype=np.float64)
+    for t in range(idx.shape[1]):
+        taken = np.take(img, idx[:, t], axis=axis)
+        sl = [None] * img.ndim
+        shape = [1] * img.ndim
+        shape[axis] = idx.shape[0]
+        out += taken * w[:, t].reshape(shape)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["gather", "matmul"])
+@pytest.mark.parametrize("axis", [-2, -1])
+def test_ortho_matches_oracle(mode, axis):
+    rng = np.random.default_rng(42)
+    img = rng.random((3, 40, 56)).astype(np.float32)
+    cfg = flt.find_filter_config("lanczos")
+    dst = 91
+    idx, w = S.ortho_weights(cfg, img.shape[axis], dst)
+    out = S.sample_ortho(jnp.asarray(img), cfg, dst, axis, mode=mode)
+    oracle = _numpy_ortho(img, idx, w, axis)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-5)
+
+
+def test_gather_equals_matmul():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((2, 33, 47)).astype(np.float32))
+    cfg = flt.find_filter_config("spline36")
+    a = S.sample_ortho(img, cfg, 77, -1, mode="gather")
+    b = S.sample_ortho(img, cfg, 77, -1, mode="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_constant_preserved():
+    img = jnp.full((3, 32, 32), 0.25, jnp.float32)
+    for name in ("lanczos", "bicubic", "spline64", "bilinear"):
+        cfg = flt.find_filter_config(name)
+        out = S.resize_separable(img, 80, 80, cfg)
+        np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-5)
+
+
+def test_identity_resample():
+    """Same-size resample with an interpolating filter == identity."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, 24, 24)).astype(np.float32))
+    cfg = flt.find_filter_config("lanczos")
+    out = S.resize_separable(img, 24, 24, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_downscale_box_is_average():
+    img = np.zeros((1, 4, 8), np.float32)
+    img[0, :, ::2] = 1.0  # alternating columns
+    cfg = flt.find_filter_config("box")
+    out = S.resize_separable(jnp.asarray(img), 4, 4, cfg)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_crop_rect():
+    """Cropping the left half == resampling only that half — except at the
+    crop's interior edge, where the crop correctly reads real texels
+    beyond the rect (GPU clamp happens at the *texture* edge, not the
+    crop edge). Compare away from that edge."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 16, 32)).astype(np.float32))
+    cfg = flt.find_filter_config("bilinear")
+    whole = S.resize_separable(img[:, :, :16], 32, 32, cfg)
+    cropped = S.resize_separable(img, 32, 32, cfg, RectF(0, 0, 16, 16))
+    np.testing.assert_allclose(np.asarray(whole)[..., :30],
+                               np.asarray(cropped)[..., :30], atol=1e-6)
+
+
+def test_nearest():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4))
+    out = S.sample_nearest(img, 8, 8)
+    assert out.shape == (1, 8, 8)
+    # each source pixel duplicated 2x2
+    np.testing.assert_allclose(np.asarray(out[0, :2, :2]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[0, 2:4, 2:4]), 5.0)
+
+
+def test_oversample_integer_scale_is_nearest():
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((1, 8, 8)).astype(np.float32))
+    out = S.sample_oversample(img, 16, 16)
+    ref = S.sample_nearest(img, 16, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Polar EWA
+# ---------------------------------------------------------------------------
+
+def test_polar_phased_vs_gather():
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((3, 32, 48)).astype(np.float32))
+    cfg = flt.find_filter_config("ewa_lanczos")
+    rect = RectF(0, 0, 48, 32)
+    out_a = P.sample_polar(img, cfg, 64, 96)        # phased (2x rational)
+    plan = P.plan_polar(cfg, 32, 48, 64, 96, rect)
+    assert plan["plan_y"].period == 2
+    out_b = P._polar_gather(img, cfg, 64, 96, plan, 0.0)
+    # gather path quantizes weights through the 256-entry LUT (like the
+    # reference); phased path uses exact weights -> ~1e-4 difference
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=5e-4)
+
+
+def test_polar_constant():
+    img = jnp.full((1, 24, 24), 0.7, jnp.float32)
+    for name in ("ewa_lanczos", "ewa_lanczossharp", "ewa_robidoux"):
+        cfg = flt.find_filter_config(name)
+        out = P.sample_polar(img, cfg, 48, 48)
+        np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-5), name
+
+
+def test_polar_irrational_scale():
+    """Non-rational scale exercises the gather fallback."""
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(rng.random((1, 30, 30)).astype(np.float32))
+    cfg = flt.find_filter_config("ewa_lanczos")
+    out = P.sample_polar(img, cfg, 47, 53)   # prime sizes -> aperiodic-ish
+    assert out.shape == (1, 47, 53)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_polar_antiring_bounds():
+    """AR clamps overshoot: a step edge upscaled with AR has less
+    overshoot than without."""
+    img = np.zeros((1, 16, 32), np.float32)
+    img[:, :, 16:] = 1.0
+    cfg = flt.find_filter_config("ewa_lanczos")
+    plain = np.asarray(P.sample_polar(jnp.asarray(img), cfg, 32, 64))
+    ar = np.asarray(P.sample_polar(jnp.asarray(img), cfg, 32, 64,
+                                   antiring=1.0))
+    assert ar.max() <= plain.max() + 1e-6
+    assert ar.min() >= plain.min() - 1e-6
+    # there IS ringing without AR (jinc overshoots)
+    assert plain.max() > 1.001
+
+
+def test_polar_downscale_antialiases():
+    """EWA downscaling widens the kernel: a Nyquist checkerboard 2x
+    downscale averages to ~0.5, unlike nearest sampling."""
+    img = np.indices((32, 32)).sum(axis=0) % 2
+    img = jnp.asarray(img[None].astype(np.float32))
+    cfg = flt.find_filter_config("ewa_lanczos")
+    down = np.asarray(P.sample_polar(img, cfg, 16, 16))
+    near = np.asarray(S.sample_nearest(img, 16, 16))
+    # EWA output is near-uniform gray; nearest keeps full contrast
+    assert np.abs(down - 0.5).mean() < 0.1
+    assert np.abs(near - 0.5).mean() > 0.4

@@ -1,0 +1,147 @@
+"""Renderer end-to-end tests — mirrors pl_render_tests
+(src/tests/gpu_tests.c:1155)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                            ColorRepr, ColorSpace,
+                                            ColorSystem, CSP_BT2100_PQ,
+                                            CSP_SRGB)
+from libplacebo_tpu.core.common import RectF
+from libplacebo_tpu.render.frame import (Frame, Plane, frame_from_rgb,
+                                         frame_from_yuv420p)
+from libplacebo_tpu.render.renderer import (DEFAULT_PARAMS, FAST_PARAMS,
+                                            HIGH_QUALITY_PARAMS,
+                                            RenderParams, Renderer, Target)
+
+
+def _yuv_frame(h=72, w=96, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    y = (rng.random((h, w)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    return frame_from_yuv420p(y, u, v, **kw)
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64))**2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_basic_render():
+    r = Renderer()
+    frame = _yuv_frame()
+    out = r.render(frame, Target(w=192, h=144))
+    assert out.shape == (3, 144, 192)
+    o = np.asarray(out)
+    assert o.min() >= 0 and o.max() <= 1
+    assert np.all(np.isfinite(o))
+
+
+@pytest.mark.parametrize("params", [FAST_PARAMS, DEFAULT_PARAMS,
+                                    HIGH_QUALITY_PARAMS],
+                         ids=["fast", "default", "hq"])
+def test_presets(params):
+    r = Renderer()
+    out = r.render(_yuv_frame(), Target(w=128, h=96, bit_depth=8), params)
+    assert out.shape == (3, 96, 128)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_render_cache_hit():
+    r = Renderer()
+    frame = _yuv_frame()
+    tgt = Target(w=100, h=80)
+    r.render(frame, tgt)
+    n = len(r._cache)
+    r.render(_yuv_frame(seed=9), tgt)   # same geometry, new data
+    assert len(r._cache) == n           # no recompile
+
+
+def test_gray_world_preserved():
+    """A mid-gray YUV frame renders to mid-gray RGB (roundtrip through
+    decode/linearize/scale/delinearize/encode is value-preserving)."""
+    h = w = 64
+    y = np.full((h, w), 126, np.uint8)          # Y for ~0.5 gray limited
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    frame = frame_from_yuv420p(y, u, v)
+    out = np.asarray(Renderer().render(frame, Target(w=2 * w, h=2 * h)))
+    expect = (126 - 16) / 219
+    np.testing.assert_allclose(out, expect, atol=2e-3)
+
+
+def test_rgb_passthrough_identity():
+    """RGB frame -> same-size RGB target with no color change == identity
+    (within float error)."""
+    rng = np.random.default_rng(5)
+    rgb = rng.random((48, 64, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    tgt = Target(w=64, h=48, color=CSP_SRGB)
+    out = Renderer().render(frame, tgt)
+    assert psnr(out, np.moveaxis(rgb, -1, 0)) > 50
+
+
+def test_hdr_to_sdr():
+    frame = _yuv_frame(color=CSP_BT2100_PQ, repr=ColorRepr(
+        sys=ColorSystem.BT_2020_NC, levels=ColorLevels.LIMITED,
+        bits=BitEncoding(8, 8, 0)))
+    out = Renderer().render(frame, Target(w=128, h=96, color=CSP_SRGB))
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o))
+    assert o.max() <= 1.0 + 1e-6
+
+
+def test_crop():
+    rng = np.random.default_rng(6)
+    rgb = rng.random((32, 32, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    frame_cropped = Frame(planes=frame.planes, repr=frame.repr,
+                          color=frame.color, crop=RectF(0, 0, 16, 16))
+    out_crop = Renderer().render(frame_cropped,
+                                 Target(w=32, h=32, color=CSP_SRGB))
+    # cropping top-left quadrant then 2x upscale == upscaling the quadrant
+    # (away from the crop's interior edges, where the crop correctly reads
+    # real texels beyond the rect)
+    frame_q = frame_from_rgb(rgb[:16, :16], color=CSP_SRGB)
+    out_q = Renderer().render(frame_q, Target(w=32, h=32, color=CSP_SRGB))
+    assert psnr(out_crop[:, :26, :26], out_q[:, :26, :26]) > 50
+
+
+def test_dither_output_levels():
+    frame = _yuv_frame()
+    out = np.asarray(Renderer().render(
+        frame, Target(w=96, h=72, bit_depth=4)))
+    # 4-bit output has at most 16 levels per channel
+    assert len(np.unique(out)) <= 3 * 16
+
+
+def test_error_diffusion_render():
+    frame = _yuv_frame(h=24, w=32)
+    p = RenderParams(error_diffusion="floyd-steinberg")
+    out = np.asarray(Renderer().render(
+        frame, Target(w=32, h=24, bit_depth=6), p))
+    assert np.all(np.isfinite(out))
+
+
+def test_upscale_psnr_vs_reference_impl():
+    """Lanczos3 2x upscale PSNR against an independent float64 oracle
+    (direct convolution with the same kernel math)."""
+    from libplacebo_tpu.core import filters as flt
+    from libplacebo_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(8)
+    src = rng.random((1, 24, 24)).astype(np.float32)
+    cfg = flt.find_filter_config("lanczos")
+    out = np.asarray(S.resize_separable(jnp.asarray(src), 48, 48, cfg))
+
+    # float64 oracle: outer-product weights, direct sum
+    idx, w = S.ortho_weights(cfg, 24, 48)
+    oracle = np.zeros((1, 48, 24))
+    for t in range(idx.shape[1]):
+        oracle += src[:, idx[:, t], :] * w[:, t][None, :, None]
+    oracle2 = np.zeros((1, 48, 48))
+    for t in range(idx.shape[1]):
+        oracle2 += oracle[:, :, idx[:, t]] * w[:, t][None, None, :]
+    assert psnr(out, oracle2) > 100

@@ -24,15 +24,16 @@ def main():
 
     fn, args = graft.entry()
 
-    def chained(y, u, v, n):
+    def chained(state, grain, y, u, v, n):
         def body(i, carry):
-            y, out = carry
+            state, out = carry
             # microscopic dependency on the previous frame's output
-            # serializes the chain without changing the math
-            out = fn(y + out[0, 0, 0] * 1e-12, u, v)
-            return (y, out)
-        out0 = fn(y, u, v)
-        _, out = jax.lax.fori_loop(0, n, body, (y, out0))
+            # serializes the chain without changing the math; peak state
+            # carries across frames like real playback
+            out, state = fn(state, grain, y + out[0, 0, 0] * 1e-12, u, v)
+            return (state, out)
+        out0, state = fn(state, grain, y, u, v)
+        _, out = jax.lax.fori_loop(0, n, body, (state, out0))
         return out
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50

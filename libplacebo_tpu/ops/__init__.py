@@ -9,6 +9,11 @@ reduction, error diffusion, film grain) become Pallas kernels.
 """
 
 from . import color  # noqa: F401
+from . import deband  # noqa: F401
+from . import deinterlace  # noqa: F401
 from . import dithering  # noqa: F401
+from . import film_grain  # noqa: F401
+from . import peak_detect  # noqa: F401
 from . import polar  # noqa: F401
 from . import sampling  # noqa: F401
+from . import tone_dynamic  # noqa: F401

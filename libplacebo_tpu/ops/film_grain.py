@@ -1,0 +1,298 @@
+"""AV1 film grain synthesis: device-side application.
+
+TPU-native rebuild of the GPU half of pl_shader_fg_av1
+(src/shaders/film_grain_av1.c:605-1015).  The reference's compute shader
+fetches packed per-block offsets from a LUT and samples the grain
+texture per pixel.
+
+TPU-first design: grain offsets have a 16x16 alphabet (4-bit x, 4-bit y,
+scaled by 2), so there are only 256 possible grain tiles per LUT.  The
+host precomputes the full tile stack (256, bh, bw) plus edge stacks for
+overlap blending; the device *gathers whole tiles* by block index — one
+`jnp.take` of contiguous rows per block instead of 25M per-pixel
+gathers.  Overlap blending (AV1 variance-preserving 27/17 + 23/22
+weights) is applied on the tiled layout with row/column masks.  The
+scaling function evaluates closed-form over the (<= 14) scaling points.
+
+Because the grain seed (and hence every table) changes per frame, all
+tables enter the jitted pipeline as *traced arguments* (GrainTables
+pytree) — one compiled program serves every frame; only the tiny tables
+are re-uploaded. Host generation is lru-cached per (params, seed).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import film_grain as fg
+from ..core.film_grain import (BLOCK_SIZE, AV1GrainData, FilmGrainData,
+                               GRAIN_HEIGHT_LUT, GRAIN_WIDTH_LUT)
+
+__all__ = ["needs_fg", "GrainCfg", "prepare_av1_grain", "apply_av1_grain"]
+
+MAX_SCALING_POINTS = 15
+
+
+def needs_fg(data: Optional[FilmGrainData]) -> bool:
+    """Reference pl_needs_fg (film_grain.h:124)."""
+    if data is None or data.type != "av1" or data.av1 is None:
+        return False
+    a = data.av1
+    return (a.num_points_y > 0 or a.num_points_uv[0] > 0 or
+            a.num_points_uv[1] > 0 or a.chroma_scaling_from_luma)
+
+
+@dataclass(frozen=True)
+class GrainCfg:
+    """Static (trace-baked) grain configuration; everything that rarely
+    changes. Channels: canonical ids carried by the plane (0=Y,1=Cb,2=Cr)."""
+    channels: Tuple[int, ...]
+    active: Tuple[bool, ...]          # per channel: grain applied?
+    overlap: bool = True
+    chroma_scaling_from_luma: bool = False
+    sub_x: int = 0
+    sub_y: int = 0
+    bits: int = 8
+    limited_range: bool = True
+    is_ycbcr: bool = True
+
+    def key(self):
+        return self
+
+
+class ChannelTables(NamedTuple):
+    tiles: jnp.ndarray      # (256, bh, bw)
+    right: jnp.ndarray      # (256, bh, ox)
+    bottom: jnp.ndarray     # (256, oy, bw)
+    corner: jnp.ndarray     # (256, oy, ox)
+    points: jnp.ndarray     # (MAX_SCALING_POINTS, 2) float32, padded
+    npoints: jnp.ndarray    # () int32
+    uv_consts: jnp.ndarray  # (3,) [mult_luma, mult, offset]
+
+
+class GrainTables(NamedTuple):
+    offsets: jnp.ndarray            # (nby, nbx) int32 (packed uint32 bits)
+    chans: Tuple[ChannelTables, ...]
+
+
+@lru_cache(maxsize=16)
+def _tile_stacks_np(data: AV1GrainData, seed: int, channel: int,
+                    sub_x: int, sub_y: int, bits: int):
+    if channel == 0:
+        lut, _ = fg.generate_grain_y(data, seed, bits)
+    else:
+        lut = fg.generate_grain_uv(data, seed, channel, sub_x, sub_y, bits)
+    bw = BLOCK_SIZE >> sub_x
+    bh = BLOCK_SIZE >> sub_y
+    ox_scale = 1 if sub_x else 2
+    oy_scale = 1 if sub_y else 2
+    n_ox = max(2 >> sub_x, 1)
+    n_oy = max(2 >> sub_y, 1)
+
+    tiles = np.zeros((256, bh, bw), np.float32)
+    right = np.zeros((256, bh, n_ox), np.float32)
+    bottom = np.zeros((256, n_oy, bw), np.float32)
+    corner = np.zeros((256, n_oy, n_ox), np.float32)
+    for v in range(256):
+        ox = (v >> 4) * ox_scale
+        oy = (v & 0xF) * oy_scale
+        tiles[v] = lut[oy:oy + bh, ox:ox + bw]
+        right[v] = lut[oy:oy + bh, ox + bw:ox + bw + n_ox]
+        bottom[v] = lut[oy + bh:oy + bh + n_oy, ox:ox + bw]
+        corner[v] = lut[oy + bh:oy + bh + n_oy, ox + bw:ox + bw + n_ox]
+    return tiles, right, bottom, corner
+
+
+def _padded_points(points) -> Tuple[np.ndarray, int]:
+    pts = np.zeros((MAX_SCALING_POINTS, 2), np.float32)
+    n = min(len(points), MAX_SCALING_POINTS)
+    for i in range(n):
+        pts[i] = points[i]
+    # replicate last point so padded segments are degenerate
+    for i in range(n, MAX_SCALING_POINTS):
+        pts[i] = pts[max(n - 1, 0)]
+    return pts, n
+
+
+def grain_cfg_for(data: FilmGrainData, channels: Tuple[int, ...],
+                  bits: int = 8, sub_x: int = 0, sub_y: int = 0,
+                  limited_range: bool = True,
+                  is_ycbcr: bool = True) -> GrainCfg:
+    a = data.av1
+    active = tuple(
+        (a.num_points_y > 0) if ch == 0 else
+        (a.num_points_uv[ch - 1] > 0 or a.chroma_scaling_from_luma)
+        for ch in channels)
+    return GrainCfg(channels=channels, active=active, overlap=a.overlap,
+                    chroma_scaling_from_luma=a.chroma_scaling_from_luma,
+                    sub_x=sub_x, sub_y=sub_y, bits=bits,
+                    limited_range=limited_range, is_ycbcr=is_ycbcr)
+
+
+def prepare_av1_grain(data: FilmGrainData, cfg: GrainCfg,
+                      h: int, w: int) -> GrainTables:
+    """Host-side per-frame table prep (cached per seed/params)."""
+    a = data.av1
+    bw = BLOCK_SIZE >> cfg.sub_x
+    bh = BLOCK_SIZE >> cfg.sub_y
+    nbx = (w + bw - 1) // bw
+    nby = (h + bh - 1) // bh
+    offsets = fg.generate_offsets(data.seed, nbx, nby)
+
+    grain_scale = 1.0 / ((1 << cfg.bits) - 1)
+    chans = []
+    for ch, act in zip(cfg.channels, cfg.active):
+        if not act:
+            z = jnp.zeros((1,), jnp.float32)
+            chans.append(ChannelTables(z, z, z, z, z,
+                                       jnp.zeros((), jnp.int32), z))
+            continue
+        stacks = _tile_stacks_np(a, data.seed, ch,
+                                 cfg.sub_x if ch else 0,
+                                 cfg.sub_y if ch else 0, cfg.bits)
+        if ch == 0 or cfg.chroma_scaling_from_luma:
+            pts, n = _padded_points(a.points_y)
+            uv = np.zeros(3, np.float32)
+        else:
+            pts, n = _padded_points(a.points_uv[ch - 1])
+            uv = np.array([a.uv_mult_luma[ch - 1] / 64.0,
+                           a.uv_mult[ch - 1] / 64.0,
+                           (a.uv_offset[ch - 1] << (cfg.bits - 8)) *
+                           grain_scale], np.float32)
+        chans.append(ChannelTables(
+            jnp.asarray(stacks[0]), jnp.asarray(stacks[1]),
+            jnp.asarray(stacks[2]), jnp.asarray(stacks[3]),
+            jnp.asarray(pts), jnp.asarray(np.int32(n)), jnp.asarray(uv)))
+    return GrainTables(
+        offsets=jnp.asarray(offsets.view(np.int32)), chans=tuple(chans))
+
+
+# ---------------------------------------------------------------------------
+# Traced application
+# ---------------------------------------------------------------------------
+
+def _assemble_plane(offsets, ct: ChannelTables, h, w, sub_x, sub_y,
+                    overlap, grain_min, grain_max):
+    bw = BLOCK_SIZE >> sub_x
+    bh = BLOCK_SIZE >> sub_y
+    nbx = (w + bw - 1) // bw
+    nby = (h + bh - 1) // bh
+    n_ox = max(2 >> sub_x, 1)
+    n_oy = max(2 >> sub_y, 1)
+
+    off = offsets[:nby, :nbx]
+    idx_n = (off & 0xFF).reshape(-1)
+    idx_l = ((off >> 8) & 0xFF).reshape(-1)
+    idx_t = ((off >> 16) & 0xFF).reshape(-1)
+    idx_tl = ((off >> 24) & 0xFF).reshape(-1)
+
+    g = jnp.take(ct.tiles, idx_n, axis=0).reshape(nby, nbx, bh, bw)
+
+    if overlap:
+        if n_ox == 2:
+            wx_n, wx_o = [27.0, 17.0], [17.0, 27.0]
+        else:
+            wx_n, wx_o = [23.0], [22.0]
+        if n_oy == 2:
+            wy_n, wy_o = [27.0, 17.0], [17.0, 27.0]
+        else:
+            wy_n, wy_o = [23.0], [22.0]
+        wxa = jnp.asarray(np.asarray(wx_n, np.float32) / 32.0)
+        wxb = jnp.asarray(np.asarray(wx_o, np.float32) / 32.0)
+        wya = jnp.asarray(np.asarray(wy_n, np.float32) / 32.0)
+        wyb = jnp.asarray(np.asarray(wy_o, np.float32) / 32.0)
+
+        has_l = (jnp.arange(nbx) > 0)[None, :, None, None]
+        has_t = (jnp.arange(nby) > 0)[:, None, None, None]
+
+        gl = jnp.take(ct.right, idx_l, axis=0).reshape(nby, nbx, bh, n_ox)
+        mixed_x = gl * wxa + g[..., :n_ox] * wxb
+        g = g.at[..., :n_ox].set(
+            jnp.where(has_l, mixed_x, g[..., :n_ox]))
+
+        gt = jnp.take(ct.bottom, idx_t, axis=0).reshape(nby, nbx, n_oy, bw)
+        gc = jnp.take(ct.corner, idx_tl, axis=0).reshape(
+            nby, nbx, n_oy, n_ox)
+        mixed_c = gc * wxa + gt[..., :n_ox] * wxb
+        gt = gt.at[..., :n_ox].set(
+            jnp.where(has_l, mixed_c, gt[..., :n_ox]))
+        mixed_y = gt * wya[:, None] + g[..., :n_oy, :] * wyb[:, None]
+        g = g.at[..., :n_oy, :].set(
+            jnp.where(has_t, mixed_y, g[..., :n_oy, :]))
+
+        g = jnp.clip(g, grain_min, grain_max)
+
+    plane = g.transpose(0, 2, 1, 3).reshape(nby * bh, nbx * bw)
+    return plane[:h, :w]
+
+
+def _scaling_eval(v, points, npoints):
+    """Piecewise-linear scaling over traced (padded) points."""
+    x = jnp.clip(v, 0.0, 1.0) * 255.0
+    out = jnp.full_like(v, points[0, 1])
+    for i in range(MAX_SCALING_POINTS - 1):
+        x0, y0 = points[i, 0], points[i, 1]
+        x1, y1 = points[i + 1, 0], points[i + 1, 1]
+        t = (x - x0) / jnp.maximum(x1 - x0, 1.0)
+        seg = y0 + (y1 - y0) * jnp.clip(t, 0.0, 1.0)
+        valid = i + 1 < npoints
+        out = jnp.where((x >= x0) & valid, seg, out)
+    # beyond last point
+    last = jnp.take(points[:, 0], jnp.maximum(npoints - 1, 0))
+    last_y = jnp.take(points[:, 1], jnp.maximum(npoints - 1, 0))
+    out = jnp.where(x >= last, last_y, out)
+    return out
+
+
+def apply_av1_grain(img, tables: GrainTables, cfg: GrainCfg,
+                    scaling_shift: int,
+                    luma: Optional[jnp.ndarray] = None):
+    """Apply AV1 grain to a plane (..., C, H, W); cfg/scaling_shift are
+    static, tables traced."""
+    h, w = img.shape[-2], img.shape[-1]
+    bits = cfg.bits
+    grain_center = 128 << (bits - 8)
+    grain_scale = 1.0 / ((1 << bits) - 1)
+    grain_min = -grain_center * grain_scale
+    grain_max = ((256 << (bits - 8)) - 1 - grain_center) * grain_scale
+    scale_rng = 1.0 / (1 << scaling_shift)
+
+    if cfg.limited_range:
+        out_scale = (1 << bits) / ((1 << bits) - 1.0)
+        min_value = 16 / 256.0 * out_scale
+        max_luma = 235 / 256.0 * out_scale
+        max_chroma = (240 / 256.0 * out_scale) if cfg.is_ycbcr else max_luma
+    else:
+        min_value, max_luma, max_chroma = 0.0, 1.0, 1.0
+
+    if luma is None and 0 in cfg.channels:
+        luma = img[..., cfg.channels.index(0), :, :]
+
+    out_comps = []
+    for ci, (ch, act) in enumerate(zip(cfg.channels, cfg.active)):
+        comp = img[..., ci, :, :]
+        if not act:
+            out_comps.append(comp)
+            continue
+        ct = tables.chans[ci]
+        grain = _assemble_plane(tables.offsets, ct, h, w,
+                                cfg.sub_x if ch else 0,
+                                cfg.sub_y if ch else 0,
+                                cfg.overlap, grain_min, grain_max)
+        if ch == 0 or cfg.chroma_scaling_from_luma:
+            scale_in = comp if ch == 0 else luma
+            vmax = max_luma if ch == 0 else max_chroma
+        else:
+            scale_in = (luma * ct.uv_consts[0] + comp * ct.uv_consts[1] +
+                        ct.uv_consts[2])
+            vmax = max_chroma
+        scaling = _scaling_eval(scale_in, ct.points, ct.npoints) * scale_rng
+        comp = jnp.clip(comp + scaling * grain, min_value, vmax)
+        out_comps.append(comp)
+
+    return jnp.stack(out_comps, axis=-3)

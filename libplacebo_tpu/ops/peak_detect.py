@@ -1,0 +1,172 @@
+"""HDR peak/histogram detection with temporal smoothing.
+
+TPU-native rebuild of pl_shader_detect_peak + update_peak_buf
+(src/shaders/colorspace.c:1155-1313, 1072-1146).  The reference runs a
+compute pass building a 64-bin PQ histogram in workgroup shared memory
+with subgroup reductions and global atomics into an SSBO, then reads it
+back on the CPU for percentile + IIR smoothing.
+
+Here the whole thing stays on device: the histogram is a fused XLA
+comparison-reduction, the percentile interpolation runs on the 64-bin
+vector, and the IIR state (avg_pq, max_pq) is a carried jnp array —
+no host round trip, no frame delay (the reference needs
+`allow_delayed` to avoid a pipeline stall; we get the exact same-frame
+result for free because XLA schedules the reduction before its use).
+
+Histogram layout matches the reference exactly: PQ_BITS=14 fixed point,
+7-bit histogram biased by half the PQ range (SDR content clumps into
+bin 0), HIST_BINS = 64 (colorspace.c:915-931).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.colorspace import COLOR_HDR_BLACK, COLOR_SDR_WHITE
+from ..core.transfer import pq_oetf
+
+__all__ = ["PeakDetectParams", "peak_detect_state_init", "detect_peak"]
+
+PQ_BITS = 14
+PQ_MAX = (1 << PQ_BITS) - 1
+HIST_BITS = 7
+HIST_BIAS = 1 << (HIST_BITS - 1)
+HIST_BINS = (1 << HIST_BITS) - HIST_BIAS   # 64
+
+
+@dataclass(frozen=True)
+class PeakDetectParams:
+    """Reference pl_peak_detect_params (shaders/colorspace.h:104-150);
+    defaults mirror pl_peak_detect_default_params."""
+    smoothing_period: float = 20.0
+    scene_threshold_low: float = 1.0     # % PQ
+    scene_threshold_high: float = 3.0    # % PQ
+    percentile: float = 100.0
+    black_cutoff: float = 1.0            # % PQ; ignore pixels below
+    allow_delayed: bool = False          # N/A: we detect in-frame
+
+    def key(self):
+        return (self.smoothing_period, self.scene_threshold_low,
+                self.scene_threshold_high, self.percentile,
+                self.black_cutoff)
+
+
+def peak_detect_state_init() -> jnp.ndarray:
+    """Carried state [avg_pq, max_pq]; zeros mean 'unset'."""
+    return jnp.zeros((2,), jnp.float32)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def detect_peak(img_linear, state, params: PeakDetectParams,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Measure the frame and update the temporal state.
+
+    img_linear: (..., 3, H, W) linear light in NORM units (1.0 = SDR
+    white). Returns (avg_pq, max_pq, new_state) — smoothed values as
+    traced scalars, PQ-encoded in [0,1].
+    """
+    # maxRGB -> relative PQ (reference: PQ of the max component, clamped
+    # to the valid signal range — scaler ringing can overshoot)
+    maxrgb = jnp.max(img_linear, axis=-3)
+    pq = pq_oetf(jnp.maximum(maxrgb, 0.0) * (COLOR_SDR_WHITE / 10000.0))
+    pq = jnp.clip(pq, 0.0, 1.0)
+    pq14 = jnp.round(pq * PQ_MAX).astype(jnp.int32)
+
+    cutoff = params.black_cutoff / 100.0
+    active_mask = pq > cutoff
+
+    # --- per-workgroup (16x16 tile) average, like the reference's
+    # shmem-reduced wg averages (colorspace.c:1240-1290)
+    H, W = pq.shape[-2], pq.shape[-1]
+    th, tw = 16, 16
+    Hp = (H + th - 1) // th * th
+    Wp = (W + tw - 1) // tw * tw
+    pq_pad = jnp.pad(pq, [(0, 0)] * (pq.ndim - 2) +
+                     [(0, Hp - H), (0, Wp - W)])
+    act_pad = jnp.pad(active_mask, [(0, 0)] * (pq.ndim - 2) +
+                      [(0, Hp - H), (0, Wp - W)])
+    tiles = pq_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
+    acts = act_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
+    tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-3, -1))
+    tile_cnt = jnp.sum(acts, axis=(-3, -1))
+    tile_avg = tile_sum / jnp.maximum(tile_cnt, 1)
+    wg_active = tile_cnt > 0
+    n_active = jnp.maximum(jnp.sum(wg_active), 1)
+    frame_avg = jnp.sum(jnp.where(wg_active, tile_avg, 0.0)) / n_active
+    frame_max = jnp.max(pq)
+    wg_bias = jnp.sum(wg_active) / wg_active.size
+
+    use_hist = 0 < params.percentile < 100
+    if use_hist:
+        # 64-bin histogram over active pixels (comparison-reduction;
+        # XLA fuses — no scatter)
+        bins = jnp.clip((pq14 >> (PQ_BITS - HIST_BITS)) - HIST_BIAS,
+                        0, HIST_BINS - 1)
+        flat = bins.reshape(-1)
+        flat_act = active_mask.reshape(-1)
+        onehot = (flat[:, None] ==
+                  jnp.arange(HIST_BINS, dtype=jnp.int32)[None, :])
+        hist = jnp.sum(onehot & flat_act[:, None], axis=0).astype(jnp.float32)
+
+        # percentile interpolation (reference measure_peak,
+        # colorspace.c:1020-1065) — vectorized over the 64 bins
+        total = jnp.sum(hist)
+        target = jnp.ceil(params.percentile / 100.0 * total)
+        csum = jnp.cumsum(hist)
+        count_low = csum - hist          # pixels before this bin
+        count_high = csum + 1.0          # first pixel of the next bin
+        in_bin = (count_low < target) & (target < count_high)
+        bin_idx = jnp.argmax(in_bin)     # unique bin containing target
+        pq_low = ((bin_idx + HIST_BIAS) << (PQ_BITS - HIST_BITS)) / PQ_MAX
+        pq_high0 = ((bin_idx + 1 + HIST_BIAS) <<
+                    (PQ_BITS - HIST_BITS)) / PQ_MAX
+        cl = count_low[bin_idx]
+        ch = count_high[bin_idx]
+        pq_high = jnp.where(ch > total, frame_max, pq_high0)
+        ratio = (target - cl) / jnp.maximum(ch - cl, 1.0)
+        measured = pq_low + (pq_high - pq_low) * ratio
+        # no in-bin hit (e.g. empty histogram) -> frame max
+        max_cur = jnp.where(jnp.any(in_bin) & (total > 0),
+                            measured, frame_max)
+    else:
+        max_cur = frame_max
+
+    has_content = jnp.sum(wg_active) > 0
+    avg_cur = jnp.where(has_content, frame_avg, COLOR_HDR_BLACK)
+    max_cur = jnp.where(has_content, max_cur, COLOR_HDR_BLACK)
+
+    # --- temporal smoothing (reference update_peak_buf:1122-1146)
+    prev_avg, prev_max = state[0], state[1]
+    unset = prev_avg == 0.0
+    eps = 1.0 / PQ_MAX
+    avg_in = jnp.where(jnp.abs(avg_cur - prev_avg) < eps, prev_avg, avg_cur)
+    max_in = jnp.where(jnp.abs(max_cur - prev_max) < eps, prev_max, max_cur)
+
+    if params.smoothing_period > 0:
+        coeff = 1.0 - np.exp(-1.0 / params.smoothing_period)
+    else:
+        coeff = 1.0
+    avg_s = prev_avg + coeff * (avg_in - prev_avg)
+    max_s = prev_max + coeff * (max_in - prev_max)
+
+    if params.scene_threshold_low > 0 and params.scene_threshold_high > 0:
+        log10_pq = 1e-2
+        t_lo = params.scene_threshold_low * log10_pq
+        t_hi = params.scene_threshold_high * log10_pq
+        delta = wg_bias * jnp.abs(avg_in - prev_avg)
+        mix = _smoothstep(t_lo, t_hi, delta)
+        avg_s = avg_s + (avg_in - avg_s) * mix
+        max_s = max_s + (max_in - max_s) * mix
+
+    avg_out = jnp.where(unset, avg_cur, avg_s)
+    max_out = jnp.where(unset, max_cur, max_s)
+    new_state = jnp.stack([avg_out, max_out]).astype(jnp.float32)
+    return avg_out, max_out, new_state

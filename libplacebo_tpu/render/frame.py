@@ -74,6 +74,9 @@ class Frame:
     crop: Optional[RectF] = None
     rotation: Rotation = Rotation(0)
     overlays: List[Overlay] = field(default_factory=list)
+    # film grain metadata (reference pl_frame.film_grain); seed may change
+    # per frame without recompilation
+    film_grain: Optional[object] = None   # core.film_grain.FilmGrainData
     # profiling / mixing identity
     pts: float = 0.0
     signature: int = 0
@@ -103,14 +106,24 @@ class Frame:
 
     def meta_key(self) -> tuple:
         """Static signature of everything that affects the compiled
-        pipeline (the jit-cache key contribution)."""
+        pipeline (the jit-cache key contribution). Grain *structure*
+        (which channels, lag, overlap...) is static; the seed is not —
+        per-frame seeds only swap the traced grain tables."""
+        grain_static = None
+        if self.film_grain is not None and self.film_grain.av1 is not None:
+            a = self.film_grain.av1
+            grain_static = (self.film_grain.type,
+                            a.num_points_y > 0,
+                            a.num_points_uv[0] > 0, a.num_points_uv[1] > 0,
+                            a.chroma_scaling_from_luma, a.overlap,
+                            a.scaling_shift)
         return (
             tuple((p.data.shape, p.component_mapping, p.shift_x, p.shift_y)
                   for p in self.planes),
             self.repr.sys, self.repr.levels, self.repr.alpha,
             self.repr.bits,
             self.color.primaries, self.color.transfer,
-            self.get_crop(), self.rotation,
+            self.get_crop(), self.rotation, grain_static,
         )
 
 

@@ -32,10 +32,15 @@ from ..core.colorspace import (COLOR_SDR_WHITE, ColorLevels, ColorPrimaries,
                                primaries_get, transfer_is_hdr)
 from ..core.common import RectF
 from ..ops import color as ops_color
+from ..ops import deband as ops_deband
 from ..ops import dithering as ops_dither
+from ..ops import film_grain as ops_fg
+from ..ops import peak_detect as ops_peak
 from ..ops import sampling as ops_sampling
+from ..ops import tone_dynamic as ops_tone_dyn
 from ..ops.color import SigmoidParams
 from ..ops.dithering import DitherParams
+from ..ops.peak_detect import PeakDetectParams
 from .frame import Frame, Plane
 
 __all__ = ["RenderParams", "Target", "Renderer", "render_image",
@@ -80,6 +85,10 @@ class RenderParams:
     dither: Optional[DitherParams] = field(default_factory=DitherParams)
     error_diffusion: Optional[str] = None   # kernel name, overrides dither
     tone_mapping_function: str = "spline"
+    peak_detect: Optional[PeakDetectParams] = field(
+        default_factory=PeakDetectParams)
+    deband: Optional[ops_deband.DebandParams] = None
+    film_grain: bool = True      # honor frame-attached grain data
     # disables
     skip_anti_aliasing: bool = False
     disable_linear_scaling: bool = False
@@ -89,7 +98,10 @@ class RenderParams:
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
                 self.tone_mapping_function, self.skip_anti_aliasing,
-                self.disable_linear_scaling)
+                self.disable_linear_scaling,
+                self.peak_detect.key() if self.peak_detect else None,
+                self.deband.key() if self.deband else None,
+                self.film_grain)
 
 
 # preset bundles (reference renderer.c:203-224)
@@ -98,8 +110,10 @@ FAST_PARAMS = RenderParams(upscaler="bilinear", downscaler="bilinear",
                            dither=DitherParams(
                                method=ops_dither.DitherMethod.ORDERED_FIXED))
 DEFAULT_PARAMS = RenderParams()
-HIGH_QUALITY_PARAMS = RenderParams(upscaler="ewa_lanczossharp",
-                                   downscaler="hermite")
+HIGH_QUALITY_PARAMS = RenderParams(
+    upscaler="ewa_lanczossharp", downscaler="hermite",
+    deband=ops_deband.DebandParams(),
+    peak_detect=PeakDetectParams(percentile=99.995))
 
 
 def _find_scaler(name: str) -> flt.FilterConfig:
@@ -117,28 +131,59 @@ class Renderer:
     def __init__(self):
         self._cache: Dict[tuple, object] = {}
         self.errors: set = set()     # degradation flags (PL_RENDER_ERR_*)
+        # HDR peak-detection temporal state (reference: SSBO + CPU copy;
+        # here a tiny carried device array)
+        self._peak_state = ops_peak.peak_detect_state_init()
 
     # -- pipeline stages (traced) -------------------------------------
 
-    def _merge_planes(self, planes, frame_meta, params: RenderParams):
-        """Align all planes to the reference grid and stack channels
-        (reference pass_read_image plane loop, renderer.c:1553)."""
-        plane_metas, repr_sys = frame_meta
-        ref_i = 0
-        best = -1
+    @staticmethod
+    def _ref_plane_index(plane_metas):
+        ref_i, best = 0, -1
         for i, (shape, mapping, sx, sy) in enumerate(plane_metas):
             if 0 in mapping and shape[-2] * shape[-1] > best:
                 best = shape[-2] * shape[-1]
                 ref_i = i
+        return ref_i
+
+    def _merge_planes(self, planes, frame_meta, params: RenderParams,
+                      grain_cfgs=None, grain_tables=None,
+                      scaling_shift: int = 8):
+        """Per-plane processing (deband, film grain) then alignment to the
+        reference grid and channel stacking (reference pass_read_image,
+        renderer.c:1553: plane_deband -> plane_film_grain -> sampler)."""
+        plane_metas, repr_sys = frame_meta
+        ref_i = self._ref_plane_index(plane_metas)
         ref_shape = plane_metas[ref_i][0]
         H, W = ref_shape[-2], ref_shape[-1]
+        luma_full = None
+        if 0 in plane_metas[ref_i][1]:
+            luma_full = planes[ref_i][
+                ..., plane_metas[ref_i][1].index(0), :, :]
+
+        processed = []
+        for i, ((shape, mapping, sx, sy), data) in enumerate(
+                zip(plane_metas, planes)):
+            ph, pw = shape[-2], shape[-1]
+            if params.deband is not None and 3 not in mapping:
+                data = ops_deband.deband(data, params.deband, seed=i)
+            if grain_cfgs is not None and grain_cfgs[i] is not None:
+                cfg_g = grain_cfgs[i]
+                luma = None
+                if 0 not in mapping and luma_full is not None:
+                    # nearest-subsampled luma at this plane's grid
+                    # (reference texelFetch at pos << sub)
+                    luma = luma_full[..., ::1 << cfg_g.sub_y,
+                                     ::1 << cfg_g.sub_x][..., :ph, :pw]
+                data = ops_fg.apply_av1_grain(
+                    data, grain_tables[i], cfg_g, scaling_shift, luma=luma)
+            processed.append((shape, mapping, sx, sy, data))
 
         cfg = _find_scaler(params.plane_upscaler)
         channels = {}
-        for (shape, mapping, sx, sy), data in zip(plane_metas, planes):
+        for (shape, mapping, sx, sy, data) in processed:
             ph, pw = shape[-2], shape[-1]
             if (ph, pw) != (H, W) or sx or sy:
-                rx, ry = W / pw, H / ph
                 s0x = -sx * pw / W
                 s0y = -sy * ph / H
                 data = ops_sampling.resize_separable(
@@ -150,18 +195,53 @@ class Renderer:
         img = jnp.stack([channels[c] for c in order], axis=-3)
         return img, order
 
+    def _grain_cfgs(self, plane_metas, frame_repr, frame_grain):
+        """Per-plane static grain configs (None = no grain)."""
+        if not ops_fg.needs_fg(frame_grain):
+            return None, 8
+        from ..core.colorspace import levels_guess, system_is_ycbcr_like
+        ref_i = self._ref_plane_index(plane_metas)
+        ref_shape = plane_metas[ref_i][0]
+        H, W = ref_shape[-2], ref_shape[-1]
+        bits = max(frame_repr.bits.color_depth or 8, 8)
+        limited = levels_guess(frame_repr) == ColorLevels.LIMITED
+        is_ycbcr = system_is_ycbcr_like(frame_repr.sys)
+        cfgs = []
+        for shape, mapping, sx, sy in plane_metas:
+            ph, pw = shape[-2], shape[-1]
+            sub_x = 1 if pw * 2 <= W else 0
+            sub_y = 1 if ph * 2 <= H else 0
+            cfg = ops_fg.grain_cfg_for(
+                frame_grain, tuple(mapping), bits=min(bits, 12),
+                sub_x=sub_x, sub_y=sub_y, limited_range=limited,
+                is_ycbcr=is_ycbcr)
+            cfgs.append(cfg if any(cfg.active) else None)
+        return cfgs, frame_grain.av1.scaling_shift
+
     def _trace_pipeline(self, frame_meta_key, target: Target,
                         params: RenderParams, frame_repr: ColorRepr,
-                        frame_color: ColorSpace, crop: RectF):
+                        frame_color: ColorSpace, crop: RectF,
+                        frame_grain=None):
         """Build the traced pipeline function for one signature."""
         plane_metas = frame_meta_key[0]
         src_color = frame_color.infer()
         dst_color = target.color.infer(target.w, target.h)
+        grain_cfgs = None
+        scaling_shift = 8
+        if params.film_grain and frame_grain is not None:
+            grain_cfgs, scaling_shift = self._grain_cfgs(
+                plane_metas, frame_repr, frame_grain)
 
-        def pipeline(*planes):
+        use_peak = (params.peak_detect is not None and src_color.is_hdr()
+                    and (src_color.primaries != dst_color.primaries or
+                         src_color.transfer != dst_color.transfer)
+                    and params.tone_mapping_function in ("spline", "bt2390"))
+
+        def pipeline(peak_state, grain_tables, *planes):
             # ---- pass_read_image
             img, order = self._merge_planes(
-                planes, (plane_metas, frame_repr.sys), params)
+                planes, (plane_metas, frame_repr.sys), params,
+                grain_cfgs, grain_tables, scaling_shift)
             has_alpha = 3 in order
             if has_alpha:
                 alpha = img[..., -1:, :, :]
@@ -215,10 +295,17 @@ class Renderer:
             # ---- pass_convert_colors
             need_color_map = (src_color.primaries != dst_color.primaries or
                               src_color.transfer != dst_color.transfer)
+            new_state = peak_state
             if need_color_map:
                 if not use_linear:
                     img = ops_color.linearize(img, src_color)
-                img = self._color_map(img, src_color, dst_color, params)
+                peak_stats = None
+                if use_peak:
+                    avg_pq, max_pq, new_state = ops_peak.detect_peak(
+                        img, peak_state, params.peak_detect)
+                    peak_stats = (avg_pq, max_pq)
+                img = self._color_map(img, src_color, dst_color, params,
+                                      peak_stats)
                 img = ops_color.delinearize(img, dst_color)
             elif use_linear:
                 img = ops_color.delinearize(img, src_color)
@@ -239,21 +326,41 @@ class Renderer:
                         if params.dither.transfer == ColorTransfer.UNKNOWN \
                         else params.dither
                     img = ops_dither.dither(img, target.bit_depth, dp)
-            return jnp.clip(img, 0.0, 1.0)
+            return jnp.clip(img, 0.0, 1.0), new_state
 
         return pipeline
 
     def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
-                   params: RenderParams):
+                   params: RenderParams, peak_stats=None):
         """Linear-light color conversion: gamut matrix + tone map
-        (full pl_shader_color_map_ex pipeline lands with the HDR step;
-        this covers primaries conversion + peak-clipping tone map)."""
+        (reference pl_shader_color_map_ex). With `peak_stats`, the tone
+        curve adapts to the detected (avg, peak) as traced scalars —
+        the TPU equivalent of the reference's per-frame LUT refresh."""
         if src.primaries != dst.primaries:
             m = color_mapping_matrix(primaries_get(src.primaries),
                                      primaries_get(dst.primaries))
             img = ops_color.apply_matrix(img, m.m)
         src_peak = src.nominal_peak_norm()
         dst_peak = dst.nominal_peak_norm()
+
+        if peak_stats is not None:
+            from ..core.transfer import pq_eotf, pq_oetf
+            avg_pq, max_pq = peak_stats
+            dst_inf = dst.infer()
+            dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                     dst_inf.hdr.min_luma)
+            dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                     dst_inf.hdr.max_luma)
+            maxrgb = jnp.max(img, axis=-3, keepdims=True)
+            maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
+            mapped_pq = ops_tone_dyn.tone_map_dynamic(
+                maxrgb_pq, params.tone_mapping_function,
+                src_max=max_pq, src_avg=avg_pq,
+                dst_min=dst_min_pq, dst_max=dst_max_pq)
+            mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
+            ratio = mapped / jnp.maximum(maxrgb, 1e-6)
+            return img * ratio
+
         if src_peak > dst_peak + 1e-3:
             # build tone LUT in PQ domain, apply via interp
             fun = tm.find_tone_map_function(params.tone_mapping_function) \
@@ -296,13 +403,34 @@ class Renderer:
         if fn is None:
             pipeline = self._trace_pipeline(
                 frame.meta_key(), target, params, frame.repr, frame.color,
-                crop)
+                crop, frame.film_grain)
             fn = jax.jit(pipeline)
             self._cache[key] = fn
-        return fn(*[p.data for p in frame.planes])
+
+        # per-frame grain tables (traced inputs; host prep cached by seed)
+        grain_tables = None
+        if params.film_grain and ops_fg.needs_fg(frame.film_grain):
+            plane_metas = frame.meta_key()[0]
+            cfgs, _ = self._grain_cfgs(plane_metas, frame.repr,
+                                       frame.film_grain)
+            if cfgs is not None:
+                grain_tables = tuple(
+                    ops_fg.prepare_av1_grain(
+                        frame.film_grain, cfg,
+                        meta[0][-2], meta[0][-1]) if cfg else None
+                    for cfg, meta in zip(cfgs, plane_metas))
+
+        out, self._peak_state = fn(self._peak_state, grain_tables,
+                                   *[p.data for p in frame.planes])
+        return out
+
+    def reset_peak_detection(self):
+        """Reference pl_renderer_flush_cache / peak state reset."""
+        self._peak_state = ops_peak.peak_detect_state_init()
 
     def flush_cache(self):
         self._cache.clear()
+        self.reset_peak_detection()
 
 
 _default_renderer: Optional[Renderer] = None

@@ -1,0 +1,98 @@
+"""User hooks: custom processing injected at fixed pipeline stages.
+
+TPU-native rebuild of the reference's hook system
+(src/include/libplacebo/shaders/custom.h:106-259, execution engine
+renderer.c:1036).  The reference's hooks are GLSL shader fragments with
+a BIND/SAVE resource contract; GLSL is meaningless here, so a hook is a
+*Python callable* receiving the traced image and a context — it
+composes into the same jit-compiled pipeline (XLA fuses it like any
+other stage).  The mpv .hook text format's tunable-parameter model is
+kept (Hook.parameters), its GLSL body is not.
+
+Stage set mirrors pl_hook_stage exactly.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+__all__ = ["HookStage", "Hook", "HookParams", "run_hooks"]
+
+
+class HookStage(enum.Flag):
+    """Reference pl_hook_stage (custom.h:106-129)."""
+    RGB_INPUT = enum.auto()      # decoded RGB input planes
+    LUMA_INPUT = enum.auto()     # raw luma plane
+    CHROMA_INPUT = enum.auto()   # raw chroma planes
+    ALPHA_INPUT = enum.auto()
+    CHROMA_SCALED = enum.auto()  # chroma after merge to luma grid
+    ALPHA_SCALED = enum.auto()
+    NATIVE = enum.auto()         # combined plane image, pre-decode
+    RGB = enum.auto()            # after color decode
+    LINEAR = enum.auto()         # linear light
+    SIGMOID = enum.auto()        # sigmoidized light
+    PRE_KERNEL = enum.auto()     # right before the main scaler
+    POST_KERNEL = enum.auto()    # right after the main scaler
+    SCALED = enum.auto()         # after scaling, original color space
+    PRE_OUTPUT = enum.auto()     # before target color encoding
+    OUTPUT = enum.auto()         # final output, pre-dither
+
+
+@dataclass
+class HookParams:
+    """What a hook sees (reference pl_hook_params, custom.h:167-259)."""
+    stage: HookStage
+    src_w: int = 0
+    src_h: int = 0
+    dst_w: int = 0
+    dst_h: int = 0
+    components: int = 3
+    parameters: Dict[str, float] = field(default_factory=dict)
+
+
+@dataclass
+class Hook:
+    """A user hook (reference pl_hook, custom.h:300-340).
+
+    func(img, params: HookParams) -> img. `img` is the traced (C, H, W)
+    array at that stage; returning it unchanged is a no-op. Hooks that
+    raise during tracing are auto-disabled (reference: misbehaving hooks
+    disabled by signature, renderer.c:64-65).
+    """
+    stages: HookStage
+    func: Callable
+    name: str = ""
+    # tunable parameters (the mpv PARAM model, custom_mpv.c:687)
+    parameters: Dict[str, float] = field(default_factory=dict)
+    signature: int = 0
+
+    def __post_init__(self):
+        if not self.signature:
+            self.signature = id(self.func)
+
+
+def run_hooks(hooks: Optional[List[Hook]], stage: HookStage, img,
+              disabled: Optional[set] = None, **ctx):
+    """Execute all enabled hooks matching `stage` in order."""
+    if not hooks:
+        return img
+    params = HookParams(stage=stage,
+                        src_h=img.shape[-2], src_w=img.shape[-1],
+                        components=img.shape[-3] if img.ndim >= 3 else 1,
+                        **ctx)
+    for hook in hooks:
+        if not (hook.stages & stage):
+            continue
+        if disabled is not None and hook.signature in disabled:
+            continue
+        params.parameters = dict(hook.parameters)
+        try:
+            out = hook.func(img, params)
+            if out is not None:
+                img = out
+        except Exception:
+            # auto-disable misbehaving hooks instead of failing frames
+            if disabled is not None:
+                disabled.add(hook.signature)
+    return img

@@ -1,0 +1,206 @@
+"""PTS-ordered frame queue decoupling decode from vsync.
+
+TPU-native rebuild of the reference's pl_queue
+(src/utils/frame_queue.c, src/include/libplacebo/utils/frame_queue.h):
+pluggable frame sources, FPS/vsync-rate estimation from timestamp
+deltas, and four emission modes (PT / NEAREST / OVERSAMPLE /
+INTERPOLATE) producing FrameMix windows for motion interpolation.
+
+Threaded prefetch is replaced by Python-side lookahead through the
+`get_frame` callback: JAX's async dispatch already overlaps upload and
+render, so the queue only needs to stay ahead in *decode* order.
+"""
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+from .frame import Frame
+
+__all__ = ["QueueStatus", "QueueMode", "QueueParams", "FrameMix",
+           "FrameQueue"]
+
+
+class QueueStatus(enum.Enum):
+    OK = "ok"          # new frame emitted
+    EOF = "eof"        # no more frames
+    MORE = "more"      # out of frames; caller should add more and retry
+    ERR = "error"
+
+
+class QueueMode(enum.Enum):
+    """Emission modes (frame_queue.h:40-72)."""
+    POINT = "point"            # closest frame at or before pts
+    NEAREST = "nearest"        # closest frame overall
+    OVERSAMPLE = "oversample"  # two nearest + relative weights
+    INTERPOLATE = "interpolate"  # full mixing window for a frame mixer
+
+
+@dataclass
+class QueueParams:
+    """Reference pl_queue_params (frame_queue.h:135-185)."""
+    pts: float = 0.0
+    radius: float = 0.0          # mixing window radius (in vsyncs)
+    vsync_duration: float = 0.0  # 0 = estimate
+    frame_duration: float = 0.0  # 0 = estimate
+    interpolation_threshold: float = 0.01
+    get_frame: Optional[Callable[[], Optional[Frame]]] = None
+
+
+@dataclass
+class FrameMix:
+    """Reference pl_frame_mix (renderer.h:754-816): frames with signed
+    timestamps relative to the target pts, in vsync units."""
+    frames: List[Frame] = field(default_factory=list)
+    timestamps: List[float] = field(default_factory=list)
+    vsync_duration: float = 1.0
+
+
+class FrameQueue:
+    """Reference pl_queue object."""
+
+    def __init__(self, params: Optional[QueueParams] = None):
+        self.params = params or QueueParams()
+        self._frames: List[Frame] = []        # sorted by pts
+        self._eof = False
+        self._prev_pts = None
+        self._fps_est = 0.0
+        self._vps_est = 0.0
+        self._last_vsync_pts = None
+
+    # -- ingestion ----------------------------------------------------
+
+    def push(self, frame: Optional[Frame]):
+        """Add a frame (None signals EOF); reference pl_queue_push."""
+        if frame is None:
+            self._eof = True
+            return
+        self._frames.append(frame)
+        self._frames.sort(key=lambda f: f.pts)
+        # FPS estimation from pts deltas (frame_queue.c:247-274)
+        if len(self._frames) >= 2:
+            deltas = [b.pts - a.pts for a, b in
+                      zip(self._frames, self._frames[1:]) if b.pts > a.pts]
+            if deltas:
+                self._fps_est = 1.0 / (sum(deltas) / len(deltas))
+
+    def _fill_until(self, pts: float):
+        while not self._eof and (not self._frames or
+                                 self._frames[-1].pts <= pts):
+            if self.params.get_frame is None:
+                break
+            f = self.params.get_frame()
+            if f is None:
+                self._eof = True
+                break
+            self.push(f)
+
+    # -- introspection (reference pl_queue_estimate_fps/vps) ----------
+
+    def estimate_fps(self) -> float:
+        return self._fps_est
+
+    def estimate_vps(self) -> float:
+        return self._vps_est
+
+    @property
+    def num_frames(self) -> int:
+        return len(self._frames)
+
+    def peek(self, idx: int) -> Optional[Frame]:
+        return self._frames[idx] if 0 <= idx < len(self._frames) else None
+
+    def reset(self):
+        self._frames.clear()
+        self._eof = False
+        self._prev_pts = None
+        self._last_vsync_pts = None
+
+    # -- emission -----------------------------------------------------
+
+    def update(self, params: Optional[QueueParams] = None,
+               mode: QueueMode = QueueMode.INTERPOLATE,
+               ) -> Tuple[QueueStatus, Optional[FrameMix]]:
+        """Emit the frame mix for the requested pts
+        (reference pl_queue_update, frame_queue.c:965)."""
+        if params is not None:
+            if params.get_frame is None:
+                params.get_frame = self.params.get_frame
+            self.params = params
+        p = self.params
+        pts = p.pts
+
+        # vsync rate estimation from successive update() calls
+        if self._last_vsync_pts is not None and pts > self._last_vsync_pts:
+            delta = pts - self._last_vsync_pts
+            self._vps_est = 1.0 / delta if delta > 0 else 0.0
+        self._last_vsync_pts = pts
+
+        self._fill_until(pts + max(p.radius, 1.0) *
+                         (p.vsync_duration or 1.0 / max(self._vps_est, 1e-9)
+                          if self._vps_est else 1.0))
+
+        if not self._frames:
+            return (QueueStatus.EOF if self._eof else QueueStatus.MORE), None
+
+        # drop frames too old to matter (keep one before the window)
+        vsync = p.vsync_duration or (
+            1.0 / self._vps_est if self._vps_est else
+            (1.0 / self._fps_est if self._fps_est else 1.0 / 60.0))
+        window = max(p.radius, 1.0) * vsync
+        while len(self._frames) > 1 and \
+                self._frames[1].pts <= pts - window:
+            self._frames.pop(0)
+
+        frame_dur = p.frame_duration or (
+            1.0 / self._fps_est if self._fps_est else vsync)
+
+        # interpolation pointless when rates are close (reference
+        # interpolation_threshold logic)
+        if mode == QueueMode.INTERPOLATE and self._fps_est and \
+                self._vps_est and abs(self._fps_est / self._vps_est - 1.0) \
+                < p.interpolation_threshold:
+            mode = QueueMode.POINT
+
+        if mode in (QueueMode.POINT, QueueMode.NEAREST):
+            if mode == QueueMode.POINT:
+                cands = [f for f in self._frames if f.pts <= pts] \
+                    or self._frames[:1]
+                best = cands[-1]
+            else:
+                best = min(self._frames, key=lambda f: abs(f.pts - pts))
+            mix = FrameMix([best], [(best.pts - pts) / vsync], 1.0)
+            return QueueStatus.OK, mix
+
+        if mode == QueueMode.OVERSAMPLE:
+            before = [f for f in self._frames if f.pts <= pts]
+            after = [f for f in self._frames if f.pts > pts]
+            frames = ([before[-1]] if before else []) + \
+                (after[:1] if after else [])
+            if not frames:
+                frames = self._frames[:1]
+            mix = FrameMix(frames, [(f.pts - pts) / vsync for f in frames],
+                           1.0)
+            return QueueStatus.OK, mix
+
+        # INTERPOLATE: all frames within radius*vsync of pts (plus one
+        # on each side for kernel support)
+        rad = max(p.radius, 1.0) * vsync
+        inside = [f for f in self._frames if abs(f.pts - pts) <= rad]
+        if not inside:
+            before = [f for f in self._frames if f.pts <= pts]
+            inside = [before[-1]] if before else self._frames[:1]
+        # pad with one neighbor each side (identity search: Frame holds
+        # arrays, so == comparison is not usable)
+        ids = [id(f) for f in self._frames]
+        idx0 = ids.index(id(inside[0]))
+        idx1 = ids.index(id(inside[-1]))
+        if idx0 > 0:
+            inside.insert(0, self._frames[idx0 - 1])
+        if idx1 + 1 < len(self._frames):
+            inside.append(self._frames[idx1 + 1])
+        mix = FrameMix(inside, [(f.pts - pts) / vsync for f in inside],
+                       frame_dur / vsync)
+        return QueueStatus.OK, mix

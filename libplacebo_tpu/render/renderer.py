@@ -89,6 +89,9 @@ class RenderParams:
         default_factory=PeakDetectParams)
     deband: Optional[ops_deband.DebandParams] = None
     film_grain: bool = True      # honor frame-attached grain data
+    hooks: Tuple = ()            # render.hooks.Hook instances
+    lut: Optional[object] = None          # core.lut.CustomLut
+    lut_type: str = "conversion"          # native|normalized|conversion
     # disables
     skip_anti_aliasing: bool = False
     disable_linear_scaling: bool = False
@@ -101,7 +104,10 @@ class RenderParams:
                 self.disable_linear_scaling,
                 self.peak_detect.key() if self.peak_detect else None,
                 self.deband.key() if self.deband else None,
-                self.film_grain)
+                self.film_grain,
+                tuple(h.signature for h in self.hooks),
+                self.lut.signature if self.lut is not None else None,
+                self.lut_type)
 
 
 # preset bundles (reference renderer.c:203-224)
@@ -134,6 +140,9 @@ class Renderer:
         # HDR peak-detection temporal state (reference: SSBO + CPU copy;
         # here a tiny carried device array)
         self._peak_state = ops_peak.peak_detect_state_init()
+        # misbehaving user hooks, auto-disabled by signature
+        # (reference rr->disabled_hooks, renderer.c:64-65)
+        self._disabled_hooks: set = set()
 
     # -- pipeline stages (traced) -------------------------------------
 
@@ -246,8 +255,16 @@ class Renderer:
             if has_alpha:
                 alpha = img[..., -1:, :, :]
                 img = img[..., :3, :, :]
+            from .hooks import HookStage, run_hooks
+            img = run_hooks(params.hooks, HookStage.NATIVE, img,
+                            self._disabled_hooks)
             img = ops_color.decode_color(img, frame_repr,
                                          src_color.primaries)
+            img = run_hooks(params.hooks, HookStage.RGB, img,
+                            self._disabled_hooks)
+            if params.lut is not None and params.lut_type == "native":
+                from ..ops import lut as ops_lut
+                img = ops_lut.apply_lut(img, params.lut)
 
             # ---- pass_scale_main
             src_h = crop.y1 - crop.y0
@@ -266,10 +283,16 @@ class Renderer:
                            and not src_color.is_hdr())
             if use_linear:
                 img = ops_color.linearize(img, src_color)
+                img = run_hooks(params.hooks, HookStage.LINEAR, img,
+                                self._disabled_hooks)
                 if use_sigmoid:
                     sig = SigmoidParams(*params.sigmoid)
                     img = ops_color.sigmoidize(img, sig)
+                    img = run_hooks(params.hooks, HookStage.SIGMOID, img,
+                                    self._disabled_hooks)
 
+            img = run_hooks(params.hooks, HookStage.PRE_KERNEL, img,
+                            self._disabled_hooks)
             if needs_scale:
                 up = _find_scaler(params.upscaler)
                 down = _find_scaler(params.downscaler)
@@ -289,8 +312,12 @@ class Renderer:
                         alpha = ops_sampling.resize_separable(
                             alpha, dst_h, dst_w, cfg, crop, cfg_down=down)
 
+            img = run_hooks(params.hooks, HookStage.POST_KERNEL, img,
+                            self._disabled_hooks)
             if use_sigmoid:
                 img = ops_color.desigmoidize(img, sig)
+            img = run_hooks(params.hooks, HookStage.SCALED, img,
+                            self._disabled_hooks)
 
             # ---- pass_convert_colors
             need_color_map = (src_color.primaries != dst_color.primaries or
@@ -311,8 +338,15 @@ class Renderer:
                 img = ops_color.delinearize(img, src_color)
 
             # ---- pass_output_target
+            img = run_hooks(params.hooks, HookStage.PRE_OUTPUT, img,
+                            self._disabled_hooks)
+            if params.lut is not None and params.lut_type == "conversion":
+                from ..ops import lut as ops_lut
+                img = ops_lut.apply_lut(img, params.lut)
             img = ops_color.encode_color(img, target.repr,
                                          dst_color.primaries)
+            img = run_hooks(params.hooks, HookStage.OUTPUT, img,
+                            self._disabled_hooks)
             if has_alpha:
                 img = jnp.concatenate([img, alpha], axis=-3)
             if target.bit_depth:
@@ -443,3 +477,81 @@ def render_image(frame: Frame, target: Target,
     if _default_renderer is None:
         _default_renderer = Renderer()
     return _default_renderer.render(frame, target, params)
+
+
+# ---------------------------------------------------------------------------
+# Frame mixing (reference pl_render_image_mix, renderer.c:3612)
+# ---------------------------------------------------------------------------
+
+def _mix_weights(params: RenderParams, timestamps, vsync_duration: float):
+    """Host-side mixing weights for the frame mixer kernel evaluated at
+    the relative PTS offsets (reference: mix blend pass)."""
+    cfg = _find_scaler(params.frame_mixer)
+    ts = np.asarray(timestamps, dtype=np.float64)
+    if cfg.name == "oversample":
+        # SmoothMotion: weight by vsync coverage of the two neighbors
+        w = np.zeros(len(ts))
+        if len(ts) == 1:
+            w[0] = 1.0
+        else:
+            # fraction of the vsync covered by the later frame
+            later = np.argmax(ts > 0) if np.any(ts > 0) else len(ts) - 1
+            t1 = ts[later]
+            ratio = np.clip(0.5 - t1 / max(vsync_duration, 1e-9), 0.0, 1.0) \
+                if vsync_duration else (1.0 if t1 <= 0 else 0.0)
+            w[later] = 1.0 - ratio if t1 > 0 else 1.0
+            if later > 0:
+                w[later - 1] = 1.0 - w[later]
+    else:
+        radius = cfg.radius_bound()
+        from ..core.filters import sample_filter
+        w = sample_filter(cfg, np.abs(ts) / max(radius, 1e-9) * radius)
+        w = np.where(np.abs(ts) <= radius, w, 0.0)
+        if w.sum() <= 0:
+            w = np.zeros(len(ts))
+            w[np.argmin(np.abs(ts))] = 1.0
+    s = w.sum()
+    return (w / s).astype(np.float32)
+
+
+def render_image_mix(renderer: Renderer, mix, target: Target,
+                     params: Optional[RenderParams] = None) -> jnp.ndarray:
+    """Blend a FrameMix window into the target (reference
+    pl_render_image_mix): each source frame renders once into a cached
+    intermediate keyed by its signature; the blend is a weighted sum."""
+    params = params or DEFAULT_PARAMS
+    if not hasattr(renderer, "_mix_cache"):
+        renderer._mix_cache = {}
+
+    # render each unique frame (no dither on intermediates)
+    inter_target = Target(w=target.w, h=target.h, repr=target.repr,
+                          color=target.color, bit_depth=0,
+                          crop=target.crop)
+    inter_params = replace(params, dither=None, error_diffusion=None)
+    rendered = []
+    for frame in mix.frames:
+        key = (frame.signature or id(frame), inter_target.meta_key(),
+               inter_params.key())
+        img = renderer._mix_cache.get(key)
+        if img is None:
+            img = renderer.render(frame, inter_target, inter_params)
+            renderer._mix_cache[key] = img
+            # basic cache bound
+            if len(renderer._mix_cache) > 16:
+                renderer._mix_cache.pop(next(iter(renderer._mix_cache)))
+        rendered.append(img)
+
+    w = _mix_weights(params, mix.timestamps, mix.vsync_duration)
+    out = None
+    for wi, img in zip(w, rendered):
+        if wi == 0.0:
+            continue
+        term = img * float(wi)
+        out = term if out is None else out + term
+    if out is None:
+        out = rendered[0]
+
+    # final dither to target depth
+    if target.bit_depth and params.dither is not None:
+        out = ops_dither.dither(out, target.bit_depth, params.dither)
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,309 @@
+"""Cache, log, options, frame queue, custom LUTs, hooks, frame mixing —
+oracle: reference src/tests/{cache,options,lut}.c + frame_queue semantics."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.core.cache import Cache, CacheParams
+from libplacebo_tpu.core.log import Log, LogLevel
+from libplacebo_tpu.core.lut import parse_cube
+from libplacebo_tpu.core.options import OptionError, Options
+from libplacebo_tpu.ops.lut import apply_lut
+
+
+# --- cache (reference tests/cache.c) ---------------------------------
+
+def test_cache_basic():
+    c = Cache()
+    assert c.get(42) is None
+    c.set(42, b"hello")
+    assert c.get(42) == b"hello"
+    c.set(42, None)
+    assert c.get(42) is None
+
+
+def test_cache_size_limits():
+    c = Cache(CacheParams(max_object_size=10, max_total_size=25))
+    assert not c.try_set(1, b"x" * 11)       # too big
+    assert c.try_set(1, b"x" * 10)
+    assert c.try_set(2, b"y" * 10)
+    assert c.try_set(3, b"z" * 10)           # evicts oldest
+    assert c.total_size <= 25
+    assert c.num_objects == 2
+
+
+def test_cache_serialization_roundtrip():
+    c = Cache()
+    c.set(1, b"alpha")
+    c.set(2, b"beta")
+    blob = c.save()
+    c2 = Cache()
+    assert c2.load(blob) == 2
+    assert c2.get(1) == b"alpha"
+    assert c2.get(2) == b"beta"
+
+
+def test_cache_corrupt_data_dropped():
+    c = Cache()
+    c.set(1, b"alpha")
+    blob = bytearray(c.save())
+    blob[-2] ^= 0xFF                 # corrupt payload
+    c2 = Cache()
+    assert c2.load(bytes(blob)) == 0
+    assert c2.load(b"garbage") == 0
+    assert c2.load(b"") == 0
+
+
+# --- log --------------------------------------------------------------
+
+def test_log_levels_and_callback():
+    got = []
+    log = Log(level=LogLevel.WARN, callback=lambda lv, m: got.append((lv, m)))
+    log.error("boom")
+    log.debug("hidden")
+    assert got == [(LogLevel.ERR, "boom")]
+    log.update_level(LogLevel.DEBUG)
+    log.debug("now visible")
+    assert got[-1][1] == "now visible"
+
+
+# --- options (reference tests/options.c) ------------------------------
+
+def test_options_parse_and_get():
+    o = Options()
+    o.parse("preset=high_quality,upscaler=ewa_lanczos,deband=no")
+    assert o.params.upscaler == "ewa_lanczos"
+    assert o.params.deband is None
+    assert o.params.peak_detect.percentile == 99.995   # from HQ preset
+
+
+def test_options_roundtrip():
+    o = Options()
+    o.parse("upscaler=bicubic,deband=yes,deband_iterations=3,"
+            "tone_mapping=bt2390")
+    s = o.save()
+    o2 = Options()
+    o2.parse(s)
+    assert o2.params.upscaler == "bicubic"
+    assert o2.params.deband.iterations == 3
+    assert o2.params.tone_mapping_function == "bt2390"
+
+
+def test_options_validation():
+    o = Options()
+    with pytest.raises(OptionError):
+        o.set("upscaler", "nonexistent_filter")
+    with pytest.raises(OptionError):
+        o.set("nope", "1")
+    with pytest.raises(OptionError):
+        o.parse("malformed")
+    # bounds clamping
+    o.set("peak_percentile", "150")
+    assert o.params.peak_detect.percentile == 100.0
+
+
+def test_options_nested_enable():
+    o = Options()
+    assert o.params.deband is None
+    o.set("deband_threshold", "6.5")    # enables deband implicitly
+    assert o.params.deband is not None
+    assert o.params.deband.threshold == 6.5
+
+
+# --- custom LUTs (reference tests/lut.c) ------------------------------
+
+CUBE_1D = """# comment
+LUT_1D_SIZE 4
+0.0 0.0 0.0
+0.3 0.3 0.3
+0.7 0.7 0.7
+1.0 1.0 1.0
+"""
+
+CUBE_3D = """TITLE "test"
+LUT_3D_SIZE 2
+DOMAIN_MIN 0.0 0.0 0.0
+DOMAIN_MAX 1.0 1.0 1.0
+0 0 0
+1 0 0
+0 1 0
+1 1 0
+0 0 1
+1 0 1
+0 1 1
+1 1 1
+"""
+
+
+def test_parse_cube_1d():
+    lut = parse_cube(CUBE_1D)
+    assert not lut.is_3d
+    assert lut.size == (4,)
+    np.testing.assert_allclose(lut.data[1], [0.3, 0.3, 0.3])
+
+
+def test_parse_cube_3d():
+    lut = parse_cube(CUBE_3D)
+    assert lut.is_3d
+    assert lut.size == (2, 2, 2)
+    # identity LUT: data[b][g][r] == (r, g, b)
+    np.testing.assert_allclose(lut.data[0, 0, 1], [1, 0, 0])
+    np.testing.assert_allclose(lut.data[1, 0, 0], [0, 0, 1])
+
+
+def test_parse_cube_errors():
+    with pytest.raises(ValueError):
+        parse_cube("LUT_3D_SIZE 2\n0 0 0\n")      # wrong entry count
+    with pytest.raises(ValueError):
+        parse_cube("0 0 0\n")                     # missing size
+
+
+def test_apply_1d_lut_identity():
+    lut = parse_cube("LUT_1D_SIZE 2\n0 0 0\n1 1 1\n")
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    out = apply_lut(img, lut)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_apply_3d_lut_identity():
+    lut = parse_cube(CUBE_3D)     # identity cube
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    out = apply_lut(img, lut)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_apply_3d_lut_swap_channels():
+    # a LUT that swaps R and B: data[b][g][r] = (b, g, r)
+    lut = parse_cube(CUBE_3D)
+    lut.data = lut.data[..., ::-1].copy()
+    img = jnp.asarray(np.array([[[0.8]], [[0.2]], [[0.4]]], np.float32))
+    out = np.asarray(apply_lut(img, lut))[:, 0, 0]
+    np.testing.assert_allclose(out, [0.4, 0.2, 0.8], atol=1e-6)
+
+
+# --- frame queue ------------------------------------------------------
+
+def _frames(n, fps=24.0):
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    out = []
+    for i in range(n):
+        f = frame_from_rgb(np.full((4, 4, 3), i / max(n - 1, 1), np.float32))
+        f.pts = i / fps
+        f.signature = i + 1
+        out.append(f)
+    return out
+
+
+def test_queue_point_mode():
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    q = FrameQueue()
+    for f in _frames(5):
+        q.push(f)
+    q.push(None)   # EOF
+    st, mix = q.update(QueueParams(pts=2.2 / 24.0), QueueMode.POINT)
+    assert st == QueueStatus.OK
+    assert len(mix.frames) == 1
+    assert mix.frames[0].signature == 3        # frame at pts 2/24
+
+
+def test_queue_fps_estimation():
+    from libplacebo_tpu.render.queue import FrameQueue
+    q = FrameQueue()
+    for f in _frames(10, fps=30.0):
+        q.push(f)
+    assert q.estimate_fps() == pytest.approx(30.0, rel=1e-3)
+
+
+def test_queue_interpolate_window():
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    q = FrameQueue()
+    for f in _frames(10, fps=24.0):
+        q.push(f)
+    q.push(None)
+    st, mix = q.update(QueueParams(pts=4.5 / 24.0, radius=2.0,
+                                   vsync_duration=1.0 / 60.0),
+                       QueueMode.INTERPOLATE)
+    assert st == QueueStatus.OK
+    assert len(mix.frames) >= 2
+    # timestamps relative, in vsync units, sorted
+    assert all(a <= b for a, b in zip(mix.timestamps, mix.timestamps[1:]))
+
+
+def test_queue_eof():
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    q = FrameQueue()
+    q.push(None)
+    st, mix = q.update(QueueParams(pts=0.0), QueueMode.POINT)
+    assert st == QueueStatus.EOF
+
+
+# --- frame mixing -----------------------------------------------------
+
+def test_render_image_mix():
+    from libplacebo_tpu.render.queue import FrameMix
+    from libplacebo_tpu.render.renderer import (Renderer, Target,
+                                                render_image_mix)
+    frames = _frames(2)
+    mix = FrameMix(frames=frames, timestamps=[-0.25, 0.75],
+                   vsync_duration=1.0)
+    r = Renderer()
+    out = render_image_mix(r, mix, Target(w=8, h=8))
+    assert out.shape == (3, 8, 8)
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o))
+    # mixing two gray frames (0 and 1) gives something in between,
+    # weighted toward the closer (earlier) frame
+    assert 0.0 < o.mean() < 1.0
+
+
+# --- hooks ------------------------------------------------------------
+
+def test_hooks_run_and_disable():
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.hooks import Hook, HookStage
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+    calls = []
+
+    def invert(img, p):
+        calls.append(p.stage)
+        return 1.0 - img
+
+    def broken(img, p):
+        raise RuntimeError("boom")
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((16, 16, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb)
+    params = RenderParams(
+        hooks=(Hook(stages=HookStage.RGB, func=invert, name="invert"),
+               Hook(stages=HookStage.OUTPUT, func=broken, name="broken")),
+        peak_detect=None)
+    r = Renderer()
+    out = r.render(frame, Target(w=16, h=16), params)
+    assert HookStage.RGB in calls
+    # inverted output (identity otherwise)
+    np.testing.assert_allclose(np.asarray(out),
+                               1.0 - np.moveaxis(rgb, -1, 0), atol=2e-2)
+    # broken hook auto-disabled, no exception
+    assert len(r._disabled_hooks) == 1
+
+
+def test_lut_in_render():
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+    lut = parse_cube(CUBE_3D)
+    lut.data = lut.data[..., ::-1].copy()   # swap R/B
+    rng = np.random.default_rng(2)
+    rgb = rng.random((8, 8, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb)
+    params = RenderParams(lut=lut, lut_type="conversion", peak_detect=None)
+    out = np.asarray(Renderer().render(frame, Target(w=8, h=8), params))
+    np.testing.assert_allclose(out, np.moveaxis(rgb, -1, 0)[::-1],
+                               atol=2e-2)

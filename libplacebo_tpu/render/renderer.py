@@ -85,6 +85,7 @@ class RenderParams:
     dither: Optional[DitherParams] = field(default_factory=DitherParams)
     error_diffusion: Optional[str] = None   # kernel name, overrides dither
     tone_mapping_function: str = "spline"
+    gamut_mapping: str = "perceptual"
     peak_detect: Optional[PeakDetectParams] = field(
         default_factory=PeakDetectParams)
     deband: Optional[ops_deband.DebandParams] = None
@@ -100,7 +101,8 @@ class RenderParams:
         return (self.upscaler, self.downscaler, self.plane_upscaler,
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
-                self.tone_mapping_function, self.skip_anti_aliasing,
+                self.tone_mapping_function, self.gamut_mapping,
+                self.skip_anti_aliasing,
                 self.disable_linear_scaling,
                 self.peak_detect.key() if self.peak_detect else None,
                 self.deband.key() if self.deband else None,
@@ -370,12 +372,26 @@ class Renderer:
         (reference pl_shader_color_map_ex). With `peak_stats`, the tone
         curve adapts to the detected (avg, peak) as traced scalars —
         the TPU equivalent of the reference's per-frame LUT refresh."""
+        need_gamut = (src.primaries != dst.primaries and
+                      params.gamut_mapping not in (None, "", "none"))
         if src.primaries != dst.primaries:
             m = color_mapping_matrix(primaries_get(src.primaries),
                                      primaries_get(dst.primaries))
             img = ops_color.apply_matrix(img, m.m)
         src_peak = src.nominal_peak_norm()
         dst_peak = dst.nominal_peak_norm()
+
+        if need_gamut:
+            from ..ops import gamut as ops_gamut
+            dst_inf2 = dst.infer()
+            min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                 dst_inf2.hdr.min_luma)
+            max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                 dst_inf2.hdr.max_luma)
+            b_src = ops_gamut.fit_boundary(primaries_get(src.primaries),
+                                           min_pq, max_pq)
+            b_dst = ops_gamut.fit_boundary(primaries_get(dst.primaries),
+                                           min_pq, max_pq)
 
         if peak_stats is not None:
             from ..core.transfer import pq_eotf, pq_oetf
@@ -393,9 +409,8 @@ class Renderer:
                 dst_min=dst_min_pq, dst_max=dst_max_pq)
             mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
             ratio = mapped / jnp.maximum(maxrgb, 1e-6)
-            return img * ratio
-
-        if src_peak > dst_peak + 1e-3:
+            img = img * ratio
+        elif src_peak > dst_peak + 1e-3:
             # build tone LUT in PQ domain, apply via interp
             fun = tm.find_tone_map_function(params.tone_mapping_function) \
                 or tm.TONE_MAP_SPLINE
@@ -422,6 +437,11 @@ class Renderer:
             mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
             ratio = mapped / jnp.maximum(maxrgb, 1e-6)
             img = img * ratio
+
+        if need_gamut:
+            img = ops_gamut.map_gamut(
+                img, params.gamut_mapping, b_src, b_dst,
+                to_norm=COLOR_SDR_WHITE / 10000.0)
         return img
 
     # -- public API ----------------------------------------------------

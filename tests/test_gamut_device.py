@@ -1,0 +1,113 @@
+"""Device gamut mapping tests: fitted boundaries vs exact bisection,
+operator behavior, renderer integration."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.core import gamut_mapping as gm
+from libplacebo_tpu.core.colorspace import (ColorPrimaries, HdrScaling,
+                                            color_mapping_matrix,
+                                            hdr_rescale, primaries_get)
+from libplacebo_tpu.ops import gamut as og
+
+MIN_L = 0.0
+MAX_L = float(hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 203.0))
+TO_NORM = 203.0 / 10000.0
+
+
+@pytest.fixture(scope="module")
+def bounds():
+    return (og.fit_boundary(primaries_get(ColorPrimaries.BT_2020),
+                            MIN_L, MAX_L),
+            og.fit_boundary(primaries_get(ColorPrimaries.BT_709),
+                            MIN_L, MAX_L))
+
+
+def test_boundary_fit_accuracy(bounds):
+    _, b709 = bounds
+    g = gm._Gamut(primaries_get(ColorPrimaries.BT_709), MIN_L, MAX_L)
+    Is = np.linspace(MIN_L + 0.01, MAX_L - 0.01, 19)
+    hs = np.linspace(-math.pi, math.pi, 31)
+    exact = gm._desat_bounded(Is[None, :], hs[:, None], 0.0, 0.5, g)[..., 1]
+    I = jnp.asarray(np.broadcast_to(Is[None, :], exact.shape)
+                    .astype(np.float32))
+    h = jnp.asarray(np.broadcast_to(hs[:, None], exact.shape)
+                    .astype(np.float32))
+    fitted = np.asarray(og._boundary_eval_dev(b709, I, h))
+    err = np.abs(fitted - exact)
+    assert err.mean() < 0.006
+    assert err.max() < 0.05
+
+
+def test_ich_roundtrip_device(bounds):
+    _, b709 = bounds
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray((rng.random((3, 8, 8)) * 0.02).astype(np.float32))
+    I, C, h = og._rgb2ich_dev(rgb, b709)
+    back = og._ich2rgb_dev(I, C, h, b709)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=2e-4)
+
+
+def _oog_frame(bounds):
+    """BT.2020 colors matrixed into BT.709 => some out of gamut."""
+    rng = np.random.default_rng(1)
+    rgb2020 = (rng.random((3, 16, 16)) * 0.9).astype(np.float32)
+    m = color_mapping_matrix(primaries_get(ColorPrimaries.BT_2020),
+                             primaries_get(ColorPrimaries.BT_709)).m
+    return jnp.einsum("ck,khw->chw", jnp.asarray(m.astype(np.float32)),
+                      jnp.asarray(rgb2020))
+
+
+@pytest.mark.parametrize("fn", ["clip", "perceptual", "softclip",
+                                "relative", "desaturate", "saturation",
+                                "linear", "darken"])
+def test_operators_produce_in_range(bounds, fn):
+    b2020, b709 = bounds
+    rgb = _oog_frame(bounds)
+    out = np.asarray(og.map_gamut(rgb, fn, b2020, b709, to_norm=TO_NORM))
+    assert np.all(np.isfinite(out))
+    assert out.min() >= -1e-3
+    assert out.max() <= (b709.max_rgb / TO_NORM) + 1e-2
+
+
+def test_in_gamut_colors_preserved(bounds):
+    """Colors deep inside the gamut should pass (nearly) unchanged
+    through the soft operators."""
+    b2020, b709 = bounds
+    gray = jnp.full((3, 8, 8), 0.4, jnp.float32)   # achromatic, in gamut
+    for fn in ("perceptual", "softclip", "relative", "desaturate"):
+        out = np.asarray(og.map_gamut(gray, fn, b2020, b709,
+                                      to_norm=TO_NORM))
+        np.testing.assert_allclose(out, 0.4, atol=5e-3, err_msg=fn)
+
+
+def test_out_of_gamut_gets_compressed(bounds):
+    b2020, b709 = bounds
+    rgb = _oog_frame(bounds)
+    before_min = float(rgb.min())
+    out = og.map_gamut(rgb, "perceptual", b2020, b709, to_norm=TO_NORM)
+    after_min = float(out.min())
+    assert before_min < -0.01           # input had meaningful negatives
+    # output bounded by min_rgb (= -1e-6 epsilon, scaled by 1/to_norm)
+    assert after_min > -1e-4
+
+
+def test_renderer_gamut_integration():
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+    from libplacebo_tpu.core.colorspace import (ColorSpace, ColorTransfer)
+    rng = np.random.default_rng(2)
+    rgb = rng.random((24, 24, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=ColorSpace(
+        ColorPrimaries.BT_2020, ColorTransfer.SRGB))
+    tgt = Target(w=24, h=24, color=ColorSpace(
+        ColorPrimaries.BT_709, ColorTransfer.SRGB))
+    for fn in ("perceptual", "clip", "desaturate"):
+        out = Renderer().render(frame, tgt,
+                                RenderParams(gamut_mapping=fn,
+                                             peak_detect=None))
+        o = np.asarray(out)
+        assert np.all(np.isfinite(o)) and o.min() >= 0 and o.max() <= 1, fn

@@ -1,0 +1,161 @@
+"""Error-diffusion dither as a Pallas TPU kernel.
+
+The reference runs error diffusion as a single compute pass that
+serializes the whole image through a shared-memory ring buffer,
+parallelized along anti-diagonals (src/shaders/dithering.c:326-507).
+
+TPU translation: the image is *sheared* host-side so the anti-diagonal
+wavefront becomes column-aligned (x' = x + y*shift makes every kernel
+dependency point at strictly earlier sheared columns).  The Pallas
+kernel then walks sheared columns with a sequential grid: each grid
+step loads a CHUNK of columns into VMEM, an inner fori_loop processes
+them one by one against a persistent (MAXOFF, C, H) pending-error
+scratch (TPU grids execute sequentially, so scratch carries across
+steps — exactly the role of the reference's shmem ring buffer), and
+quantized columns stream back out.  Inner-loop work is pure VPU vector
+math on (C, H)-shaped registers.
+
+This replaces a 12000-step lax.scan that took ~1.2 s per 4K frame
+(and minutes to compile) with a single kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import dither as dth
+from ...core.dither import ErrorDiffusionKernel
+
+__all__ = ["error_diffusion_pallas"]
+
+_CHUNK = 64       # sheared columns per grid step (VMEM budget: ~8 MB)
+_LANE = 128
+
+
+def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
+                 scale, chunk):
+    """One grid step: process `chunk` sheared columns.
+
+    x_ref/out_ref: (chunk, C, Hp) — column-major sheared layout
+    mask_ref:      (chunk, 1, Hp) — validity of each (column, row)
+    pending:       (max_off, C, Hp) VMEM scratch, slot s = error landing
+                   s+1 columns ahead of the *current* column
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        pending[...] = jnp.zeros_like(pending)
+
+    C, Hp = x_ref.shape[1], x_ref.shape[2]
+
+    def col_step(j, _):
+        cur = x_ref[j] + pending[0]                    # (C, Hp)
+        quant = jnp.round(cur * scale) * (1.0 / scale)
+        err = (cur - quant) * mask_ref[j]
+        out_ref[j] = quant
+
+        # contributions per destination slot (error landing off columns
+        # ahead lands in slot off-1 after the implicit shift)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, Hp), 1)
+        for s in range(max_off):
+            nxt = pending[s + 1] if s + 1 < max_off else \
+                jnp.zeros((C, Hp), jnp.float32)
+            for dy, off, wgt in taps:
+                if off - 1 != s:
+                    continue
+                contrib = wgt * err
+                if dy > 0:
+                    # image row y's error lands on row y+dy: shift along
+                    # the lane (row) axis with zero fill
+                    contrib = pltpu.roll(contrib, dy, 1)
+                    contrib = jnp.where(row_ids < dy, 0.0, contrib)
+                nxt = nxt + contrib
+            pending[s] = nxt
+        return 0
+
+    jax.lax.fori_loop(0, chunk, col_step, 0, unroll=False)
+
+
+def error_diffusion_pallas(img, new_depth: int,
+                           kernel: Optional[ErrorDiffusionKernel] = None,
+                           interpret: bool = False):
+    """Error-diffusion dither of (..., C, H, W) to `new_depth` bits."""
+    k = kernel or dth.ED_FLOYD_STEINBERG
+    kern = np.asarray(k.pattern, dtype=np.float32) / k.divisor
+    shift = k.shift
+    *lead, H, W = img.shape
+    x = img.reshape((-1, H, W))
+    C = x.shape[0]
+    scale = float((1 << new_depth) - 1)
+
+    taps = []
+    for dy in range(3):
+        for dx in range(-2, 3):
+            wgt = float(kern[dy, dx + 2])
+            if wgt != 0.0:
+                taps.append((dy, dx + dy * shift, wgt))
+    max_off = max(off for _, off, _ in taps)
+
+    # shear: sheared[c, y, x + y*shift] = img[c, y, x].  A direct
+    # take_along_axis gather costs ~700 ms at 4K on TPU; instead the
+    # per-row shift y*shift decomposes into log2 bit-rolls (roll the
+    # whole array by 2^b and select rows whose shift has bit b set) —
+    # pure contiguous moves + selects, ~20x faster and trivially
+    # compiled.
+    Ws = W + (H - 1) * shift
+    Wsp = (Ws + _CHUNK - 1) // _CHUNK * _CHUNK
+    Hp = (H + _LANE - 1) // _LANE * _LANE
+    row_offsets = np.arange(H) * shift
+    col_idx = np.arange(Ws)[None, :] - row_offsets[:, None]     # (H, Ws)
+    valid = (col_idx >= 0) & (col_idx < W)
+
+    def _bit_shear(arr, shifts, width, inverse=False):
+        """Roll each row y of (..., H, width) by shifts[y] (or back)."""
+        max_s = int(shifts.max())
+        nbits = max(1, max_s.bit_length())
+        out = arr
+        for b in range(nbits):
+            amt = 1 << b
+            mask = ((shifts >> b) & 1).astype(bool)
+            rolled = jnp.roll(out, -amt if inverse else amt, axis=-1)
+            mask_j = jnp.asarray(mask)[..., :, None]
+            out = jnp.where(mask_j, rolled, out)
+        return out
+
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Ws - W)))
+    sheared = _bit_shear(xpad, row_offsets, Ws)
+    sheared = sheared * jnp.asarray(valid.astype(np.float32))
+
+    # layout: (Ws, C, Hp) column-major for lane-friendly per-column math
+    colmaj = jnp.moveaxis(sheared, 2, 0)                        # (Ws, C, H)
+    colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
+    maskcm = jnp.moveaxis(jnp.asarray(valid.astype(np.float32)), 1, 0)
+    maskcm = jnp.pad(maskcm, ((0, Wsp - Ws), (0, Hp - H)))[:, None, :]
+
+    body = functools.partial(_kernel_body, taps=tuple(taps),
+                             max_off=max_off, scale=scale, chunk=_CHUNK)
+    out_cm = pl.pallas_call(
+        body,
+        grid=(Wsp // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, C, Hp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1, Hp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_CHUNK, C, Hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((max_off, C, Hp), jnp.float32)],
+        interpret=interpret,
+    )(colmaj, maskcm)
+
+    # unshear with the inverse bit-rolls
+    out_sheared = jnp.moveaxis(out_cm[:Ws, :, :H], 0, 2)        # (C, H, Ws)
+    out = _bit_shear(out_sheared, row_offsets, Ws, inverse=True)[..., :W]
+    return jnp.clip(out, 0.0, 1.0).reshape(*lead, H, W)

@@ -117,8 +117,17 @@ def _grain_min_max(bits: int) -> Tuple[int, int]:
 def generate_grain_y(data: AV1GrainData, seed: int, bits: int = 8,
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (lut (64,64) float32 normalized, raw int16 (73,82) buffer).
-    The raw buffer feeds chroma generation."""
+    The raw buffer feeds chroma generation.
+
+    Dispatches to the native C++ implementation when available
+    (libplacebo_tpu/native/grain.cc, bit-exact, ~1000x faster)."""
     gauss = _gaussian_sequence()
+    from .. import native
+    res = native.grain_y_native(gauss, seed, bits, data.grain_scale_shift,
+                                data.ar_coeff_lag, data.ar_coeffs_y,
+                                data.ar_coeff_shift)
+    if res is not None:
+        return res
     shift = 12 - bits + data.grain_scale_shift
     assert shift >= 0
     gmin, gmax = _grain_min_max(bits)
@@ -163,6 +172,15 @@ def generate_grain_uv(data: AV1GrainData, seed: int, channel: int,
     shift = 12 - bits + data.grain_scale_shift
     gmin, gmax = _grain_min_max(bits)
     _, buf_y = generate_grain_y(data, seed, bits)
+
+    from .. import native
+    res = native.grain_uv_native(
+        gauss, seed, channel, sub_x, sub_y, bits, data.grain_scale_shift,
+        data.num_points_y, data.ar_coeff_lag,
+        data.ar_coeffs_uv[channel - 1], data.ar_coeff_shift, buf_y)
+    if res is not None:
+        return res
+
     buf_y = buf_y.astype(np.int64)
 
     s = seed & 0xFFFF
@@ -224,6 +242,10 @@ def generate_offsets(seed: int, blocks_w: int, blocks_h: int) -> np.ndarray:
     """Per-block packed offsets (reference generate_offsets,
     film_grain_av1.c:434): uint32 = tl<<24 | t<<16 | l<<8 | n, each an
     8-bit random (hi nibble = x, lo nibble = y)."""
+    from .. import native
+    res = native.grain_offsets_native(seed, blocks_w, blocks_h)
+    if res is not None:
+        return res
     out = np.zeros((blocks_h, blocks_w), np.uint32)
     vals = np.zeros((blocks_h, blocks_w), np.uint32)
     for y in range(blocks_h):

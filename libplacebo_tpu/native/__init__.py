@@ -1,0 +1,127 @@
+"""Native (C++) host-side runtime components.
+
+The reference implements its entire host runtime in C11; here the hot
+host-side paths — currently AV1 film-grain table generation, whose AR
+filtering is inherently sequential — are C++ behind a plain C ABI,
+loaded with ctypes (~1000x the pure-Python speed, bit-exact).
+
+The shared library is compiled on first use with the system toolchain
+and cached next to this file; everything degrades gracefully to the
+Python implementations when no compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["get_lib", "available", "grain_y_native", "grain_uv_native",
+           "grain_offsets_native"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, f"_plnative_{sys.implementation.cache_tag}.so")
+_SRC = os.path.join(_HERE, "grain.cc")
+
+_lib = None
+_tried = False
+_lock = threading.Lock()
+
+
+def _build() -> Optional[str]:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _SO_PATH, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO_PATH
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = _SO_PATH if os.path.exists(_SO_PATH) else _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        c = ctypes
+        lib.pl_av1_grain_y.argtypes = [
+            i16p, c.c_uint32, c.c_int, c.c_int, c.c_int, i32p, c.c_int,
+            f32p, i16p]
+        lib.pl_av1_grain_uv.argtypes = [
+            i16p, c.c_uint32, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+            c.c_int, c.c_int, i32p, c.c_int, i16p, f32p]
+        lib.pl_av1_grain_offsets.argtypes = [
+            c.c_uint32, c.c_int, c.c_int, u32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def grain_y_native(gauss: np.ndarray, seed: int, bits: int,
+                   grain_scale_shift: int, ar_coeff_lag: int,
+                   ar_coeffs_y, ar_coeff_shift: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    lut = np.zeros((64, 64), np.float32)
+    buf = np.zeros((73, 82), np.int16)
+    coeffs = np.zeros(24, np.int32)
+    cy = np.asarray(ar_coeffs_y, np.int32)
+    coeffs[:len(cy)] = cy
+    lib.pl_av1_grain_y(np.ascontiguousarray(gauss, np.int16),
+                       seed & 0xFFFF, bits, grain_scale_shift,
+                       ar_coeff_lag, coeffs, ar_coeff_shift, lut, buf)
+    return lut, buf
+
+
+def grain_uv_native(gauss: np.ndarray, seed: int, channel: int,
+                    sub_x: int, sub_y: int, bits: int,
+                    grain_scale_shift: int, num_points_y: int,
+                    ar_coeff_lag: int, ar_coeffs_uv, ar_coeff_shift: int,
+                    buf_y: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    lutW = 64 >> sub_x
+    lutH = 64 >> sub_y
+    lut = np.zeros((lutH, lutW), np.float32)
+    coeffs = np.zeros(25, np.int32)
+    cu = np.asarray(ar_coeffs_uv, np.int32)
+    coeffs[:len(cu)] = cu
+    lib.pl_av1_grain_uv(np.ascontiguousarray(gauss, np.int16),
+                        seed & 0xFFFF, channel, sub_x, sub_y, bits,
+                        grain_scale_shift, num_points_y, ar_coeff_lag,
+                        coeffs, ar_coeff_shift,
+                        np.ascontiguousarray(buf_y, np.int16), lut)
+    return lut
+
+
+def grain_offsets_native(seed: int, blocks_w: int, blocks_h: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((blocks_h, blocks_w), np.uint32)
+    lib.pl_av1_grain_offsets(seed & 0xFFFF, blocks_w, blocks_h, out)
+    return out

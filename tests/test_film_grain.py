@@ -146,3 +146,31 @@ def test_grain_seed_changes_without_recompile():
     out2 = r.render(f2, Target(w=96, h=64))
     assert len(r._cache) == n            # same compiled pipeline
     assert not np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_native_matches_python():
+    """Native C++ grain tables are bit-exact with the Python reference
+    implementation (1 ulp tolerance on the float scaling)."""
+    import libplacebo_tpu.native as nat
+    if not nat.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    lut_n, buf_n = fg.generate_grain_y.__wrapped__(GRAIN, 555)
+    uv_n = fg.generate_grain_uv.__wrapped__(GRAIN, 555, 1, 1, 1)
+    off_n = fg.generate_offsets.__wrapped__(555, 16, 8)
+    saved = (nat.grain_y_native, nat.grain_uv_native,
+             nat.grain_offsets_native)
+    try:
+        nat.grain_y_native = lambda *a, **k: None
+        nat.grain_uv_native = lambda *a, **k: None
+        nat.grain_offsets_native = lambda *a, **k: None
+        lut_p, buf_p = fg.generate_grain_y.__wrapped__(GRAIN, 555)
+        uv_p = fg.generate_grain_uv.__wrapped__(GRAIN, 555, 1, 1, 1)
+        off_p = fg.generate_offsets.__wrapped__(555, 16, 8)
+    finally:
+        (nat.grain_y_native, nat.grain_uv_native,
+         nat.grain_offsets_native) = saved
+    np.testing.assert_array_equal(buf_n, buf_p)
+    np.testing.assert_allclose(lut_n, lut_p, atol=1e-7)
+    np.testing.assert_allclose(uv_n, uv_p, atol=1e-7)
+    np.testing.assert_array_equal(off_n, off_p)

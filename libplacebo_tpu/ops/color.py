@@ -97,6 +97,20 @@ def decode_color(img, repr: ColorRepr,
             rgb = apply_matrix(lms, lms2rgb)
             return tf.hlg_oetf(jnp.maximum(rgb, 0.0) * 12.0)
 
+    if sys == ColorSystem.DOLBYVISION:
+        # reshape -> nonlinear YCC->RGB matrix -> PQ linearize -> linear
+        # (LMS->RGB) matrix -> back to PQ-encoded RGB so the uniform
+        # linearize step downstream applies (reference: decode applies
+        # reshape+nonlinear, linearize applies eotf+linear matrix)
+        from . import dovi as ops_dovi
+        img = ops_dovi.dovi_reshape(img, repr.dovi)
+        tr, _ = color_repr_decode(repr, prim)
+        img = apply_matrix(img, tr.mat.m, tr.c)
+        lms = tf.pq_eotf(jnp.maximum(img, 0.0))
+        linear_m = np.asarray(repr.dovi.linear, np.float64).reshape(3, 3)
+        rgb = apply_matrix(lms, linear_m)
+        return tf.pq_oetf(jnp.maximum(rgb, 0.0))
+
     if sys == ColorSystem.BT_2020_C:
         # Constant luminance: decode B'-Y' and R'-Y' around the *gamma*
         # luma, reconstruct via the CL spec piecewise scale

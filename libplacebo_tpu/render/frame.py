@@ -77,6 +77,11 @@ class Frame:
     # film grain metadata (reference pl_frame.film_grain); seed may change
     # per frame without recompilation
     film_grain: Optional[object] = None   # core.film_grain.FilmGrainData
+    # interlacing (reference pl_frame.field + pl_frame_mix temporal refs)
+    field: Optional[object] = None        # ops.deinterlace.Field
+    first_field: Optional[object] = None
+    prev: Optional["Frame"] = None        # previous/next fields' frames
+    next: Optional["Frame"] = None
     # profiling / mixing identity
     pts: float = 0.0
     signature: int = 0
@@ -117,13 +122,22 @@ class Frame:
                             a.num_points_uv[0] > 0, a.num_points_uv[1] > 0,
                             a.chroma_scaling_from_luma, a.overlap,
                             a.scaling_shift)
+        # NB: DV RPU coefficients are currently trace-baked, so the key
+        # includes their content hash (a traced-coefficient fast path like
+        # the grain tables' is the planned upgrade for per-frame RPUs)
+        dovi_key = None
+        if self.repr.dovi is not None:
+            dovi_key = hash(repr(self.repr.dovi))
         return (
             tuple((p.data.shape, p.component_mapping, p.shift_x, p.shift_y)
                   for p in self.planes),
             self.repr.sys, self.repr.levels, self.repr.alpha,
-            self.repr.bits,
+            self.repr.bits, dovi_key,
             self.color.primaries, self.color.transfer,
             self.get_crop(), self.rotation, grain_static,
+            self.field, self.first_field,
+            self.prev is not None, self.next is not None,
+            tuple((o.data.shape, o.rect) for o in self.overlays),
         )
 
 

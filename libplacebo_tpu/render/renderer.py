@@ -90,6 +90,16 @@ class RenderParams:
         default_factory=PeakDetectParams)
     deband: Optional[ops_deband.DebandParams] = None
     film_grain: bool = True      # honor frame-attached grain data
+    deinterlace: Optional[object] = None  # ops.deinterlace.DeinterlaceParams
+    # HDR contrast recovery strength (reference pl_color_map_params
+    # .contrast_recovery; 0 = off)
+    contrast_recovery: float = 0.0
+    # border fill when the image doesn't cover the target (reference
+    # pl_render_params.background/border: clear_target renderer.c:2491)
+    background: str = "color"            # color | tiles
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    tile_colors: Tuple = ((0.93, 0.93, 0.93), (0.87, 0.87, 0.87))
+    tile_size: int = 32
     hooks: Tuple = ()            # render.hooks.Hook instances
     lut: Optional[object] = None          # core.lut.CustomLut
     lut_type: str = "conversion"          # native|normalized|conversion
@@ -107,6 +117,9 @@ class RenderParams:
                 self.peak_detect.key() if self.peak_detect else None,
                 self.deband.key() if self.deband else None,
                 self.film_grain,
+                self.deinterlace.key() if self.deinterlace else None,
+                self.contrast_recovery, self.background,
+                self.background_color, self.tile_colors, self.tile_size,
                 tuple(h.signature for h in self.hooks),
                 self.lut.signature if self.lut is not None else None,
                 self.lut_type)
@@ -121,7 +134,8 @@ DEFAULT_PARAMS = RenderParams()
 HIGH_QUALITY_PARAMS = RenderParams(
     upscaler="ewa_lanczossharp", downscaler="hermite",
     deband=ops_deband.DebandParams(),
-    peak_detect=PeakDetectParams(percentile=99.995))
+    peak_detect=PeakDetectParams(percentile=99.995),
+    contrast_recovery=0.30)
 
 
 def _find_scaler(name: str) -> flt.FilterConfig:
@@ -159,7 +173,9 @@ class Renderer:
 
     def _merge_planes(self, planes, frame_meta, params: RenderParams,
                       grain_cfgs=None, grain_tables=None,
-                      scaling_shift: int = 8):
+                      scaling_shift: int = 8, field=None,
+                      first_field=None, prev_planes=None,
+                      next_planes=None):
         """Per-plane processing (deband, film grain) then alignment to the
         reference grid and channel stacking (reference pass_read_image,
         renderer.c:1553: plane_deband -> plane_film_grain -> sampler)."""
@@ -176,6 +192,13 @@ class Renderer:
         for i, ((shape, mapping, sx, sy), data) in enumerate(
                 zip(plane_metas, planes)):
             ph, pw = shape[-2], shape[-1]
+            if params.deinterlace is not None and field is not None:
+                from ..ops import deinterlace as ops_di
+                data = ops_di.deinterlace(
+                    data, field, params.deinterlace,
+                    prev=prev_planes[i] if prev_planes else None,
+                    next=next_planes[i] if next_planes else None,
+                    first_field=first_field or field)
             if params.deband is not None and 3 not in mapping:
                 data = ops_deband.deband(data, params.deband, seed=i)
             if grain_cfgs is not None and grain_cfgs[i] is not None:
@@ -232,7 +255,9 @@ class Renderer:
     def _trace_pipeline(self, frame_meta_key, target: Target,
                         params: RenderParams, frame_repr: ColorRepr,
                         frame_color: ColorSpace, crop: RectF,
-                        frame_grain=None):
+                        frame_grain=None, field=None, first_field=None,
+                        has_prev=False, has_next=False, rotation=0,
+                        overlays=()):
         """Build the traced pipeline function for one signature."""
         plane_metas = frame_meta_key[0]
         src_color = frame_color.infer()
@@ -248,11 +273,17 @@ class Renderer:
                          src_color.transfer != dst_color.transfer)
                     and params.tone_mapping_function in ("spline", "bt2390"))
 
-        def pipeline(peak_state, grain_tables, *planes):
+        n_planes = len(plane_metas)
+
+        def pipeline(peak_state, grain_tables, temporal, overlay_datas,
+                     *planes):
             # ---- pass_read_image
+            prev_planes, next_planes = temporal
             img, order = self._merge_planes(
                 planes, (plane_metas, frame_repr.sys), params,
-                grain_cfgs, grain_tables, scaling_shift)
+                grain_cfgs, grain_tables, scaling_shift,
+                field=field, first_field=first_field,
+                prev_planes=prev_planes, next_planes=next_planes)
             has_alpha = 3 in order
             if has_alpha:
                 alpha = img[..., -1:, :, :]
@@ -262,6 +293,12 @@ class Renderer:
                             self._disabled_hooks)
             img = ops_color.decode_color(img, frame_repr,
                                          src_color.primaries)
+            # rotation (reference coalesces pl_frame.rotation into the
+            # target; here the decoded image rotates before scaling)
+            if rotation % 4:
+                img = jnp.rot90(img, k=int(rotation), axes=(-2, -1))
+                if has_alpha:
+                    alpha = jnp.rot90(alpha, k=int(rotation), axes=(-2, -1))
             img = run_hooks(params.hooks, HookStage.RGB, img,
                             self._disabled_hooks)
             if params.lut is not None and params.lut_type == "native":
@@ -351,6 +388,18 @@ class Renderer:
                             self._disabled_hooks)
             if has_alpha:
                 img = jnp.concatenate([img, alpha], axis=-3)
+
+            # composite into the full target with border fill (reference
+            # clear_target, renderer.c:2491) when the dst crop doesn't
+            # cover the whole target
+            x0 = int(round(dst_crop.x0))
+            y0 = int(round(dst_crop.y0))
+            if (dst_w, dst_h) != (target.w, target.h) or x0 or y0:
+                canvas = self._background(params, img.shape[-3],
+                                          target.h, target.w)
+                img = jax.lax.dynamic_update_slice(
+                    canvas, img, (0,) * (img.ndim - 3) + (0, y0, x0))
+
             if target.bit_depth:
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
@@ -362,9 +411,64 @@ class Renderer:
                         if params.dither.transfer == ColorTransfer.UNKNOWN \
                         else params.dither
                     img = ops_dither.dither(img, target.bit_depth, dp)
+
+            # overlays (subtitles/OSD; reference draw_overlays,
+            # renderer.c:811) blend after dithering, like the reference's
+            # final vertex pass
+            for ov_i, ov in enumerate(overlays):
+                img = self._blend_overlay(img, overlay_datas[ov_i], ov,
+                                          target)
             return jnp.clip(img, 0.0, 1.0), new_state
 
         return pipeline
+
+    @staticmethod
+    def _background(params: RenderParams, comps: int, h: int, w: int):
+        """Border fill canvas (solid color or checkerboard tiles)."""
+        if params.background == "tiles":
+            ts = params.tile_size
+            yy, xx = np.meshgrid(np.arange(h) // ts, np.arange(w) // ts,
+                                 indexing="ij")
+            sel = ((yy + xx) % 2).astype(np.float32)
+            c0 = np.asarray(params.tile_colors[0], np.float32)
+            c1 = np.asarray(params.tile_colors[1], np.float32)
+            tiles = (c0[:, None, None] * (1 - sel) +
+                     c1[:, None, None] * sel)
+            if comps > 3:
+                tiles = np.concatenate(
+                    [tiles, np.ones((comps - 3, h, w), np.float32)])
+            return jnp.asarray(tiles[:comps])
+        col = np.zeros(comps, np.float32)
+        col[:3] = np.asarray(params.background_color, np.float32)[:3]
+        if comps > 3:
+            col[3] = 1.0
+        return jnp.broadcast_to(
+            jnp.asarray(col)[:, None, None], (comps, h, w))
+
+    @staticmethod
+    def _blend_overlay(img, ov_data, ov, target: Target):
+        """Alpha-blend one RGBA overlay at its rect (bilinear resized)."""
+        r = ov.rect
+        ow = max(1, int(round(r.x1 - r.x0)))
+        oh = max(1, int(round(r.y1 - r.y0)))
+        x0 = int(round(r.x0))
+        y0 = int(round(r.y0))
+        ov_img = ops_sampling.sample_bilinear(ov_data, oh, ow)
+        rgb = ov_img[..., :3, :, :]
+        a = ov_img[..., 3:4, :, :] if ov_img.shape[-3] > 3 else \
+            jnp.ones_like(rgb[..., :1, :, :])
+        region = jax.lax.dynamic_slice(
+            img, (0,) * (img.ndim - 3) + (0, y0, x0),
+            img.shape[:-3] + (img.shape[-3], oh, ow))
+        comps = img.shape[-3]
+        if comps > 3:
+            blended = jnp.concatenate([
+                rgb * a + region[..., :3, :, :] * (1 - a),
+                jnp.maximum(region[..., 3:, :, :], a)], axis=-3)
+        else:
+            blended = rgb * a + region * (1 - a)
+        return jax.lax.dynamic_update_slice(
+            img, blended, (0,) * (img.ndim - 3) + (0, y0, x0))
 
     def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
                    params: RenderParams, peak_stats=None):
@@ -403,10 +507,13 @@ class Renderer:
                                      dst_inf.hdr.max_luma)
             maxrgb = jnp.max(img, axis=-3, keepdims=True)
             maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-            mapped_pq = ops_tone_dyn.tone_map_dynamic(
-                maxrgb_pq, params.tone_mapping_function,
+            tone = lambda x: ops_tone_dyn.tone_map_dynamic(
+                x, params.tone_mapping_function,
                 src_max=max_pq, src_avg=avg_pq,
                 dst_min=dst_min_pq, dst_max=dst_max_pq)
+            mapped_pq = self._tone_with_recovery(
+                maxrgb_pq, tone, params.contrast_recovery,
+                dst_min_pq, dst_max_pq)
             mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
             ratio = mapped / jnp.maximum(maxrgb, 1e-6)
             img = img * ratio
@@ -433,7 +540,9 @@ class Renderer:
             from ..core.transfer import pq_eotf, pq_oetf
             maxrgb = jnp.max(img, axis=-3, keepdims=True)
             maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-            mapped_pq = tm.apply_device(maxrgb_pq, p)
+            mapped_pq = self._tone_with_recovery(
+                maxrgb_pq, lambda x: tm.apply_device(x, p),
+                params.contrast_recovery, p.output_min, p.output_max)
             mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
             ratio = mapped / jnp.maximum(maxrgb, 1e-6)
             img = img * ratio
@@ -443,6 +552,25 @@ class Renderer:
                 img, params.gamut_mapping, b_src, b_dst,
                 to_norm=COLOR_SDR_WHITE / 10000.0)
         return img
+
+    @staticmethod
+    def _tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
+                            out_min: float, out_max: float):
+        """HDR contrast recovery (reference shaders/colorspace.c:1880-1920):
+        tone map a low-passed feature map and re-inject the high-frequency
+        detail, mixing by `cr` strength."""
+        if cr <= 0:
+            return tone_fn(maxrgb_pq)
+        H, W = maxrgb_pq.shape[-2], maxrgb_pq.shape[-1]
+        lh, lw = max(1, H // 4), max(1, W // 4)
+        low = ops_sampling.sample_bilinear(maxrgb_pq, lh, lw)
+        cfg = flt.find_filter_config("bicubic")
+        lowres = ops_sampling.resize_separable(low, H, W, cfg)
+        base = tone_fn(maxrgb_pq)
+        detail = maxrgb_pq - lowres
+        sharp = tone_fn(lowres) + detail
+        mixed = base + (sharp - base) * cr
+        return jnp.clip(mixed, out_min, out_max)
 
     # -- public API ----------------------------------------------------
 
@@ -457,7 +585,12 @@ class Renderer:
         if fn is None:
             pipeline = self._trace_pipeline(
                 frame.meta_key(), target, params, frame.repr, frame.color,
-                crop, frame.film_grain)
+                crop, frame.film_grain, field=frame.field,
+                first_field=frame.first_field,
+                has_prev=frame.prev is not None,
+                has_next=frame.next is not None,
+                rotation=int(frame.rotation),
+                overlays=tuple(frame.overlays))
             fn = jax.jit(pipeline)
             self._cache[key] = fn
 
@@ -474,7 +607,12 @@ class Renderer:
                         meta[0][-2], meta[0][-1]) if cfg else None
                     for cfg, meta in zip(cfgs, plane_metas))
 
+        temporal = (
+            tuple(p.data for p in frame.prev.planes) if frame.prev else None,
+            tuple(p.data for p in frame.next.planes) if frame.next else None)
+        overlay_datas = tuple(o.data for o in frame.overlays)
         out, self._peak_state = fn(self._peak_state, grain_tables,
+                                   temporal, overlay_datas,
                                    *[p.data for p in frame.planes])
         return out
 

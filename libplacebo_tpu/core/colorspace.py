@@ -204,7 +204,7 @@ class CIExy:
                          Y * (1 - self.x - self.y) / self.y])
 
     def __bool__(self):
-        return self.x != 0.0 or self.y != 0.0
+        return bool(self.x != 0.0 or self.y != 0.0)
 
 
 CIE_D50 = CIExy(0.3457, 0.3585)

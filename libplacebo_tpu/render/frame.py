@@ -122,6 +122,10 @@ class Frame:
                             a.num_points_uv[0] > 0, a.num_points_uv[1] > 0,
                             a.chroma_scaling_from_luma, a.overlap,
                             a.scaling_shift)
+        elif self.film_grain is not None and \
+                self.film_grain.h274 is not None:
+            # h274 params (incl. seed) are currently trace-baked
+            grain_static = ("h274", hash(repr(self.film_grain)))
         # NB: DV RPU coefficients are currently trace-baked, so the key
         # includes their content hash (a traced-coefficient fast path like
         # the grain tables' is the planned upgrade for per-frame RPUs)

@@ -175,7 +175,7 @@ class Renderer:
                       grain_cfgs=None, grain_tables=None,
                       scaling_shift: int = 8, field=None,
                       first_field=None, prev_planes=None,
-                      next_planes=None):
+                      next_planes=None, h274_grain=None):
         """Per-plane processing (deband, film grain) then alignment to the
         reference grid and channel stacking (reference pass_read_image,
         renderer.c:1553: plane_deband -> plane_film_grain -> sampler)."""
@@ -201,6 +201,12 @@ class Renderer:
                     first_field=first_field or field)
             if params.deband is not None and 3 not in mapping:
                 data = ops_deband.deband(data, params.deband, seed=i)
+            if h274_grain is not None and 3 not in mapping:
+                from ..ops import film_grain_h274 as ops_h274
+                from ..core.colorspace import system_is_ycbcr_like
+                data = ops_h274.apply_h274_grain(
+                    data, h274_grain, tuple(mapping),
+                    is_ycbcr=system_is_ycbcr_like(repr_sys))
             if grain_cfgs is not None and grain_cfgs[i] is not None:
                 cfg_g = grain_cfgs[i]
                 luma = None
@@ -264,9 +270,15 @@ class Renderer:
         dst_color = target.color.infer(target.w, target.h)
         grain_cfgs = None
         scaling_shift = 8
+        h274_grain = None
         if params.film_grain and frame_grain is not None:
-            grain_cfgs, scaling_shift = self._grain_cfgs(
-                plane_metas, frame_repr, frame_grain)
+            if frame_grain.type == "av1":
+                grain_cfgs, scaling_shift = self._grain_cfgs(
+                    plane_metas, frame_repr, frame_grain)
+            elif frame_grain.type == "h274":
+                from ..ops import film_grain_h274 as ops_h274
+                if ops_h274.needs_fg_h274(frame_grain):
+                    h274_grain = frame_grain
 
         use_peak = (params.peak_detect is not None and src_color.is_hdr()
                     and (src_color.primaries != dst_color.primaries or
@@ -283,7 +295,8 @@ class Renderer:
                 planes, (plane_metas, frame_repr.sys), params,
                 grain_cfgs, grain_tables, scaling_shift,
                 field=field, first_field=first_field,
-                prev_planes=prev_planes, next_planes=next_planes)
+                prev_planes=prev_planes, next_planes=next_planes,
+                h274_grain=h274_grain)
             has_alpha = 3 in order
             if has_alpha:
                 alpha = img[..., -1:, :, :]

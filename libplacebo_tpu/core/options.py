@@ -112,6 +112,19 @@ def _build_table() -> List[_Opt]:
              lambda p: p.tone_mapping_function,
              lambda p, v: replace(p, tone_mapping_function=v),
              choices=tm_names),
+        _Opt("gamut_mapping", "enum",
+             lambda p: p.gamut_mapping,
+             lambda p, v: replace(p, gamut_mapping=v),
+             choices=("clip", "perceptual", "softclip", "relative",
+                      "desaturate", "saturation", "linear", "darken",
+                      "none")),
+        _Opt("contrast_recovery", "float",
+             lambda p: p.contrast_recovery,
+             lambda p, v: replace(p, contrast_recovery=v), 0.0, 2.0),
+        _Opt("background", "enum",
+             lambda p: p.background,
+             lambda p, v: replace(p, background=v),
+             choices=("color", "tiles")),
         _Opt("error_diffusion", "str",
              lambda p: p.error_diffusion,
              lambda p, v: replace(p, error_diffusion=v or None)),

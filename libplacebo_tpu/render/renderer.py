@@ -159,6 +159,9 @@ class Renderer:
         # misbehaving user hooks, auto-disabled by signature
         # (reference rr->disabled_hooks, renderer.c:64-65)
         self._disabled_hooks: set = set()
+        # optional telemetry (reference pl_render_params.info_callback);
+        # when set, renders are synced and timed into rolling windows
+        self.telemetry = None
 
     # -- pipeline stages (traced) -------------------------------------
 
@@ -624,6 +627,15 @@ class Renderer:
             tuple(p.data for p in frame.prev.planes) if frame.prev else None,
             tuple(p.data for p in frame.next.planes) if frame.next else None)
         overlay_datas = tuple(o.data for o in frame.overlays)
+        if self.telemetry is not None:
+            import time as _time
+            t0 = _time.perf_counter()
+            out, self._peak_state = fn(self._peak_state, grain_tables,
+                                       temporal, overlay_datas,
+                                       *[p.data for p in frame.planes])
+            out.block_until_ready()
+            self.telemetry.record("frame", _time.perf_counter() - t0)
+            return out
         out, self._peak_state = fn(self._peak_state, grain_tables,
                                    temporal, overlay_datas,
                                    *[p.data for p in frame.planes])

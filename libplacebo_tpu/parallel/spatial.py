@@ -30,7 +30,8 @@ from ..core import tone_mapping as tm
 from ..core.colorspace import (COLOR_SDR_WHITE, BitEncoding, ColorLevels,
                                ColorRepr, ColorSpace, ColorSystem,
                                HdrScaling, hdr_rescale)
-from ..core.transfer import pq_eotf, pq_oetf
+from ..core.transfer import pq_eotf_fast as pq_eotf, \
+    pq_oetf_fast as pq_oetf
 from ..ops import color as ops_color
 from ..ops import dithering as ops_dither
 from ..ops import sampling as ops_sampling

@@ -514,7 +514,8 @@ class Renderer:
                                            min_pq, max_pq)
 
         if peak_stats is not None:
-            from ..core.transfer import pq_eotf, pq_oetf
+            from ..core.transfer import pq_eotf_fast as pq_eotf, \
+                pq_oetf_fast as pq_oetf
             avg_pq, max_pq = peak_stats
             dst_inf = dst.infer()
             dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
@@ -553,7 +554,8 @@ class Renderer:
             # elementwise math XLA fuses; a LUT gather would be ~70x
             # slower on TPU), scale channels by the ratio (the hybrid
             # mode of the reference's color_map)
-            from ..core.transfer import pq_eotf, pq_oetf
+            from ..core.transfer import pq_eotf_fast as pq_eotf, \
+                pq_oetf_fast as pq_oetf
             maxrgb = jnp.max(img, axis=-3, keepdims=True)
             maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
             mapped_pq = self._tone_with_recovery(

@@ -57,7 +57,8 @@ def nominal_luma_norm(csp: ColorSpace) -> Tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 def decode_color(img, repr: ColorRepr,
-                 prim: ColorPrimaries = ColorPrimaries.UNKNOWN):
+                 prim: ColorPrimaries = ColorPrimaries.UNKNOWN,
+                 dovi_packed=None):
     """Encoded (sampled, normalized) planes -> full-range RGB [0,1].
 
     Handles the linear matrix systems via the host-computed transform
@@ -101,15 +102,26 @@ def decode_color(img, repr: ColorRepr,
         # reshape -> nonlinear YCC->RGB matrix -> PQ linearize -> linear
         # (LMS->RGB) matrix -> back to PQ-encoded RGB so the uniform
         # linearize step downstream applies (reference: decode applies
-        # reshape+nonlinear, linearize applies eotf+linear matrix)
+        # reshape+nonlinear, linearize applies eotf+linear matrix).
+        # With `dovi_packed` every RPU coefficient is a traced array —
+        # per-frame RPUs swap data without recompiling.
         from . import dovi as ops_dovi
+        if dovi_packed is not None:
+            img = ops_dovi.dovi_reshape_packed(img, dovi_packed)
+            off = jnp.einsum("ck,k->c", dovi_packed.nonlinear,
+                             dovi_packed.nonlinear_off)
+            img = jnp.einsum("ck,...khw->...chw", dovi_packed.nonlinear,
+                             img) - off[:, None, None]
+            lms = tf.pq_eotf_fast(jnp.maximum(img, 0.0))
+            rgb = jnp.einsum("ck,...khw->...chw", dovi_packed.linear, lms)
+            return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
         img = ops_dovi.dovi_reshape(img, repr.dovi)
         tr, _ = color_repr_decode(repr, prim)
         img = apply_matrix(img, tr.mat.m, tr.c)
-        lms = tf.pq_eotf(jnp.maximum(img, 0.0))
+        lms = tf.pq_eotf_fast(jnp.maximum(img, 0.0))
         linear_m = np.asarray(repr.dovi.linear, np.float64).reshape(3, 3)
         rgb = apply_matrix(lms, linear_m)
-        return tf.pq_oetf(jnp.maximum(rgb, 0.0))
+        return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
 
     if sys == ColorSystem.BT_2020_C:
         # Constant luminance: decode B'-Y' and R'-Y' around the *gamma*

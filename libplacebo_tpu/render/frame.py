@@ -126,12 +126,9 @@ class Frame:
                 self.film_grain.h274 is not None:
             # h274 params (incl. seed) are currently trace-baked
             grain_static = ("h274", hash(repr(self.film_grain)))
-        # NB: DV RPU coefficients are currently trace-baked, so the key
-        # includes their content hash (a traced-coefficient fast path like
-        # the grain tables' is the planned upgrade for per-frame RPUs)
-        dovi_key = None
-        if self.repr.dovi is not None:
-            dovi_key = hash(repr(self.repr.dovi))
+        # DV RPU coefficients enter the pipeline as traced arrays
+        # (ops.dovi.pack_dovi) — the key only needs presence
+        dovi_key = self.repr.dovi is not None
         return (
             tuple((p.data.shape, p.component_mapping, p.shift_x, p.shift_y)
                   for p in self.planes),

@@ -291,7 +291,7 @@ class Renderer:
         n_planes = len(plane_metas)
 
         def pipeline(peak_state, grain_tables, temporal, overlay_datas,
-                     *planes):
+                     dovi_packed, *planes):
             # ---- pass_read_image
             prev_planes, next_planes = temporal
             img, order = self._merge_planes(
@@ -308,7 +308,8 @@ class Renderer:
             img = run_hooks(params.hooks, HookStage.NATIVE, img,
                             self._disabled_hooks)
             img = ops_color.decode_color(img, frame_repr,
-                                         src_color.primaries)
+                                         src_color.primaries,
+                                         dovi_packed=dovi_packed)
             # rotation (reference coalesces pl_frame.rotation into the
             # target; here the decoded image rotates before scaling)
             if rotation % 4:
@@ -629,17 +630,22 @@ class Renderer:
             tuple(p.data for p in frame.prev.planes) if frame.prev else None,
             tuple(p.data for p in frame.next.planes) if frame.next else None)
         overlay_datas = tuple(o.data for o in frame.overlays)
+        dovi_packed = None
+        if frame.repr.sys == ColorSystem.DOLBYVISION and \
+                frame.repr.dovi is not None:
+            from ..ops.dovi import pack_dovi
+            dovi_packed = pack_dovi(frame.repr.dovi)
         if self.telemetry is not None:
             import time as _time
             t0 = _time.perf_counter()
             out, self._peak_state = fn(self._peak_state, grain_tables,
-                                       temporal, overlay_datas,
+                                       temporal, overlay_datas, dovi_packed,
                                        *[p.data for p in frame.planes])
             out.block_until_ready()
             self.telemetry.record("frame", _time.perf_counter() - t0)
             return out
         out, self._peak_state = fn(self._peak_state, grain_tables,
-                                   temporal, overlay_datas,
+                                   temporal, overlay_datas, dovi_packed,
                                    *[p.data for p in frame.planes])
         return out
 

@@ -175,3 +175,45 @@ def test_deinterlace_in_renderer():
     src = np.asarray(f.planes[0].data)
     # bob: odd lines replaced by line above
     np.testing.assert_allclose(out[:, 1::2], src[:, 0:-1:2], atol=2e-2)
+
+
+def test_dovi_full_render_no_recompile():
+    """Dolby Vision frames with per-frame RPU changes share one compiled
+    pipeline (coefficients are traced arrays)."""
+    import dataclasses
+    from libplacebo_tpu.core.colorspace import (ColorSpace, ColorPrimaries,
+                                                ColorTransfer)
+    comp = dict(num_pivots=2, pivots=(0.0, 1.0), method=(0,),
+                poly_coeffs=((0.0, 1.1, 0.0),),
+                mmr_order=(1,), mmr_constant=(0.0,),
+                mmr_coeffs=(((0.0,) * 7,),))
+    nl = tuple(map(tuple, np.eye(3)))
+    dovi1 = DoviMetadata(nonlinear=nl, linear=nl,
+                         nonlinear_offset=(0.0, 0.0, 0.0),
+                         comp=(comp, comp, comp))
+    comp2 = dict(comp, poly_coeffs=((0.05, 0.9, 0.0),))
+    dovi2 = DoviMetadata(nonlinear=nl, linear=nl,
+                         nonlinear_offset=(0.0, 0.0, 0.0),
+                         comp=(comp2, comp2, comp2))
+
+    rng = np.random.default_rng(7)
+    rgb = rng.random((3, 24, 32)).astype(np.float32) * 0.5
+    planes = [Plane(data=jnp.asarray(rgb), component_mapping=(0, 1, 2))]
+    csp = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ)
+
+    def mkframe(dovi):
+        return Frame(planes=planes,
+                     repr=ColorRepr(sys=ColorSystem.DOLBYVISION,
+                                    levels=ColorLevels.FULL,
+                                    bits=BitEncoding(12, 12, 0),
+                                    dovi=dovi),
+                     color=csp)
+
+    r = Renderer()
+    tgt = Target(w=32, h=24, color=CSP_SRGB)
+    out1 = np.asarray(r.render(mkframe(dovi1), tgt, _params()))
+    n = len(r._cache)
+    out2 = np.asarray(r.render(mkframe(dovi2), tgt, _params()))
+    assert len(r._cache) == n              # no recompile
+    assert not np.array_equal(out1, out2)  # RPU change took effect
+    assert np.all(np.isfinite(out1)) and np.all(np.isfinite(out2))

@@ -1,0 +1,101 @@
+"""ICC profile application on device.
+
+TPU-native rebuild of pl_icc_decode/pl_icc_encode
+(src/shaders/icc.c:624-720): the reference builds a 3DLUT through lcms2
+and samples it per pixel.  Matrix/TRC display profiles need no 3DLUT:
+the device path is a gamut matrix plus per-channel TRCs.  Forward TRCs
+evaluate closed-form; inverse TRCs (encode) are fitted once per profile
+as polynomials in a y^(1/4) basis (gamma-like curves fit to ~1e-4),
+keeping the pipeline gather-free.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.colorspace import (COLOR_SDR_WHITE, RawPrimaries,
+                               color_mapping_matrix, primaries_get)
+from ..core.icc import IccProfile
+
+__all__ = ["encode_profile", "decode_profile"]
+
+_DEG = 12
+
+
+@lru_cache(maxsize=8)
+def _inverse_trc_coefs(profile_id: int) -> Tuple:
+    prof = _PROFILES[profile_id]
+    coefs = []
+    for curve in prof.trc:
+        ys = np.linspace(0.0, 1.0, 4096)
+        xs = curve.eval_inverse(ys)
+        u = ys ** 0.25
+        c = np.polyfit(u, xs, _DEG)
+        err = np.abs(np.polyval(c, u) - xs).max()
+        coefs.append((tuple(c.astype(np.float64)), float(err)))
+    return tuple(coefs)
+
+
+@lru_cache(maxsize=8)
+def _forward_trc_coefs(profile_id: int) -> Tuple:
+    prof = _PROFILES[profile_id]
+    coefs = []
+    for curve in prof.trc:
+        xs = np.linspace(0.0, 1.0, 4096)
+        ys = curve.eval(xs)
+        u = xs ** 0.25
+        c = np.polyfit(u, ys, _DEG)
+        coefs.append(tuple(c.astype(np.float64)))
+    return tuple(coefs)
+
+
+# profiles aren't hashable; register by id for the lru caches
+_PROFILES = {}
+
+
+def _register(prof: IccProfile) -> int:
+    pid = id(prof)
+    _PROFILES[pid] = prof
+    return pid
+
+
+def _polyval(coef, x):
+    out = jnp.full_like(x, float(coef[0]))
+    for c in coef[1:]:
+        out = out * x + float(c)
+    return out
+
+
+def _gamut_matrix(prof: IccProfile, src_prim: RawPrimaries) -> np.ndarray:
+    return color_mapping_matrix(src_prim, prof.containing_primaries()).m
+
+
+def encode_profile(img_linear, prof: IccProfile, src_prim: RawPrimaries,
+                   peak_norm: float = 1.0):
+    """Linear NORM RGB (src primaries) -> profile signal values.
+    `peak_norm` maps NORM 1.0 (SDR white) to profile-relative 1.0."""
+    pid = _register(prof)
+    m = jnp.asarray(_gamut_matrix(prof, src_prim).astype(np.float32))
+    x = jnp.einsum("ck,...khw->...chw", m, img_linear) / peak_norm
+    x = jnp.clip(x, 0.0, 1.0)
+    u = jnp.sqrt(jnp.sqrt(x))
+    coefs = _inverse_trc_coefs(pid)
+    chans = [jnp.clip(_polyval(coefs[c][0], u[..., c, :, :]), 0.0, 1.0)
+             for c in range(3)]
+    return jnp.stack(chans, axis=-3)
+
+
+def decode_profile(img_signal, prof: IccProfile, dst_prim: RawPrimaries,
+                   peak_norm: float = 1.0):
+    """Profile signal -> linear NORM RGB in dst primaries."""
+    pid = _register(prof)
+    u = jnp.sqrt(jnp.sqrt(jnp.clip(img_signal, 0.0, 1.0)))
+    coefs = _forward_trc_coefs(pid)
+    chans = [_polyval(coefs[c], u[..., c, :, :]) for c in range(3)]
+    lin = jnp.stack(chans, axis=-3)
+    m = jnp.asarray(np.linalg.inv(
+        _gamut_matrix(prof, dst_prim)).astype(np.float32))
+    return jnp.einsum("ck,...khw->...chw", m, lin) * peak_norm

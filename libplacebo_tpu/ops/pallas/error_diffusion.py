@@ -4,19 +4,21 @@ The reference runs error diffusion as a single compute pass that
 serializes the whole image through a shared-memory ring buffer,
 parallelized along anti-diagonals (src/shaders/dithering.c:326-507).
 
-TPU translation: the image is *sheared* host-side so the anti-diagonal
-wavefront becomes column-aligned (x' = x + y*shift makes every kernel
-dependency point at strictly earlier sheared columns).  The Pallas
-kernel then walks sheared columns with a sequential grid: each grid
-step loads a CHUNK of columns into VMEM, an inner fori_loop processes
-them one by one against a persistent (MAXOFF, C, H) pending-error
-scratch (TPU grids execute sequentially, so scratch carries across
-steps — exactly the role of the reference's shmem ring buffer), and
-quantized columns stream back out.  Inner-loop work is pure VPU vector
-math on (C, H)-shaped registers.
+TPU translation: the image is *sheared* (on device, via log2
+bit-decomposed rolls) so the anti-diagonal wavefront becomes
+column-aligned (x' = x + y*shift makes every kernel dependency point at
+strictly earlier sheared columns).  The Pallas kernel walks sheared
+columns with a sequential grid — one column per step, straight-line
+body — against a persistent (MAXOFF, C, H) pending-error VMEM scratch
+(TPU grids execute sequentially, so the scratch carries across steps,
+exactly the role of the reference's shmem ring buffer).  The BlockSpec
+pipeline double-buffers the per-column DMAs.
 
-This replaces a 12000-step lax.scan that took ~1.2 s per 4K frame
-(and minutes to compile) with a single kernel.
+93 ms / 4K frame vs 1.2 s for the lax.scan formulation (bit-exact).
+Compile-time lessons baked in: per-column grid instead of an in-kernel
+fori_loop (10x faster Mosaic compile, 2x faster runtime) and the
+validity mask computed from iota on device (embedding a 100 MB mask
+constant cost minutes of XLA time).
 """
 from __future__ import annotations
 
@@ -34,51 +36,51 @@ from ...core.dither import ErrorDiffusionKernel
 
 __all__ = ["error_diffusion_pallas"]
 
-_CHUNK = 64       # sheared columns per grid step (VMEM budget: ~8 MB)
+_CHUNK = 64       # sheared-width padding granularity
 _LANE = 128
 
 
 def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
-                 scale, chunk):
-    """One grid step: process `chunk` sheared columns.
+                 scale):
+    """One grid step = one sheared column (the BlockSpec pipeline
+    double-buffers the column DMAs; a straight-line body keeps the
+    Mosaic compile fast — a chunked fori_loop variant compiled 10x
+    slower and ran ~2x slower).
 
-    x_ref/out_ref: (chunk, C, Hp) — column-major sheared layout
-    mask_ref:      (chunk, 1, Hp) — validity of each (column, row)
+    x_ref/out_ref: (1, C, Hp) — column-major sheared layout
+    mask_ref:      (1, 1, Hp) — validity of each (column, row)
     pending:       (max_off, C, Hp) VMEM scratch, slot s = error landing
-                   s+1 columns ahead of the *current* column
+                   s+1 columns ahead of the *current* column (persists
+                   across the sequential grid like the reference's shmem
+                   ring buffer)
     """
     @pl.when(pl.program_id(0) == 0)
     def _init():
         pending[...] = jnp.zeros_like(pending)
 
     C, Hp = x_ref.shape[1], x_ref.shape[2]
+    cur = x_ref[0] + pending[0]                        # (C, Hp)
+    quant = jnp.round(cur * scale) * (1.0 / scale)
+    err = (cur - quant) * mask_ref[0]
+    out_ref[0] = quant
 
-    def col_step(j, _):
-        cur = x_ref[j] + pending[0]                    # (C, Hp)
-        quant = jnp.round(cur * scale) * (1.0 / scale)
-        err = (cur - quant) * mask_ref[j]
-        out_ref[j] = quant
-
-        # contributions per destination slot (error landing off columns
-        # ahead lands in slot off-1 after the implicit shift)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, Hp), 1)
-        for s in range(max_off):
-            nxt = pending[s + 1] if s + 1 < max_off else \
-                jnp.zeros((C, Hp), jnp.float32)
-            for dy, off, wgt in taps:
-                if off - 1 != s:
-                    continue
-                contrib = wgt * err
-                if dy > 0:
-                    # image row y's error lands on row y+dy: shift along
-                    # the lane (row) axis with zero fill
-                    contrib = pltpu.roll(contrib, dy, 1)
-                    contrib = jnp.where(row_ids < dy, 0.0, contrib)
-                nxt = nxt + contrib
-            pending[s] = nxt
-        return 0
-
-    jax.lax.fori_loop(0, chunk, col_step, 0, unroll=False)
+    # contributions per destination slot (error landing off columns
+    # ahead lands in slot off-1 after the implicit shift)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, Hp), 1)
+    for s in range(max_off):
+        nxt = pending[s + 1] if s + 1 < max_off else \
+            jnp.zeros((C, Hp), jnp.float32)
+        for dy, off, wgt in taps:
+            if off - 1 != s:
+                continue
+            contrib = wgt * err
+            if dy > 0:
+                # image row y's error lands on row y+dy: shift along
+                # the lane (row) axis with zero fill
+                contrib = pltpu.roll(contrib, dy, 1)
+                contrib = jnp.where(row_ids < dy, 0.0, contrib)
+            nxt = nxt + contrib
+        pending[s] = nxt
 
 
 def error_diffusion_pallas(img, new_depth: int,
@@ -111,8 +113,11 @@ def error_diffusion_pallas(img, new_depth: int,
     Wsp = (Ws + _CHUNK - 1) // _CHUNK * _CHUNK
     Hp = (H + _LANE - 1) // _LANE * _LANE
     row_offsets = np.arange(H) * shift
-    col_idx = np.arange(Ws)[None, :] - row_offsets[:, None]     # (H, Ws)
-    valid = (col_idx >= 0) & (col_idx < W)
+    # validity mask computed on device from iota — embedding the
+    # (H, Ws) mask as a program constant ballooned compile times
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 1)
+    off = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 0) * shift
+    valid_j = ((col >= off) & (col < off + W)).astype(jnp.float32)
 
     def _bit_shear(arr, shifts, width, inverse=False):
         """Roll each row y of (..., H, width) by shifts[y] (or back)."""
@@ -129,26 +134,26 @@ def error_diffusion_pallas(img, new_depth: int,
 
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Ws - W)))
     sheared = _bit_shear(xpad, row_offsets, Ws)
-    sheared = sheared * jnp.asarray(valid.astype(np.float32))
+    sheared = sheared * valid_j
 
     # layout: (Ws, C, Hp) column-major for lane-friendly per-column math
     colmaj = jnp.moveaxis(sheared, 2, 0)                        # (Ws, C, H)
     colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
-    maskcm = jnp.moveaxis(jnp.asarray(valid.astype(np.float32)), 1, 0)
+    maskcm = jnp.moveaxis(valid_j, 1, 0)
     maskcm = jnp.pad(maskcm, ((0, Wsp - Ws), (0, Hp - H)))[:, None, :]
 
     body = functools.partial(_kernel_body, taps=tuple(taps),
-                             max_off=max_off, scale=scale, chunk=_CHUNK)
+                             max_off=max_off, scale=scale)
     out_cm = pl.pallas_call(
         body,
-        grid=(Wsp // _CHUNK,),
+        grid=(Wsp,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, C, Hp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, C, Hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1, Hp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, Hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CHUNK, C, Hp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, C, Hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((max_off, C, Hp), jnp.float32)],

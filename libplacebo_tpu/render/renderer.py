@@ -61,11 +61,16 @@ class Target:
     color: ColorSpace = field(default_factory=ColorSpace)
     bit_depth: int = 0           # 0 = no dither/quantization
     crop: Optional[RectF] = None
+    # display ICC profile (core.icc.IccProfile); when set, the output is
+    # encoded through the profile's gamut matrix + TRCs instead of the
+    # standard transfer (reference pl_icc_encode, renderer.c:2271)
+    icc: Optional[object] = None
 
     def meta_key(self):
         return (self.w, self.h, self.repr.sys, self.repr.levels,
                 self.repr.bits, self.color.primaries, self.color.transfer,
-                self.bit_depth, self.crop)
+                self.bit_depth, self.crop,
+                id(self.icc) if self.icc is not None else None)
 
 
 @dataclass(frozen=True)
@@ -389,9 +394,19 @@ class Renderer:
                     peak_stats = (avg_pq, max_pq)
                 img = self._color_map(img, src_color, dst_color, params,
                                       peak_stats)
-                img = ops_color.delinearize(img, dst_color)
+                if target.icc is not None:
+                    from ..ops import icc as ops_icc
+                    img = ops_icc.encode_profile(
+                        img, target.icc, primaries_get(dst_color.primaries))
+                else:
+                    img = ops_color.delinearize(img, dst_color)
             elif use_linear:
-                img = ops_color.delinearize(img, src_color)
+                if target.icc is not None:
+                    from ..ops import icc as ops_icc
+                    img = ops_icc.encode_profile(
+                        img, target.icc, primaries_get(src_color.primaries))
+                else:
+                    img = ops_color.delinearize(img, src_color)
 
             # ---- pass_output_target
             img = run_hooks(params.hooks, HookStage.PRE_OUTPUT, img,

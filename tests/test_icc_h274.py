@@ -136,3 +136,40 @@ def test_h274_in_renderer():
     out_p = np.asarray(r.render(f2, Target(w=64, h=48)))
     assert not np.array_equal(out_g, out_p)
     assert np.all(np.isfinite(out_g))
+
+
+def test_icc_device_encode_roundtrip():
+    """Device profile encode matches the host curve inverse."""
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                primaries_get)
+    from libplacebo_tpu.ops import icc as ops_icc
+    prof = icc_mod.parse_icc(_make_profile(gamma=2.2))
+    rng = np.random.default_rng(3)
+    lin = jnp.asarray(rng.random((3, 16, 16)).astype(np.float32))
+    sig = ops_icc.encode_profile(lin, prof,
+                                 primaries_get(ColorPrimaries.BT_709))
+    back = ops_icc.decode_profile(sig, prof,
+                                  primaries_get(ColorPrimaries.BT_709))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(lin),
+                               atol=5e-3)
+
+
+def test_icc_in_render_target():
+    """Rendering to an ICC target encodes via the profile TRC: a gamma
+    2.8 profile produces brighter signal values than sRGB for mid grays."""
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+    from libplacebo_tpu.core.colorspace import CSP_SRGB, ColorSpace, \
+        ColorPrimaries, ColorTransfer
+    prof = icc_mod.parse_icc(_make_profile(gamma=2.8))
+    rng = np.random.default_rng(4)
+    rgb = np.full((16, 16, 3), 0.5, np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    tgt_icc = Target(w=16, h=16, color=ColorSpace(
+        ColorPrimaries.BT_709, ColorTransfer.GAMMA22), icc=prof)
+    p = RenderParams(peak_detect=None, dither=None)
+    out = np.asarray(Renderer().render(frame, tgt_icc, p))
+    # linear of sRGB 0.5 ~ 0.214; gamma-2.8-encoded ~ 0.214^(1/2.8) ~ 0.577
+    assert abs(out.mean() - 0.214 ** (1 / 2.8)) < 0.02

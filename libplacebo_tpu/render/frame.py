@@ -164,10 +164,12 @@ def frame_from_yuv420p(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         levels=ColorLevels.LIMITED,
         bits=BitEncoding(bit_depth, bit_depth, 0))
     color = color or ColorSpace()
+    # MPEG-2 ("left") chroma siting: chroma centers align with even luma
+    # columns = -0.5 ref-pixel shift (pl_chroma_location_offset(LEFT))
     planes = [
         Plane(norm(y)[None], (0,)),
-        Plane(norm(u)[None], (1,), shift_x=0.25),  # MPEG-2 chroma siting
-        Plane(norm(v)[None], (2,), shift_x=0.25),
+        Plane(norm(u)[None], (1,), shift_x=-0.5),
+        Plane(norm(v)[None], (2,), shift_x=-0.5),
     ]
     return Frame(planes=planes, repr=repr, color=color)
 

@@ -309,6 +309,11 @@ class Renderer:
             if has_alpha:
                 alpha = img[..., -1:, :, :]
                 img = img[..., :3, :, :]
+                # premultiplied alpha -> independent for processing
+                # (reference pl_shader_decode_color alpha handling)
+                from ..core.colorspace import AlphaMode
+                if frame_repr.alpha == AlphaMode.PREMULTIPLIED:
+                    img = img / jnp.maximum(alpha, 1e-6)
             from .hooks import HookStage, run_hooks
             img = run_hooks(params.hooks, HookStage.NATIVE, img,
                             self._disabled_hooks)
@@ -419,6 +424,9 @@ class Renderer:
             img = run_hooks(params.hooks, HookStage.OUTPUT, img,
                             self._disabled_hooks)
             if has_alpha:
+                from ..core.colorspace import AlphaMode
+                if target.repr.alpha == AlphaMode.PREMULTIPLIED:
+                    img = img * alpha
                 img = jnp.concatenate([img, alpha], axis=-3)
 
             # composite into the full target with border fill (reference

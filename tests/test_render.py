@@ -145,3 +145,71 @@ def test_upscale_psnr_vs_reference_impl():
     for t in range(idx.shape[1]):
         oracle2 += oracle[:, :, idx[:, t]] * w[:, t][None, None, :]
     assert psnr(out, oracle2) > 100
+
+
+def test_chroma_siting_alignment():
+    """MPEG-2 left-sited chroma: a chroma impulse at texel c aligns with
+    luma column 2c after plane merging (not 2c + 0.5)."""
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem)
+    h, w = 16, 32
+    y = np.full((h, w), 126, np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    v[:, 8] = 255                        # Cr impulse at chroma column 8
+    frame = frame_from_yuv420p(y, u, v)
+    out = np.asarray(Renderer().render(
+        frame, Target(w=w, h=h), RenderParams(peak_detect=None,
+                                              dither=None)))
+    # red channel response: peak must be at luma column 16 (= 2*8)
+    red = out[0].mean(axis=0)
+    assert int(np.argmax(red)) == 16
+    # left-sited: column 16 and neighbors symmetric-ish around 16,
+    # decidedly not centered between 16 and 17
+    assert red[16] > red[17] + 1e-3
+    assert abs(red[15] - red[17]) < 0.5 * (red[16] - red[18] + 1e-6) + 0.05
+
+
+def test_alpha_modes():
+    """Premultiplied input is un-multiplied for processing; premultiplied
+    target re-multiplies (reference alpha handling)."""
+    from libplacebo_tpu.core.colorspace import AlphaMode
+    rng = np.random.default_rng(9)
+    rgba = rng.random((16, 16, 4)).astype(np.float32) * 0.8 + 0.1
+    rgba[..., :3] *= rgba[..., 3:]       # premultiply
+    frame = frame_from_rgb(rgba, color=CSP_SRGB)
+    frame.repr = ColorRepr(sys=ColorSystem.RGB, levels=ColorLevels.FULL,
+                           alpha=AlphaMode.PREMULTIPLIED)
+    p = RenderParams(peak_detect=None, dither=None)
+    # independent target: output rgb = rgba/alpha
+    tgt_ind = Target(w=16, h=16, color=CSP_SRGB)
+    out = np.asarray(Renderer().render(frame, tgt_ind, p))
+    expect = rgba[..., :3] / rgba[..., 3:]
+    np.testing.assert_allclose(out[:3], np.moveaxis(expect, -1, 0),
+                               atol=3e-2)
+    # premultiplied target: roundtrips to the original
+    tgt_pre = Target(w=16, h=16, color=CSP_SRGB,
+                     repr=ColorRepr(sys=ColorSystem.RGB,
+                                    levels=ColorLevels.FULL,
+                                    alpha=AlphaMode.PREMULTIPLIED))
+    out2 = np.asarray(Renderer().render(frame, tgt_pre, p))
+    np.testing.assert_allclose(out2[:3], np.moveaxis(rgba[..., :3], -1, 0),
+                               atol=3e-2)
+
+
+def test_xyz_input():
+    """XYZ (ST 428) input decodes through the DCDM curve to sane RGB."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries, ColorSpace,
+                                                ColorTransfer)
+    # encode a known gray: XYZ of D65 white at half signal
+    xyz = np.full((8, 8, 3), 0.6, np.float32)
+    frame = frame_from_rgb(xyz, color=ColorSpace(
+        ColorPrimaries.BT_709, ColorTransfer.ST428))
+    frame.repr = ColorRepr(sys=ColorSystem.XYZ, levels=ColorLevels.FULL)
+    out = np.asarray(Renderer().render(
+        frame, Target(w=8, h=8, color=ColorSpace(
+            ColorPrimaries.BT_709, ColorTransfer.ST428)),
+        RenderParams(peak_detect=None, dither=None,
+                     linear_scaling=False)))
+    assert np.all(np.isfinite(out))
+    assert out.max() <= 1.0 and out.min() >= 0.0

@@ -1,0 +1,110 @@
+"""Device/runtime context — the pl_gpu analog.
+
+The reference's Tier 1 (src/gpu.c + vulkan/opengl/d3d11 backends)
+abstracts device bring-up, capability negotiation, format tables, and
+resource pools.  On TPU, XLA owns textures/buffers/pipelines, so the
+context reduces to: device discovery, capability limits, mesh
+construction, cache attachment, and upload placement — plus a "dummy"
+CPU mode mirroring the reference's malloc-backed dummy backend
+(src/dummy.c) for GPU-less testing.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .core.cache import Cache
+from .core.log import Log, default_log
+
+__all__ = ["TpuLimits", "TpuContext", "create", "create_dummy"]
+
+
+@dataclass(frozen=True)
+class TpuLimits:
+    """Capability limits (the pl_glsl_version/pl_gpu_limits analog,
+    gpu.h:64-148)."""
+    device_kind: str = ""
+    num_devices: int = 1
+    vmem_bytes: int = 16 * 2 ** 20      # per-core VMEM (v5e: ~16 MiB)
+    hbm_bytes: int = 16 * 2 ** 30
+    lane_width: int = 128               # vreg lanes
+    sublane_width: int = 8              # f32 sublanes
+    mxu_size: int = 128                 # systolic array dim
+    supports_pallas: bool = True
+    supports_collectives: bool = False  # >1 device
+
+
+class TpuContext:
+    """Reference pl_gpu object: owns the device list, limits, cache and
+    log; hands out meshes and placements."""
+
+    def __init__(self, devices: Optional[List] = None,
+                 log: Optional[Log] = None,
+                 cache: Optional[Cache] = None):
+        import jax
+        self._jax = jax
+        self.devices = list(devices) if devices is not None \
+            else jax.devices()
+        self.log = log or default_log()
+        self.cache = cache or Cache()
+        kind = self.devices[0].device_kind if self.devices else "cpu"
+        is_tpu = "tpu" in str(kind).lower() or "TPU" in str(kind)
+        self.limits = TpuLimits(
+            device_kind=str(kind),
+            num_devices=len(self.devices),
+            supports_pallas=True,
+            supports_collectives=len(self.devices) > 1,
+        )
+        self.log.info(
+            f"TpuContext: {self.limits.num_devices} x "
+            f"{self.limits.device_kind}")
+
+    # -- reference pl_gpu_set_cache (gpu.h:255) ------------------------
+    def set_cache(self, cache: Cache):
+        self.cache = cache
+
+    # -- mesh construction (multi-chip; SURVEY §5.8) --------------------
+    def make_mesh(self, data: int = 1, spatial: Optional[int] = None):
+        from .parallel import make_mesh
+        return make_mesh(data=data, spatial=spatial, devices=self.devices)
+
+    # -- uploads (the pl_tex_upload / PBO path analog) -------------------
+    def upload(self, array, device=None):
+        import jax.numpy as jnp
+        data = jnp.asarray(np.asarray(array))
+        return self._jax.device_put(
+            data, device or self.devices[0])
+
+    def renderer(self):
+        from .render.renderer import Renderer
+        return Renderer()
+
+    @property
+    def is_failed(self) -> bool:
+        """Reference pl_gpu_is_failed (gpu.h:1398): device-loss check."""
+        try:
+            x = self.upload(np.zeros(1, np.float32))
+            float(x[0])
+            return False
+        except Exception:
+            return True
+
+
+def create(log: Optional[Log] = None) -> TpuContext:
+    """Bring up the default context (reference pl_vulkan_create +
+    pl_gpu_create path, SURVEY §3.4)."""
+    return TpuContext(log=log)
+
+
+def create_dummy(log: Optional[Log] = None) -> TpuContext:
+    """CPU-backed context for tests (reference src/dummy.c)."""
+    import jax
+    cpu = [d for d in jax.devices("cpu")] if jax.default_backend() == "cpu" \
+        else jax.devices()
+    try:
+        cpu = jax.devices("cpu")
+    except RuntimeError:
+        cpu = jax.devices()
+    return TpuContext(devices=list(cpu), log=log)

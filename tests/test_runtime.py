@@ -1,0 +1,59 @@
+"""Runtime context (pl_gpu analog) + graceful degradation tests
+(reference gpu_tests.c device bring-up + renderer.c error recovery)."""
+import numpy as np
+import pytest
+
+from libplacebo_tpu import runtime
+from libplacebo_tpu.render.frame import frame_from_rgb
+from libplacebo_tpu.render.renderer import (RenderParams, Renderer, Target)
+from libplacebo_tpu.core.colorspace import CSP_SRGB
+
+
+def test_context_create():
+    ctx = runtime.create_dummy()
+    assert ctx.limits.num_devices >= 1
+    assert not ctx.is_failed
+
+
+def test_context_upload_and_render():
+    ctx = runtime.create_dummy()
+    x = ctx.upload(np.ones((3, 8, 8), np.float32))
+    assert float(x[0, 0, 0]) == 1.0
+    r = ctx.renderer()
+    frame = frame_from_rgb(np.random.default_rng(0)
+                           .random((16, 16, 3)).astype(np.float32),
+                           color=CSP_SRGB)
+    out = r.render(frame, Target(w=16, h=16, color=CSP_SRGB))
+    assert out.shape == (3, 16, 16)
+
+
+def test_context_mesh():
+    ctx = runtime.create_dummy()
+    mesh = ctx.make_mesh(data=2, spatial=4)
+    assert mesh.devices.size == 8
+
+
+def test_graceful_degradation_bad_scaler():
+    """An invalid scaler name degrades to the bilinear fallback instead
+    of raising (reference pl_render_error recovery)."""
+    r = Renderer()
+    frame = frame_from_rgb(np.random.default_rng(1)
+                           .random((16, 16, 3)).astype(np.float32),
+                           color=CSP_SRGB)
+    p = RenderParams(upscaler="no-such-filter", peak_detect=None,
+                     dither=None)
+    out = r.render(frame, Target(w=32, h=32, color=CSP_SRGB), p)
+    assert out.shape == (3, 32, 32)
+    assert "sampling" in r.errors
+    # subsequent renders skip the broken feature directly (no retry loop)
+    out2 = r.render(frame, Target(w=32, h=32, color=CSP_SRGB), p)
+    assert np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_no_degradation_on_good_params():
+    r = Renderer()
+    frame = frame_from_rgb(np.random.default_rng(2)
+                           .random((16, 16, 3)).astype(np.float32),
+                           color=CSP_SRGB)
+    r.render(frame, Target(w=24, h=24, color=CSP_SRGB))
+    assert r.errors == set()

@@ -106,36 +106,49 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
 
     use_hist = 0 < params.percentile < 100
     if use_hist:
-        # 64-bin histogram over active pixels (comparison-reduction;
-        # XLA fuses — no scatter)
+        # Two-level radix percentile over the 64-bin histogram.  A naive
+        # one-hot (or 64 sibling reductions) is VPU compute-bound at ~64
+        # compares/pixel (~1-3 ms at 4K); splitting the 6-bit bin index
+        # into hi/lo 3-bit halves needs only 8+8 compares/pixel across
+        # two fused reduction passes (~0.3 ms) and reconstructs the
+        # EXACT same 64-bin percentile: first locate the hi-group
+        # containing the target count, then histogram the lo bits of
+        # that group only.  (A gather/scatter histogram is pathological
+        # on TPU; this is the comparison-reduce equivalent of the
+        # reference's shmem+atomics pass, colorspace.c:1155-1313.)
         bins = jnp.clip((pq14 >> (PQ_BITS - HIST_BITS)) - HIST_BIAS,
                         0, HIST_BINS - 1)
-        flat = bins.reshape(-1)
-        flat_act = active_mask.reshape(-1)
-        onehot = (flat[:, None] ==
-                  jnp.arange(HIST_BINS, dtype=jnp.int32)[None, :])
-        hist = jnp.sum(onehot & flat_act[:, None], axis=0).astype(jnp.float32)
+        b = jnp.where(active_mask, bins, -1)     # inactive match nothing
+        hi = b >> 3                              # -1 stays -1
+        lo = b & 7
+        hi_hist = jnp.stack([jnp.sum((hi == a).astype(jnp.float32))
+                             for a in range(8)])
+        total = jnp.sum(hi_hist)
+        target = jnp.ceil(params.percentile / 100.0 * total)
+        hi_csum = jnp.cumsum(hi_hist)
+        # group containing the target-th active pixel
+        a_star = jnp.argmax(hi_csum >= target).astype(jnp.int32)
+        base = hi_csum[a_star] - hi_hist[a_star]
+        sel = hi == a_star                       # traced compare
+        lo_hist = jnp.stack([
+            jnp.sum((sel & (lo == bb)).astype(jnp.float32))
+            for bb in range(8)])
+        lo_csum = jnp.cumsum(lo_hist)
+        b_star = jnp.argmax(base + lo_csum >= target).astype(jnp.int32)
+        bin_idx = a_star * 8 + b_star
 
         # percentile interpolation (reference measure_peak,
-        # colorspace.c:1020-1065) — vectorized over the 64 bins
-        total = jnp.sum(hist)
-        target = jnp.ceil(params.percentile / 100.0 * total)
-        csum = jnp.cumsum(hist)
-        count_low = csum - hist          # pixels before this bin
-        count_high = csum + 1.0          # first pixel of the next bin
-        in_bin = (count_low < target) & (target < count_high)
-        bin_idx = jnp.argmax(in_bin)     # unique bin containing target
+        # colorspace.c:1020-1065); cl/ch identical to the full-histogram
+        # formulation: csum_{k-1} < target <= csum_k picks bin k
+        cl = base + lo_csum[b_star] - lo_hist[b_star]
+        ch = cl + lo_hist[b_star] + 1.0
         pq_low = ((bin_idx + HIST_BIAS) << (PQ_BITS - HIST_BITS)) / PQ_MAX
         pq_high0 = ((bin_idx + 1 + HIST_BIAS) <<
                     (PQ_BITS - HIST_BITS)) / PQ_MAX
-        cl = count_low[bin_idx]
-        ch = count_high[bin_idx]
         pq_high = jnp.where(ch > total, frame_max, pq_high0)
         ratio = (target - cl) / jnp.maximum(ch - cl, 1.0)
         measured = pq_low + (pq_high - pq_low) * ratio
-        # no in-bin hit (e.g. empty histogram) -> frame max
-        max_cur = jnp.where(jnp.any(in_bin) & (total > 0),
-                            measured, frame_max)
+        max_cur = jnp.where(total > 0, measured, frame_max)
     else:
         max_cur = frame_max
 

@@ -128,3 +128,49 @@ def test_renderer_peak_state_advances():
     out = r.render(frame, Target(w=64, h=48, color=CSP_SRGB))
     assert float(jnp.sum(jnp.abs(r._peak_state))) > 0.0
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_radix_percentile_matches_full_histogram():
+    """The two-level radix percentile (8+8 sibling reductions) must
+    reproduce the full 64-bin histogram percentile exactly (reference
+    measure_peak, colorspace.c:1020-1065)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.ops import peak_detect as P
+    from libplacebo_tpu.core.transfer import pq_oetf_fast
+    from libplacebo_tpu.core.colorspace import COLOR_SDR_WHITE
+
+    rng = np.random.default_rng(42)
+    st = P.peak_detect_state_init()
+    for trial in range(4):
+        img = (rng.random((3, 48, 80)) ** 2 * 12).astype(np.float32)
+        for pct in (99.995, 95.0, 50.0, 1.0):
+            prm = P.PeakDetectParams(percentile=pct, smoothing_period=0)
+            _, mx, _ = P.detect_peak(jnp.asarray(img), st, prm)
+
+            # independent numpy oracle: full 64-bin histogram
+            maxrgb = np.max(img, axis=0)
+            pq = np.clip(np.asarray(pq_oetf_fast(jnp.asarray(
+                maxrgb * (COLOR_SDR_WHITE / 10000)))), 0, 1)
+            pq14 = np.round(pq * P.PQ_MAX).astype(np.int64)
+            act = pq > prm.black_cutoff / 100.0
+            bins = np.clip((pq14 >> (P.PQ_BITS - P.HIST_BITS)) -
+                           P.HIST_BIAS, 0, 63)
+            hist = np.bincount(bins[act].ravel(),
+                               minlength=64).astype(np.float64)
+            total = hist.sum()
+            assert total > 0
+            target = np.ceil(pct / 100 * total)
+            csum = np.cumsum(hist)
+            k = int(np.argmax(csum >= target))
+            cl = csum[k] - hist[k]
+            ch = csum[k] + 1
+            pq_low = ((k + P.HIST_BIAS) << (P.PQ_BITS - P.HIST_BITS)) \
+                / P.PQ_MAX
+            pq_high = ((k + 1 + P.HIST_BIAS) <<
+                       (P.PQ_BITS - P.HIST_BITS)) / P.PQ_MAX
+            if ch > total:
+                pq_high = pq.max()
+            expect = pq_low + (pq_high - pq_low) * \
+                (target - cl) / max(ch - cl, 1.0)
+            assert abs(float(mx) - expect) < 2e-6, (trial, pct)

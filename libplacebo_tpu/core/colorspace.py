@@ -568,10 +568,14 @@ def color_repr_decode(repr: ColorRepr,
         ])
         off = np.zeros(3)
     elif sys == ColorSystem.BT_2020_C:
-        # Constant luminance: luma channel decoded separately on-device;
-        # linear part is identity here (reference treats via per-channel path)
-        kr, kb = _luma_for_system(sys, primaries_get(prim))
-        M = _ycbcr_matrix(kr, kb)
+        # Constant luminance is non-linear: this transform only expands
+        # the signal range (identity channel matrix); the piecewise
+        # chroma denominators + OETF roundtrip happen on-device in
+        # ops.color.decode_color (reference handles BT_2020_C the same
+        # way: identity matrix here, CL math in the shader —
+        # colorspace.c pl_color_repr_decode + shaders/colorspace.c
+        # pl_shader_decode_color).
+        M = np.eye(3)
         off = np.zeros(3)
     else:
         kr, kb = _luma_for_system(sys, primaries_get(prim))

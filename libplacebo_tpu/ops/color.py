@@ -33,6 +33,23 @@ __all__ = [
 _HLG_REF = 1000.0 / COLOR_SDR_WHITE
 _SCRGB_WHITE = 80.0 / COLOR_SDR_WHITE
 
+# Rec. BT.2020-2 OETF constants (12-bit exact values); used only by the
+# constant-luminance system's spec-mandated gamma roundtrip.
+_B2020_A = 1.0993
+_B2020_B = 0.0181
+
+
+def _bt2020_oetf(l):
+    l = jnp.maximum(l, 0.0)
+    return jnp.where(l < _B2020_B, 4.5 * l,
+                     _B2020_A * jnp.power(l, 0.45) - (_B2020_A - 1.0))
+
+
+def _bt2020_eotf(e):
+    e = jnp.maximum(e, 0.0)
+    return jnp.where(e < 4.5 * _B2020_B, e / 4.5,
+                     jnp.power((e + _B2020_A - 1.0) / _B2020_A, 1.0 / 0.45))
+
 
 def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
     """out[c] = sum_k mat[c,k] * img[k] (+ bias[c]); img (..., C, H, W)."""
@@ -124,11 +141,24 @@ def decode_color(img, repr: ColorRepr,
         return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
 
     if sys == ColorSystem.BT_2020_C:
-        # Constant luminance: decode B'-Y' and R'-Y' around the *gamma*
-        # luma, reconstruct via the CL spec piecewise scale
-        # (simplified: use the NCL matrix path like most practical players)
-        tr, _ = color_repr_decode(repr, prim)
-        return apply_matrix(img, tr.mat.m, tr.c)
+        # Exact constant-luminance decode (Rec. BT.2020-2 table 4;
+        # reference pl_shader_decode_color, shaders/colorspace.c:354-392):
+        # expand range, rebuild B'/R' around gamma-luma with the piecewise
+        # chroma denominators, then recover G through linear light using
+        # the BT.2020 OETF roundtrip.
+        tr, _ = color_repr_decode(repr, prim)   # identity M: range only
+        ycc = apply_matrix(img, tr.mat.m, tr.c)
+        yp = ycc[..., 0, :, :]
+        cb = ycc[..., 1, :, :]
+        cr = ycc[..., 2, :, :]
+        bp = yp + cb * jnp.where(cb <= 0, 1.9404, 1.5816)
+        rp = yp + cr * jnp.where(cr <= 0, 1.7184, 0.9936)
+        yl = _bt2020_eotf(yp)
+        bl = _bt2020_eotf(bp)
+        rl = _bt2020_eotf(rp)
+        gl = (yl - 0.2627 * rl - 0.0593 * bl) / 0.6780
+        gp = _bt2020_oetf(gl)
+        return jnp.stack([rp, gp, bp], axis=-3)
 
     tr, _ = color_repr_decode(repr, prim)
     return apply_matrix(img, tr.mat.m, tr.c)
@@ -142,6 +172,22 @@ def encode_color(img, repr: ColorRepr,
     if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG,
                ColorSystem.XYZ):
         raise NotImplementedError(f"encode to {sys} not yet supported")
+    if sys == ColorSystem.BT_2020_C:
+        # inverse of the constant-luminance decode (Rec. BT.2020-2)
+        r = img[..., 0, :, :]
+        g = img[..., 1, :, :]
+        b = img[..., 2, :, :]
+        yl = (0.2627 * _bt2020_eotf(r) + 0.6780 * _bt2020_eotf(g) +
+              0.0593 * _bt2020_eotf(b))
+        yp = _bt2020_oetf(yl)
+        db = b - yp
+        dr = r - yp
+        cb = db / jnp.where(db <= 0, 1.9404, 1.5816)
+        cr = dr / jnp.where(dr <= 0, 1.7184, 0.9936)
+        ycc = jnp.stack([yp, cb, cr], axis=-3)
+        tr, _ = color_repr_decode(repr, prim)
+        inv = tr.invert()
+        return apply_matrix(ycc, inv.mat.m, inv.c)
     tr, _ = color_repr_decode(repr, prim)
     inv = tr.invert()
     return apply_matrix(img, inv.mat.m, inv.c)

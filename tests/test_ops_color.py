@@ -141,3 +141,54 @@ def test_error_diffusion_kernels_run(kname):
     out = np.asarray(D.error_diffusion(img, 3, k))
     tol = 0.05 if kname == "atkinson" else 0.01  # atkinson leaks error
     assert abs(out.mean() - 0.3) < tol
+
+
+def test_bt2020_cl_decode_matches_spec():
+    """BT.2020 constant luminance: decode matches an independent float64
+    Rec. BT.2020-2 oracle (reference pl_shader_decode_color CL branch)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.ops.color import decode_color
+    from libplacebo_tpu.core.colorspace import (ColorLevels, ColorRepr,
+                                                ColorSystem)
+
+    def oetf(l):
+        l = np.maximum(l, 0)
+        return np.where(l < 0.0181, 4.5 * l, 1.0993 * l ** 0.45 - 0.0993)
+
+    def eotf(e):
+        e = np.maximum(e, 0)
+        return np.where(e < 4.5 * 0.0181, e / 4.5,
+                        ((e + 0.0993) / 1.0993) ** (1 / 0.45))
+
+    rng = np.random.default_rng(7)
+    cols = rng.random((64, 3))
+    rp, gp, bp = cols[:, 0], cols[:, 1], cols[:, 2]
+    yl = 0.2627 * eotf(rp) + 0.6780 * eotf(gp) + 0.0593 * eotf(bp)
+    yp = oetf(yl)
+    db, dr = bp - yp, rp - yp
+    cb = db / np.where(db <= 0, 1.9404, 1.5816)
+    cr = dr / np.where(dr <= 0, 1.7184, 0.9936)
+    # full-range chroma neutral = 128/255 (8-bit sampled convention)
+    img = jnp.asarray(np.stack(
+        [yp, cb + 128 / 255, cr + 128 / 255]).astype(np.float32)[:, :, None])
+    repr = ColorRepr(sys=ColorSystem.BT_2020_C, levels=ColorLevels.FULL)
+    out = np.asarray(decode_color(img, repr))[:, :, 0]
+    assert np.abs(out - cols.T).max() < 2e-5
+
+
+def test_bt2020_cl_roundtrip():
+    """encode -> decode of BT.2020-C is the identity, both ranges."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.ops.color import decode_color, encode_color
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem)
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.random((3, 24, 32)).astype(np.float32))
+    for levels in (ColorLevels.FULL, ColorLevels.LIMITED):
+        repr = ColorRepr(sys=ColorSystem.BT_2020_C, levels=levels,
+                         bits=BitEncoding(10, 10, 0))
+        back = decode_color(encode_color(rgb, repr), repr)
+        assert float(jnp.max(jnp.abs(back - rgb))) < 2e-6, levels

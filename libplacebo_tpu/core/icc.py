@@ -5,11 +5,13 @@ TPU-native rebuild of the reference's ICC subsystem
 inference, and decode/encode transform construction.
 
 lcms2 isn't available here, so this is a self-contained parser for the
-ICC v2/v4 profiles that matter in practice for displays: matrix/TRC
-profiles (rXYZ/gXYZ/bXYZ + curv/para TRCs + wtpt, with chad adaptation).
-LUT-based (A2B/B2A) profiles are detected and rejected with a clear
-error — the reference's renderer likewise falls back to no ICC when
-pl_icc_open fails (graceful degradation).
+ICC v2/v4 profiles that matter in practice for displays:
+
+* matrix/TRC profiles (rXYZ/gXYZ/bXYZ + curv/para TRCs + wtpt, chad)
+* cLUT profiles: lut8/lut16 ('mft1'/'mft2') and v4 lutAToB/lutBToA
+  ('mAB '/'mBA ') pipelines with XYZ or Lab PCS — evaluated host-side
+  and baked into a 3D LUT for the device (exactly the reference's
+  architecture: lcms transform sampled into a 3D texture, icc.c:624).
 """
 from __future__ import annotations
 
@@ -21,7 +23,7 @@ import numpy as np
 
 from .colorspace import (CIE_D50, CIExy, RawPrimaries, adapt_white_matrix)
 
-__all__ = ["IccProfile", "IccError", "parse_icc"]
+__all__ = ["IccProfile", "IccError", "IccLut", "parse_icc"]
 
 
 class IccError(ValueError):
@@ -91,6 +93,31 @@ class IccProfile:
     trc: Tuple[IccCurve, ...] = ()
     chad: Optional[np.ndarray] = None
     description: str = ""
+    a2b: Optional["IccLut"] = None             # device -> PCS (decode)
+    b2a: Optional["IccLut"] = None             # PCS -> device (encode)
+
+    # -- cLUT transforms through the PCS (reference uses lcms transforms;
+    # icc.c:624-720 then bakes them into a 3D texture) -------------------
+    def a2b_to_xyz(self, signal: np.ndarray) -> np.ndarray:
+        """Device signal (...,3) in [0,1] -> PCS XYZ (D50-relative)."""
+        if self.a2b is None:
+            raise IccError("profile has no A2B LUT")
+        out = self.a2b.eval(np.clip(signal, 0.0, 1.0))
+        wp = np.asarray(CIE_D50.to_XYZ(), np.float64)
+        if self.pcs == "Lab":
+            return lab_to_xyz(lab_decode(out, self.a2b.legacy), wp)
+        return out / XYZ16_SCALE
+
+    def xyz_to_b2a(self, xyz: np.ndarray) -> np.ndarray:
+        """PCS XYZ (D50-relative) -> device signal (...,3) in [0,1]."""
+        if self.b2a is None:
+            raise IccError("profile has no B2A LUT")
+        wp = np.asarray(CIE_D50.to_XYZ(), np.float64)
+        if self.pcs == "Lab":
+            enc = lab_encode(xyz_to_lab(xyz, wp), self.b2a.legacy)
+        else:
+            enc = np.asarray(xyz) * XYZ16_SCALE
+        return self.b2a.eval(np.clip(enc, 0.0, 1.0))
 
     def containing_primaries(self) -> RawPrimaries:
         """Infer the gamut from the matrix columns (reference
@@ -122,6 +149,251 @@ class IccProfile:
     def encode(self, rgb_linear: np.ndarray) -> np.ndarray:
         return np.stack([self.trc[i].eval_inverse(rgb_linear[..., i])
                          for i in range(3)], axis=-1)
+
+
+@dataclass
+class IccLut:
+    """A parsed cLUT pipeline (lut8/lut16/lutAToB/lutBToA types).
+
+    Canonical stage order (input -> output):
+      matrix_pre -> in_curves -> clut -> m_curves -> matrix_post -> b_curves
+    where unused stages are None.  mft1/mft2 populate matrix_pre +
+    in_curves + clut + out_curves(b_curves); mAB populates
+    in_curves(A) + clut + m_curves + matrix_post + b_curves; mBA is
+    stored pre-reversed into the same canonical order
+    (B -> matrix -> M -> clut -> A) via the `mba` flag.
+    """
+    clut: np.ndarray                     # (g1, g2, g3, out_ch)
+    in_curves: Optional[Tuple[IccCurve, ...]] = None
+    b_curves: Optional[Tuple[IccCurve, ...]] = None
+    m_curves: Optional[Tuple[IccCurve, ...]] = None
+    matrix: Optional[np.ndarray] = None  # (3,4): 3x3 + offset column
+    mba: bool = False                    # lutBToA stage order
+    legacy: bool = False                 # mft1/mft2 (v2 PCS encodings)
+    # mft1/mft2 matrix: applies to the INPUT (only meaningful when the
+    # input side is PCS XYZ, i.e. B2A direction) — §10.9/10.10
+    matrix_pre: Optional[np.ndarray] = None
+
+    @staticmethod
+    def _curves(curves, x):
+        if curves is None:
+            return x
+        return np.stack([curves[i].eval(x[..., i])
+                         for i in range(x.shape[-1])], axis=-1)
+
+    def _apply_matrix(self, x):
+        if self.matrix is None:
+            return x
+        return x @ self.matrix[:, :3].T + self.matrix[:, 3]
+
+    def _apply_clut(self, x):
+        g = self.clut.shape[:-1]
+        out = self.clut.shape[-1]
+        idx = [np.clip(x[..., i], 0.0, 1.0) * (g[i] - 1) for i in range(3)]
+        lo = [np.floor(t).astype(np.int64) for t in idx]
+        hi = [np.minimum(l + 1, g[i] - 1) for i, l in enumerate(lo)]
+        f = [t - l for t, l in zip(idx, lo)]
+        acc = np.zeros(x.shape[:-1] + (out,))
+        for corner in range(8):
+            ii = [(hi if (corner >> k) & 1 else lo)[k] for k in range(3)]
+            w = np.ones(x.shape[:-1])
+            for k in range(3):
+                w = w * (f[k] if (corner >> k) & 1 else 1.0 - f[k])
+            acc += w[..., None] * self.clut[ii[0], ii[1], ii[2]]
+        return acc
+
+    def eval(self, x: np.ndarray) -> np.ndarray:
+        """x: (..., 3) in the type's raw normalized input encoding;
+        returns (..., out) raw normalized output."""
+        x = np.asarray(x, dtype=np.float64)
+        if self.mba:   # B -> matrix -> M -> CLUT -> A
+            x = self._curves(self.b_curves, x)
+            x = self._apply_matrix(x)
+            x = self._curves(self.m_curves, x)
+            x = self._apply_clut(np.clip(x, 0.0, 1.0))
+            return self._curves(self.in_curves, np.clip(x, 0.0, 1.0))
+        # (matrix_pre) -> A/in -> CLUT -> M -> matrix -> B/out
+        if self.matrix_pre is not None:
+            x = x @ self.matrix_pre[:, :3].T + self.matrix_pre[:, 3]
+        x = self._curves(self.in_curves, np.clip(x, 0.0, 1.0))
+        x = self._apply_clut(np.clip(x, 0.0, 1.0))
+        x = self._curves(self.m_curves, np.clip(x, 0.0, 1.0))
+        x = self._apply_matrix(x)
+        return self._curves(self.b_curves, np.clip(x, 0.0, 1.0))
+
+
+def _table_curve(vals: np.ndarray) -> IccCurve:
+    return IccCurve("table", table=np.asarray(vals, np.float64))
+
+
+def _parse_mft(data: bytes) -> IccLut:
+    """lut8Type ('mft1') / lut16Type ('mft2'), ICC v2 §10.9/10.10."""
+    sig = data[:4]
+    in_ch, out_ch, g = data[8], data[9], data[10]
+    if in_ch != 3:
+        raise IccError(f"unsupported cLUT input channels {in_ch}")
+    mat = np.array([_s15f16(v) for v in
+                    struct.unpack(">9i", data[12:48])]).reshape(3, 3)
+    matrix = None
+    if not np.allclose(mat, np.eye(3)):
+        matrix = np.concatenate([mat, np.zeros((3, 1))], axis=1)
+    if sig == b"mft1":
+        n_in = n_out = 256
+        pos = 48
+        raw = np.frombuffer(data[pos:], dtype=np.uint8).astype(np.float64)
+        scale = 255.0
+    else:
+        n_in, n_out = struct.unpack(">HH", data[48:52])
+        pos = 52
+        raw = np.frombuffer(data[pos:], dtype=">u2").astype(np.float64)
+        scale = 65535.0
+    raw = raw / scale
+    o = 0
+    in_curves = tuple(_table_curve(raw[o + i * n_in:o + (i + 1) * n_in])
+                      for i in range(in_ch))
+    o += in_ch * n_in
+    n_clut = g ** in_ch * out_ch
+    clut = raw[o:o + n_clut].reshape((g,) * in_ch + (out_ch,))
+    o += n_clut
+    out_curves = tuple(_table_curve(raw[o + i * n_out:o + (i + 1) * n_out])
+                       for i in range(out_ch))
+    return IccLut(clut=clut, in_curves=in_curves, b_curves=out_curves,
+                  matrix_pre=matrix, legacy=True)
+
+
+def _parse_mab(data: bytes) -> IccLut:
+    """lutAToBType ('mAB ') / lutBToAType ('mBA '), ICC v4 §10.12/10.13."""
+    sig = data[:4]
+    in_ch, out_ch = data[8], data[9]
+    off_b, off_mat, off_m, off_clut, off_a = struct.unpack(
+        ">5I", data[12:32])
+
+    def curves(off, n):
+        if off == 0:
+            return None
+        out, pos = [], off
+        for _ in range(n):
+            c, size = _parse_curve_sized(data[pos:])
+            out.append(c)
+            pos += (size + 3) & ~3          # 4-byte aligned
+        return tuple(out)
+
+    matrix = None
+    if off_mat:
+        vals = [_s15f16(v) for v in
+                struct.unpack(">12i", data[off_mat:off_mat + 48])]
+        m = np.array(vals[:9]).reshape(3, 3)
+        offv = np.array(vals[9:])
+        matrix = np.concatenate([m, offv[:, None]], axis=1)
+
+    clut = None
+    if off_clut:
+        grid = list(data[off_clut:off_clut + 16])
+        prec = data[off_clut + 16]
+        nin = in_ch if sig == b"mAB " else 3
+        g = grid[:nin]
+        n = int(np.prod(g)) * out_ch if sig == b"mAB " \
+            else int(np.prod(g)) * out_ch
+        body = data[off_clut + 20:]
+        if prec == 1:
+            vals = np.frombuffer(body[:n], np.uint8).astype(np.float64) / 255
+        else:
+            vals = np.frombuffer(body[:2 * n],
+                                 ">u2").astype(np.float64) / 65535
+        clut = vals.reshape(tuple(g) + (out_ch,))
+    if clut is None:
+        raise IccError("cLUT-less mAB/mBA not supported")
+
+    if sig == b"mAB ":   # A -> CLUT -> M -> matrix -> B
+        if in_ch != 3:
+            raise IccError(f"unsupported mAB input channels {in_ch}")
+        return IccLut(clut=clut, in_curves=curves(off_a, in_ch),
+                      m_curves=curves(off_m, out_ch), matrix=matrix,
+                      b_curves=curves(off_b, out_ch))
+    # mBA: B -> matrix -> M -> CLUT -> A
+    return IccLut(clut=clut, in_curves=curves(off_a, out_ch),
+                  m_curves=curves(off_m, in_ch), matrix=matrix,
+                  b_curves=curves(off_b, in_ch), mba=True)
+
+
+def _parse_curve_sized(data: bytes) -> Tuple[IccCurve, int]:
+    """Parse a curv/para element and return (curve, bytes consumed)."""
+    sig = data[:4]
+    if sig == b"curv":
+        (count,) = struct.unpack(">I", data[8:12])
+        return _parse_curve(data), 12 + 2 * count
+    if sig == b"para":
+        (ptype,) = struct.unpack(">H", data[8:10])
+        nparams = {0: 1, 1: 3, 2: 4, 3: 5, 4: 7}[ptype]
+        return _parse_curve(data), 12 + 4 * nparams
+    raise IccError(f"unsupported embedded curve {sig!r}")
+
+
+def _parse_lut_tag(data: bytes) -> IccLut:
+    sig = data[:4]
+    if sig in (b"mft1", b"mft2"):
+        return _parse_mft(data)
+    if sig in (b"mAB ", b"mBA "):
+        return _parse_mab(data)
+    raise IccError(f"unsupported LUT tag type {sig!r}")
+
+
+# --- PCS encodings (ICC v2/v4 §6.3.4) --------------------------------------
+
+def lab_decode(v: np.ndarray, legacy: bool) -> np.ndarray:
+    """Normalized [0,1] PCS-Lab samples -> (L, a, b)."""
+    v = np.asarray(v, np.float64)
+    if legacy:     # 16-bit v2: L over 0..0xFF00/0xFFFF, ab = v*255.996-128
+        L = v[..., 0] * (65535.0 / 65280.0) * 100.0
+        a = v[..., 1] * (65535.0 / 256.0) - 128.0
+        b = v[..., 2] * (65535.0 / 256.0) - 128.0
+    else:
+        L = v[..., 0] * 100.0
+        a = v[..., 1] * 255.0 - 128.0
+        b = v[..., 2] * 255.0 - 128.0
+    return np.stack([L, a, b], axis=-1)
+
+
+def lab_encode(lab: np.ndarray, legacy: bool) -> np.ndarray:
+    lab = np.asarray(lab, np.float64)
+    if legacy:
+        return np.stack([lab[..., 0] / 100.0 * (65280.0 / 65535.0),
+                         (lab[..., 1] + 128.0) * (256.0 / 65535.0),
+                         (lab[..., 2] + 128.0) * (256.0 / 65535.0)], axis=-1)
+    return np.stack([lab[..., 0] / 100.0,
+                     (lab[..., 1] + 128.0) / 255.0,
+                     (lab[..., 2] + 128.0) / 255.0], axis=-1)
+
+
+_LAB_D = 6.0 / 29.0
+
+
+def lab_to_xyz(lab: np.ndarray, wp: np.ndarray) -> np.ndarray:
+    """CIELAB -> XYZ relative to white point XYZ `wp` (PCS: D50)."""
+    fy = (lab[..., 0] + 16.0) / 116.0
+    fx = fy + lab[..., 1] / 500.0
+    fz = fy - lab[..., 2] / 200.0
+
+    def finv(t):
+        return np.where(t > _LAB_D, t ** 3, 3 * _LAB_D ** 2 * (t - 4 / 29))
+    return np.stack([wp[0] * finv(fx), wp[1] * finv(fy), wp[2] * finv(fz)],
+                    axis=-1)
+
+
+def xyz_to_lab(xyz: np.ndarray, wp: np.ndarray) -> np.ndarray:
+    def f(t):
+        t = np.maximum(t, 0.0)
+        return np.where(t > _LAB_D ** 3, np.cbrt(t),
+                        t / (3 * _LAB_D ** 2) + 4 / 29)
+    fx = f(xyz[..., 0] / wp[0])
+    fy = f(xyz[..., 1] / wp[1])
+    fz = f(xyz[..., 2] / wp[2])
+    return np.stack([116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)],
+                    axis=-1)
+
+
+# lut16 XYZ PCS encoding: 0x8000 == 1.0
+XYZ16_SCALE = 32768.0 / 65535.0
 
 
 def _parse_curve(data: bytes) -> IccCurve:
@@ -175,16 +447,36 @@ def parse_icc(data: bytes) -> IccProfile:
 
     if color_space != "RGB":
         raise IccError(f"unsupported profile color space {color_space!r}")
-    if b"A2B0" in tags and b"rXYZ" not in tags:
-        raise IccError("LUT-based (A2B) profiles not supported")
-    for req in (b"rXYZ", b"gXYZ", b"bXYZ", b"rTRC", b"gTRC", b"bTRC"):
-        if req not in tags:
-            raise IccError(f"missing required tag {req!r}")
+    has_matrix = all(t in tags for t in
+                     (b"rXYZ", b"gXYZ", b"bXYZ", b"rTRC", b"gTRC", b"bTRC"))
+    a2b = b2a = None
+    for tag, attr in ((b"A2B0", "a2b"), (b"B2A0", "b2a")):
+        if tag in tags:
+            try:
+                lut = _parse_lut_tag(tags[tag])
+            except IccError:
+                if not has_matrix:
+                    raise
+                lut = None
+            except Exception as e:   # truncated/malformed tag body
+                if not has_matrix:
+                    raise IccError(
+                        f"malformed {tag.decode()} tag: {e}") from e
+                lut = None
+            if attr == "a2b":
+                a2b = lut
+            else:
+                b2a = lut
+    if not has_matrix and a2b is None and b2a is None:
+        raise IccError("profile has neither matrix/TRC nor usable cLUTs")
 
-    m = np.stack([_parse_xyz(tags[b"rXYZ"]), _parse_xyz(tags[b"gXYZ"]),
-                  _parse_xyz(tags[b"bXYZ"])], axis=1)
-    trc = tuple(_parse_curve(tags[t])
-                for t in (b"rTRC", b"gTRC", b"bTRC"))
+    m = None
+    trc = ()
+    if has_matrix:
+        m = np.stack([_parse_xyz(tags[b"rXYZ"]), _parse_xyz(tags[b"gXYZ"]),
+                      _parse_xyz(tags[b"bXYZ"])], axis=1)
+        trc = tuple(_parse_curve(tags[t])
+                    for t in (b"rTRC", b"gTRC", b"bTRC"))
 
     white = CIE_D50
     if b"wtpt" in tags:
@@ -213,4 +505,4 @@ def parse_icc(data: bytes) -> IccProfile:
 
     return IccProfile(color_space=color_space, pcs=pcs, version=version,
                       white=white, rgb2xyz=m, trc=trc, chad=chad,
-                      description=desc)
+                      description=desc, a2b=a2b, b2a=b2a)

@@ -16,11 +16,55 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.colorspace import (COLOR_SDR_WHITE, RawPrimaries,
-                               color_mapping_matrix, primaries_get)
+from ..core.colorspace import (CIE_D50, COLOR_SDR_WHITE, RawPrimaries,
+                               adapt_white_matrix, color_mapping_matrix,
+                               primaries_get, xyz_to_rgb_matrix)
 from ..core.icc import IccProfile
 
 __all__ = ["encode_profile", "decode_profile"]
+
+# cLUT bake resolution (reference icc.c uses a 64^3 texture; 33^3 with
+# trilinear interp keeps host bake < 100 ms at equivalent accuracy for
+# smooth display transforms)
+_BAKE_N = 33
+_BAKE_GAMMA = 2.4    # B2A bake grid shaping exponent (see _baked_b2a_lut)
+
+
+@lru_cache(maxsize=8)
+def _baked_b2a_lut(profile_id: int, prim: RawPrimaries):
+    """Sample linear-RGB(src primaries) -> device signal through the
+    profile's B2A pipeline into a 3D CustomLut (= the reference's
+    lcms-transform-to-3D-texture bake, icc.c:624-720)."""
+    from ..core.lut import CustomLut
+    prof = _PROFILES[profile_id]
+    rgb2xyz = np.linalg.inv(xyz_to_rgb_matrix(prim).m)
+    adapt = adapt_white_matrix(prim.white, CIE_D50).m
+    # grid in a gamma-shaped basis (u = lin^(1/2.4)): linear-domain
+    # sampling puts almost no nodes where the encode curve is steepest
+    # (near black); the device pre-shapes the image the same way
+    grid = np.linspace(0.0, 1.0, _BAKE_N) ** _BAKE_GAMMA
+    b, g, r = np.meshgrid(grid, grid, grid, indexing="ij")
+    rgb = np.stack([r, g, b], axis=-1)          # (B,G,R,3), r fastest
+    xyz = rgb @ (adapt @ rgb2xyz).T
+    sig = prof.xyz_to_b2a(xyz)
+    return CustomLut(data=np.clip(sig, 0.0, 1.0).astype(np.float32),
+                     size=(_BAKE_N,) * 3)
+
+
+@lru_cache(maxsize=8)
+def _baked_a2b_lut(profile_id: int, prim: RawPrimaries):
+    """Device signal -> linear RGB (dst primaries), via A2B."""
+    from ..core.lut import CustomLut
+    prof = _PROFILES[profile_id]
+    adapt = adapt_white_matrix(CIE_D50, prim.white).m
+    xyz2rgb = xyz_to_rgb_matrix(prim).m
+    grid = np.linspace(0.0, 1.0, _BAKE_N)
+    b, g, r = np.meshgrid(grid, grid, grid, indexing="ij")
+    sig = np.stack([r, g, b], axis=-1)
+    xyz = prof.a2b_to_xyz(sig)
+    rgb = xyz @ (xyz2rgb @ adapt).T
+    return CustomLut(data=np.clip(rgb, 0.0, 2.0).astype(np.float32),
+                     size=(_BAKE_N,) * 3)
 
 _DEG = 12
 
@@ -78,6 +122,13 @@ def encode_profile(img_linear, prof: IccProfile, src_prim: RawPrimaries,
     """Linear NORM RGB (src primaries) -> profile signal values.
     `peak_norm` maps NORM 1.0 (SDR white) to profile-relative 1.0."""
     pid = _register(prof)
+    if prof.rgb2xyz is None:
+        # cLUT-only profile: apply the baked B2A 3DLUT on device (the
+        # LUT is indexed in the u = lin^(1/2.4) shaped basis)
+        from . import lut as ops_lut
+        lut3d = _baked_b2a_lut(pid, src_prim)
+        u = jnp.clip(img_linear / peak_norm, 0.0, 1.0) ** (1 / _BAKE_GAMMA)
+        return ops_lut.apply_lut(u, lut3d)
     m = jnp.asarray(_gamut_matrix(prof, src_prim).astype(np.float32))
     x = jnp.einsum("ck,...khw->...chw", m, img_linear) / peak_norm
     x = jnp.clip(x, 0.0, 1.0)
@@ -92,6 +143,11 @@ def decode_profile(img_signal, prof: IccProfile, dst_prim: RawPrimaries,
                    peak_norm: float = 1.0):
     """Profile signal -> linear NORM RGB in dst primaries."""
     pid = _register(prof)
+    if prof.rgb2xyz is None:
+        from . import lut as ops_lut
+        lut3d = _baked_a2b_lut(pid, dst_prim)
+        return ops_lut.apply_lut(jnp.clip(img_signal, 0.0, 1.0),
+                                 lut3d) * peak_norm
     u = jnp.sqrt(jnp.sqrt(jnp.clip(img_signal, 0.0, 1.0)))
     coefs = _forward_trc_coefs(pid)
     chans = [_polyval(coefs[c], u[..., c, :, :]) for c in range(3)]

@@ -173,3 +173,150 @@ def test_icc_in_render_target():
     out = np.asarray(Renderer().render(frame, tgt_icc, p))
     # linear of sRGB 0.5 ~ 0.214; gamma-2.8-encoded ~ 0.214^(1/2.8) ~ 0.577
     assert abs(out.mean() - 0.214 ** (1 / 2.8)) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# cLUT (A2B/B2A) ICC profiles
+# ---------------------------------------------------------------------------
+
+def _icc_header(pcs=b"XYZ "):
+    import struct
+    h = bytearray(128)
+    h[8] = 2
+    h[16:20] = b"RGB "
+    h[20:24] = pcs
+    return h
+
+
+def _icc_tags(tags):
+    import struct
+    table = struct.pack(">I", len(tags))
+    off = 132 + 12 * len(tags)
+    body = b""
+    for sig, data in tags:
+        table += struct.pack(">4sII", sig, off, len(data))
+        body += data
+        off += len(data)
+    return table + body
+
+
+def _mft2_b2a(fn, grid_n=33):
+    """Build a lut16 B2A0 tag sampling fn((...,3) enc) -> (...,3) sig."""
+    import struct
+    import numpy as np
+    g = np.linspace(0, 1, grid_n)
+    e0, e1, e2 = np.meshgrid(g, g, g, indexing="ij")
+    sig = fn(np.stack([e0, e1, e2], axis=-1))
+    clut16 = (np.clip(sig, 0, 1) * 65535 + 0.5).astype(">u2")
+    ident = (np.tile(np.linspace(0, 1, 2), 3) * 65535).astype(">u2")
+    return (b"mft2" + b"\0" * 4 + bytes([3, 3, grid_n, 0]) +
+            struct.pack(">9i", 65536, 0, 0, 0, 65536, 0, 0, 0, 65536) +
+            struct.pack(">HH", 2, 2) +
+            ident.tobytes() + clut16.tobytes() + ident.tobytes())
+
+
+def test_icc_clut_profile_parses_and_nodes_exact():
+    """lut16 B2A parsing: values at clut nodes reproduce exactly."""
+    import numpy as np
+    from libplacebo_tpu.core.icc import parse_icc
+
+    def fn(enc):
+        return 0.1 + 0.7 * enc + 0.15 * enc ** 2
+    data = bytes(_icc_header()) + _icc_tags([(b"B2A0", _mft2_b2a(fn))])
+    prof = parse_icc(data)
+    assert prof.b2a is not None and prof.rgb2xyz is None
+    g = np.linspace(0, 1, 33)
+    pts = np.stack(np.meshgrid(g[::8], g[::8], g[::8],
+                               indexing="ij"), axis=-1).reshape(-1, 3)
+    out = prof.b2a.eval(pts)
+    np.testing.assert_allclose(out, fn(pts), atol=2e-5)
+
+
+def test_icc_clut_encode_smooth_transform():
+    """Device encode through a cLUT-only profile matches the analytic
+    transform for a smooth B2A (wiring + bake + device 3DLUT apply)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc, XYZ16_SCALE
+    from libplacebo_tpu.core.colorspace import (CIE_D50, ColorPrimaries,
+                                                adapt_white_matrix,
+                                                primaries_get,
+                                                xyz_to_rgb_matrix)
+    from libplacebo_tpu.ops.icc import encode_profile
+
+    def fn(enc):   # smooth, no kinks: rational soft curve per channel
+        return enc / (0.6 + 0.4 * enc)
+    prof = parse_icc(bytes(_icc_header()) +
+                     _icc_tags([(b"B2A0", _mft2_b2a(fn))]))
+    prim = primaries_get(ColorPrimaries.BT_709)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((3, 12, 16)).astype(np.float32))
+    out = np.asarray(encode_profile(img, prof, prim))
+
+    rgb2xyz = np.linalg.inv(xyz_to_rgb_matrix(prim).m)
+    adapt = adapt_white_matrix(prim.white, CIE_D50).m
+    lin = np.moveaxis(np.asarray(img, np.float64), 0, -1)
+    xyz = lin @ (adapt @ rgb2xyz).T
+    expect = fn(np.clip(xyz * XYZ16_SCALE, 0, 1))
+    assert np.abs(out - np.moveaxis(expect, -1, 0)).max() < 3e-3
+
+
+def test_icc_clut_gamma_display_profile():
+    """A gamma-2.4 display expressed as a cLUT B2A agrees with the
+    equivalent matrix/TRC profile (loose tolerance: trilinear sampling
+    of a gamma curve is inherently imprecise near black — same limit
+    as the reference's lcms-baked 3D textures)."""
+    import struct
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc, XYZ16_SCALE
+    from libplacebo_tpu.core.colorspace import (CIE_D50, ColorPrimaries,
+                                                adapt_white_matrix,
+                                                primaries_get,
+                                                xyz_to_rgb_matrix)
+    from libplacebo_tpu.ops.icc import encode_profile
+
+    prim = primaries_get(ColorPrimaries.BT_709)
+    disp = adapt_white_matrix(prim.white, CIE_D50).m @ \
+        np.linalg.inv(xyz_to_rgb_matrix(prim).m)
+    inv = np.linalg.inv(disp)
+
+    def xyz_tag(v):
+        return b"XYZ " + b"\0" * 4 + struct.pack(
+            ">3i", *[int(round(x * 65536)) for x in v])
+    gcurv = b"curv" + b"\0" * 4 + struct.pack(">IH", 1, int(2.4 * 256))
+    prof_mtx = parse_icc(bytes(_icc_header()) + _icc_tags([
+        (b"rXYZ", xyz_tag(disp[:, 0])), (b"gXYZ", xyz_tag(disp[:, 1])),
+        (b"bXYZ", xyz_tag(disp[:, 2])),
+        (b"rTRC", gcurv), (b"gTRC", gcurv), (b"bTRC", gcurv)]))
+
+    def fn(enc):
+        return np.clip((enc / XYZ16_SCALE) @ inv.T, 0, 1) ** (1 / 2.4)
+    prof_lut = parse_icc(bytes(_icc_header()) +
+                         _icc_tags([(b"B2A0", _mft2_b2a(fn, grid_n=45))]))
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray((rng.random((3, 12, 16)) * 0.8 + 0.15)
+                      .astype(np.float32))
+    out_m = np.asarray(encode_profile(img, prof_mtx, prim))
+    out_l = np.asarray(encode_profile(img, prof_lut, prim))
+    d = np.abs(out_m - out_l)
+    assert d.mean() < 0.01 and d.max() < 0.08, (d.mean(), d.max())
+
+
+def test_icc_lab_roundtrip():
+    """Lab <-> XYZ and PCS Lab encodings roundtrip."""
+    import numpy as np
+    from libplacebo_tpu.core.icc import (lab_decode, lab_encode, lab_to_xyz,
+                                         xyz_to_lab)
+    from libplacebo_tpu.core.colorspace import CIE_D50
+
+    wp = np.asarray(CIE_D50.to_XYZ(), np.float64)
+    rng = np.random.default_rng(3)
+    xyz = rng.random((100, 3)) * wp
+    back = lab_to_xyz(xyz_to_lab(xyz, wp), wp)
+    np.testing.assert_allclose(back, xyz, atol=1e-12)
+    for legacy in (False, True):
+        lab = xyz_to_lab(xyz, wp)
+        enc = lab_encode(lab, legacy)
+        np.testing.assert_allclose(lab_decode(enc, legacy), lab, atol=1e-9)

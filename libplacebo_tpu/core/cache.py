@@ -21,7 +21,7 @@ import zlib
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
-__all__ = ["Cache", "CacheParams", "cache_create"]
+__all__ = ["Cache", "CacheParams", "cache_create", "set_xla_cache_dir"]
 
 _MAGIC = b"PLTPUCCH"
 _VERSION = 1

@@ -65,6 +65,19 @@ class TpuContext:
     def set_cache(self, cache: Cache):
         self.cache = cache
 
+    def set_disk_cache(self, path: str):
+        """Persist compiled pipelines across processes (the reference
+        caches SPIR-V/pipeline blobs through pl_cache; here the XLA
+        persistent compilation cache plays that role).
+
+        NB: like the reference's pipeline caches, entries are only
+        portable between identical devices — XLA warns (and recompiles)
+        on CPU-feature mismatches."""
+        from .core.cache import set_xla_cache_dir
+        import os
+        os.makedirs(path, exist_ok=True)
+        set_xla_cache_dir(path)
+
     # -- mesh construction (multi-chip; SURVEY §5.8) --------------------
     def make_mesh(self, data: int = 1, spatial: Optional[int] = None):
         from .parallel import make_mesh

@@ -57,3 +57,16 @@ def test_no_degradation_on_good_params():
                            color=CSP_SRGB)
     r.render(frame, Target(w=24, h=24, color=CSP_SRGB))
     assert r.errors == set()
+
+
+def test_disk_cache(tmp_path):
+    """set_disk_cache enables the XLA persistent compilation cache and
+    rendering still works (reference pl_cache-backed pipeline blobs)."""
+    ctx = runtime.create_dummy()
+    ctx.set_disk_cache(str(tmp_path / "plcache"))
+    frame = frame_from_rgb(np.random.default_rng(5)
+                           .random((8, 8, 3)).astype(np.float32),
+                           color=CSP_SRGB)
+    out = ctx.renderer().render(frame, Target(w=8, h=8, color=CSP_SRGB))
+    assert out.shape == (3, 8, 8)
+    assert (tmp_path / "plcache").is_dir()

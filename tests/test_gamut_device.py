@@ -111,3 +111,51 @@ def test_renderer_gamut_integration():
                                              peak_detect=None))
         o = np.asarray(out)
         assert np.all(np.isfinite(o)) and o.min() >= 0 and o.max() <= 1, fn
+
+
+def test_hueshift_fourier_matches_spline(bounds):
+    """The Fourier fit of the hue-shift delta matches the reference's
+    cubic spline (hueshift_prepare/apply, gamut_mapping.c:628-700)."""
+    b2020, b709 = bounds
+    coefs = og._hueshift_fourier(b2020, b709)
+    assert coefs is not None          # 2020 -> 709 shifts hues
+    gs = gm._Gamut(primaries_get(ColorPrimaries.BT_2020), MIN_L, MAX_L)
+    gd = gm._Gamut(primaries_get(ColorPrimaries.BT_709), MIN_L, MAX_L)
+    table = gm._hueshift_prepare(gs, gd)
+    hs = np.linspace(-math.pi, math.pi, 257)
+    exact = gm._hueshift_apply(table, hs) - hs
+    F = og._fourier_design(hs)
+    fitted = F @ np.asarray(coefs)
+    # 12 harmonics capture the 12-knot spline to ~0.011 rad (0.64 deg);
+    # the reference's own 3DLUT quantizes hue more coarsely than that
+    assert np.abs(fitted - exact).max() < 1.5e-2
+    # identity pair: no shift
+    assert og._hueshift_fourier(b709, b709) is None
+
+
+def test_softclip_hueshift_behavior(bounds):
+    """Device softclip shifts the hue of saturated out-of-gamut colors
+    (toward the dst gamut's hue at the same refpoint) but leaves
+    achromatic and in-gamut colors alone."""
+    b2020, b709 = bounds
+    rgb = _oog_frame(bounds)
+    out = np.asarray(og.map_gamut(rgb, "softclip", b2020, b709,
+                                  to_norm=TO_NORM))
+    assert np.all(np.isfinite(out))
+    # hue actually moved for the most out-of-gamut pixel
+    x = np.asarray(rgb) * TO_NORM
+    I0, C0, ch0, sh0 = (np.asarray(v) for v in og._rgb2ich_dev(
+        jnp.asarray(x), b709))
+    I1, C1, ch1, sh1 = (np.asarray(v) for v in og._rgb2ich_dev(
+        jnp.asarray(out * TO_NORM), b709))
+    oog = C0 > np.asarray(og._boundary_eval_dev(
+        b709, jnp.asarray(I0), h=jnp.asarray(np.arctan2(sh0, ch0))))
+    # hue angle change where strongly out of gamut
+    dh = np.abs(np.arctan2(sh1, ch1) - np.arctan2(sh0, ch0))
+    dh = np.minimum(dh, 2 * np.pi - dh)
+    assert dh[oog].max() > 2e-3      # some hue movement happened
+    # gray stays gray (no hue shift, no chroma invented)
+    gray = jnp.full((3, 4, 4), 0.4, jnp.float32)
+    outg = np.asarray(og.map_gamut(gray, "softclip", b2020, b709,
+                                   to_norm=TO_NORM))
+    np.testing.assert_allclose(outg, 0.4, atol=5e-3)

@@ -320,3 +320,50 @@ def test_icc_lab_roundtrip():
         lab = xyz_to_lab(xyz, wp)
         enc = lab_encode(lab, legacy)
         np.testing.assert_allclose(lab_decode(enc, legacy), lab, atol=1e-9)
+
+
+def test_icc_clut_decode_a2b():
+    """decode_profile through an A2B-only profile: device signal ->
+    linear RGB matches the analytic transform."""
+    import struct
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc, XYZ16_SCALE
+    from libplacebo_tpu.core.colorspace import (CIE_D50, ColorPrimaries,
+                                                adapt_white_matrix,
+                                                primaries_get,
+                                                xyz_to_rgb_matrix)
+    from libplacebo_tpu.ops.icc import decode_profile
+
+    prim = primaries_get(ColorPrimaries.BT_709)
+    rgb2xyz = np.linalg.inv(xyz_to_rgb_matrix(prim).m)
+    adapt = adapt_white_matrix(prim.white, CIE_D50).m
+    disp = adapt @ rgb2xyz
+
+    def fn(sig):   # device signal -> PCS XYZ enc: smooth soft curve
+        lin = sig / (1.4 - 0.4 * sig)
+        return np.clip((lin @ disp.T) * XYZ16_SCALE, 0, 1)
+    # A2B0 as mft2: input = device signal, output = XYZ enc
+    g = np.linspace(0, 1, 33)
+    e0, e1, e2 = np.meshgrid(g, g, g, indexing="ij")
+    # clut input channel order = device RGB; meshgrid first axis slowest
+    sig = np.stack([e0, e1, e2], axis=-1)
+    clut16 = (fn(sig) * 65535 + 0.5).astype(">u2")
+    ident = (np.tile(np.linspace(0, 1, 2), 3) * 65535).astype(">u2")
+    mft2 = (b"mft2" + b"\0" * 4 + bytes([3, 3, 33, 0]) +
+            struct.pack(">9i", 65536, 0, 0, 0, 65536, 0, 0, 0, 65536) +
+            struct.pack(">HH", 2, 2) +
+            ident.tobytes() + clut16.tobytes() + ident.tobytes())
+    prof = parse_icc(bytes(_icc_header()) + _icc_tags([(b"A2B0", mft2)]))
+    assert prof.a2b is not None
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((3, 10, 14)).astype(np.float32))
+    out = np.asarray(decode_profile(img, prof, prim))
+
+    # oracle: signal -> lin (per the soft curve), channel order is the
+    # clut's input order (R slowest in our meshgrid => channel 0 = e0)
+    s = np.moveaxis(np.asarray(img, np.float64), 0, -1)
+    lin = s / (1.4 - 0.4 * s)
+    expect = np.moveaxis(lin, -1, 0)
+    assert np.abs(out - expect).max() < 5e-3

@@ -76,17 +76,23 @@ def _bias_matrix(params: DitherParams, h: int, w: int,
 
 
 def dither(img, new_depth: int, params: Optional[DitherParams] = None,
-           frame_index: int = 0):
+           frame_index: int = 0, bias=None):
     """Quantize (..., C, H, W) [0,1] image to `new_depth` bits with dither
     bias (reference pl_shader_dither, shaders/dithering.c:109).
 
     For depths <= 4 with a known gamma, uses the reference's gamma-correct
-    path (dither between linearized quantization levels)."""
+    path (dither between linearized quantization levels).
+
+    `bias` optionally injects a precomputed (h, w) bias block — used by
+    the row-sharded multi-chip path, whose local block must see *its*
+    rows of the frame-global bias pattern rather than a locally re-tiled
+    one."""
     params = params or DitherParams()
     if new_depth <= 0 or new_depth > 16:
         return img
     h, w = img.shape[-2], img.shape[-1]
-    bias = jnp.asarray(_bias_matrix(params, h, w, frame_index))
+    if bias is None:
+        bias = jnp.asarray(_bias_matrix(params, h, w, frame_index))
     scale = float((1 << new_depth) - 1)
 
     gamma = _APPROX_GAMMA.get(params.transfer, 1.0)

@@ -66,13 +66,28 @@ def _smoothstep(e0, e1, x):
 
 
 def detect_peak(img_linear, state, params: PeakDetectParams,
+                axis_name: Optional[str] = None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Measure the frame and update the temporal state.
 
     img_linear: (..., 3, H, W) linear light in NORM units (1.0 = SDR
     white). Returns (avg_pq, max_pq, new_state) — smoothed values as
     traced scalars, PQ-encoded in [0,1].
+
+    With `axis_name`, the frame is row-sharded over that mesh axis
+    (inside shard_map) and every frame-global statistic — workgroup
+    averages, max, and both radix histogram levels — is finished with a
+    `psum`/`pmax` collective, so the multi-chip result equals the
+    single-chip one (exactly so when the local row count is a multiple
+    of the 16-row tile).  This is the ICI analog of the reference's
+    global atomics into one SSBO (colorspace.c:1155-1313).
     """
+    def _rsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def _rmax(x):
+        return jax.lax.pmax(x, axis_name) if axis_name else x
+
     # maxRGB -> relative PQ (reference: PQ of the max component, clamped
     # to the valid signal range — scaler ringing can overshoot)
     maxrgb = jnp.max(img_linear, axis=-3)
@@ -99,10 +114,13 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
     tile_cnt = jnp.sum(acts, axis=(-3, -1))
     tile_avg = tile_sum / jnp.maximum(tile_cnt, 1)
     wg_active = tile_cnt > 0
-    n_active = jnp.maximum(jnp.sum(wg_active), 1)
-    frame_avg = jnp.sum(jnp.where(wg_active, tile_avg, 0.0)) / n_active
-    frame_max = jnp.max(pq)
-    wg_bias = jnp.sum(wg_active) / wg_active.size
+    wg_count = _rsum(jnp.sum(wg_active))
+    n_active = jnp.maximum(wg_count, 1)
+    frame_avg = _rsum(jnp.sum(jnp.where(wg_active, tile_avg, 0.0))) \
+        / n_active
+    frame_max = _rmax(jnp.max(pq))
+    total_wgs = _rsum(jnp.asarray(float(wg_active.size), jnp.float32))
+    wg_bias = wg_count / total_wgs
 
     use_hist = 0 < params.percentile < 100
     if use_hist:
@@ -121,8 +139,8 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
         b = jnp.where(active_mask, bins, -1)     # inactive match nothing
         hi = b >> 3                              # -1 stays -1
         lo = b & 7
-        hi_hist = jnp.stack([jnp.sum((hi == a).astype(jnp.float32))
-                             for a in range(8)])
+        hi_hist = _rsum(jnp.stack([jnp.sum((hi == a).astype(jnp.float32))
+                                   for a in range(8)]))
         total = jnp.sum(hi_hist)
         target = jnp.ceil(params.percentile / 100.0 * total)
         hi_csum = jnp.cumsum(hi_hist)
@@ -130,9 +148,9 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
         a_star = jnp.argmax(hi_csum >= target).astype(jnp.int32)
         base = hi_csum[a_star] - hi_hist[a_star]
         sel = hi == a_star                       # traced compare
-        lo_hist = jnp.stack([
+        lo_hist = _rsum(jnp.stack([
             jnp.sum((sel & (lo == bb)).astype(jnp.float32))
-            for bb in range(8)])
+            for bb in range(8)]))
         lo_csum = jnp.cumsum(lo_hist)
         b_star = jnp.argmax(base + lo_csum >= target).astype(jnp.int32)
         bin_idx = a_star * 8 + b_star
@@ -152,7 +170,7 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
     else:
         max_cur = frame_max
 
-    has_content = jnp.sum(wg_active) > 0
+    has_content = wg_count > 0
     avg_cur = jnp.where(has_content, frame_avg, COLOR_HDR_BLACK)
     max_cur = jnp.where(has_content, max_cur, COLOR_HDR_BLACK)
 

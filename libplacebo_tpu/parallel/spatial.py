@@ -99,9 +99,9 @@ def sharded_render_step(mesh: Mesh, src_h: int, src_w: int,
             'data', rows over 'spatial'.
     Output: (B, 3, dst_h, dst_w) with the same sharding.
 
-    Pipeline: linearize (PQ) -> global peak detection [psum/pmax over the
-    whole mesh] -> row-resample [ppermute halo] -> col-resample [local
-    matmul] -> tone map to SDR -> delinearize -> dither.
+    Pipeline: linearize (PQ) -> per-frame peak detection [pmax over the
+    'spatial' axis] -> row-resample [ppermute halo] -> col-resample
+    [local matmul] -> tone map to SDR -> delinearize -> dither.
     """
     n_sp = mesh.shape["spatial"]
     cfg = flt.find_filter_config(upscaler)
@@ -137,11 +137,13 @@ def sharded_render_step(mesh: Mesh, src_h: int, src_w: int,
         x = jnp.maximum(rgb, 0.0)
 
         if tone_map:
-            # global peak detection: max PQ-luma over the WHOLE frame
-            # (all-reduce over both mesh axes' spatial extent)
+            # per-frame peak detection: max over this frame's local rows
+            # (H, W only — frames sharing a data shard stay independent),
+            # then an all-reduce over the 'spatial' axis where the rest
+            # of each frame's rows live
             luma = jnp.max(x, axis=1)
-            local_peak = jnp.max(luma)
-            peak = jax.lax.pmax(local_peak, "spatial")
+            local_peak = jnp.max(luma, axis=(-2, -1))        # (B_l,)
+            peak = jax.lax.pmax(local_peak, "spatial")[:, None, None, None]
 
         # rows (halo exchange over ICI)
         y = sharded_resample_rows(x, idx_j, w_j, halo)

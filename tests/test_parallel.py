@@ -51,6 +51,96 @@ def test_sharded_output_sharding(devices):
     assert out.shape == (2, 3, 64, 128)
 
 
+# ---------------------------------------------------------------------------
+# Full-pipeline sharding: the REAL renderer (EWA polar + peak histogram +
+# tone + gamut + dither) sharded over the mesh must match the single-chip
+# Renderer frame for frame (VERDICT r1 item 1/2).
+# ---------------------------------------------------------------------------
+
+def _flagship_frames(batch, src_h, src_w, seed=0):
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem,
+                                                CSP_BT2100_PQ)
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(batch):
+        y = (rng.random((src_h, src_w)) * 219 + 16).astype(np.uint8)
+        u = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+        v = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+        frames.append(frame_from_yuv420p(
+            y, u, v, color=CSP_BT2100_PQ,
+            repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                           levels=ColorLevels.LIMITED,
+                           bits=BitEncoding(8, 8, 0))))
+    return frames
+
+
+def _run_sharded(mesh, frames, target, params):
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, len(frames))
+    out, new_state = step(state, *xs)
+    return np.asarray(out), np.asarray(new_state)
+
+
+@pytest.mark.parametrize("data,spatial", [(2, 4), (1, 8)])
+def test_sharded_flagship_matches_renderer(devices, data, spatial):
+    """EWA-Jinc 2x upscale + PQ->SDR with peak *histogram* percentile,
+    spline tone map, perceptual gamut map and blue-noise dither: the
+    sharded pipeline equals single-chip Renderer per frame."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    mesh = make_mesh(data=data, spatial=spatial)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="ewa_lanczos",
+                          peak_detect=PeakDetectParams(percentile=99.5))
+    frames = _flagship_frames(2 * data, src_h, src_w)
+    out, new_state = _run_sharded(mesh, frames, target, params)
+
+    for b, frame in enumerate(frames):
+        r = Renderer()
+        ref = np.asarray(r._render_once(frame, target, params))
+        np.testing.assert_allclose(out[b], ref, atol=1e-5)
+        np.testing.assert_allclose(new_state[b], np.asarray(r._peak_state),
+                                   atol=1e-6)
+
+
+def test_sharded_separable_sdr_matches_renderer(devices):
+    """Separable Lanczos + sigmoidized linear scaling, SDR->SDR
+    (BT.1886 -> sRGB transfer-only color map), no dither."""
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem,
+                                                CSP_SRGB)
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    mesh = make_mesh(data=1, spatial=8)
+    src_h, src_w = 64, 96
+    rng = np.random.default_rng(3)
+    y = (rng.random((src_h, src_w)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+    frame = frame_from_yuv420p(
+        y, u, v,
+        repr=ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED,
+                       bits=BitEncoding(8, 8, 0)))
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    out, _ = _run_sharded(mesh, [frame], target, params)
+    ref = np.asarray(Renderer()._render_once(frame, target, params))
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
 def test_tone_map_device_matches_host():
     """tm.apply_device == LUT sampling of tm.generate at high resolution."""
     from libplacebo_tpu.core import tone_mapping as tm

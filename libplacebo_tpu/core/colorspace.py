@@ -749,3 +749,107 @@ CSP_BT709 = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886)
 CSP_BT2020_HLG = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.HLG)
 CSP_BT2100_PQ = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ)
 CSP_MONITOR = CSP_SRGB
+
+
+# ---------------------------------------------------------------------------
+# Cone distortion (color blindness simulation / adaptation)
+# Reference: pl_cone_params + pl_get_cone_matrix (colorspace.h:665-712,
+# colorspace.c:1408-1520) and pl_shader_cone_distort (shaders/
+# colorspace.c:2040).
+# ---------------------------------------------------------------------------
+
+class Cone(enum.IntFlag):
+    """Which cone types the simulated vision is missing/deficient in."""
+    NONE = 0
+    L = 1
+    M = 2
+    S = 4
+    LM = L | M
+    MS = M | S
+    LS = L | S
+    LMS = L | M | S
+
+
+@dataclass(frozen=True)
+class ConeParams:
+    """strength: 1.0 = unaffected, 0.0 = full blindness of the `cones`."""
+    cones: Cone = Cone.NONE
+    strength: float = 0.0
+
+
+# Built-in vision models (reference pl_vision_*, colorspace.c:1398-1406)
+VISION_NORMAL = ConeParams(Cone.NONE, 1.0)
+VISION_PROTANOMALY = ConeParams(Cone.L, 0.5)
+VISION_PROTANOPIA = ConeParams(Cone.L, 0.0)
+VISION_DEUTERANOMALY = ConeParams(Cone.M, 0.5)
+VISION_DEUTERANOPIA = ConeParams(Cone.M, 0.0)
+VISION_TRITANOMALY = ConeParams(Cone.S, 0.5)
+VISION_TRITANOPIA = ConeParams(Cone.S, 0.0)
+VISION_MONOCHROMACY = ConeParams(Cone.LM, 0.0)
+VISION_ACHROMATOPSIA = ConeParams(Cone.LMS, 0.0)
+
+# CAT16 XYZ->LMS cone response matrix (CIECAM16; reference m_cat16,
+# colorspace.c:1290-1294)
+_M_CAT16 = np.array([
+    [0.401288, 0.650173, -0.051461],
+    [-0.250268, 1.204414, 0.045854],
+    [-0.002079, 0.048952, 0.953127],
+])
+
+
+def cone_matrix(params: ConeParams, prim: RawPrimaries) -> Matrix3x3:
+    """RGB->RGB (linear light) matrix simulating the given cone
+    deficiency in the given primaries.
+
+    Construction (same model as the reference, derived independently):
+    in LMS space, each affected cone's response is replaced by `strength`
+    of itself plus (1-strength) of a linear combination of the remaining
+    cones.  The combination is the unique one preserving two anchor
+    colors — neutral plus the primary most distant from the affected
+    cone (blue for L/M defects, red for S) — found here by solving the
+    2x2 anchor system directly rather than by the reference's unrolled
+    closed forms.
+    """
+    cones = Cone(params.cones)
+    c = float(params.strength)
+    if cones == Cone.NONE:
+        return Matrix3x3(np.eye(3))
+
+    rgb2lms = _M_CAT16 @ rgb_to_xyz_matrix(prim).m
+    lms_w = rgb2lms @ np.ones(3)
+    distort = np.eye(3)
+
+    single = {Cone.L: 0, Cone.M: 1, Cone.S: 2}
+    pair = {Cone.LM: (0, 1, 2), Cone.MS: (1, 2, 0), Cone.LS: (0, 2, 1)}
+
+    if cones in single:
+        k = single[cones]
+        others = [i for i in range(3) if i != k]
+        # second anchor: the primary "most opposite" the affected cone —
+        # blue for L/M, red for S (reference's choice)
+        anchor = rgb2lms @ (np.array([0.0, 0.0, 1.0]) if k != 2
+                            else np.array([1.0, 0.0, 0.0]))
+        A = np.array([[lms_w[others[0]], lms_w[others[1]]],
+                      [anchor[others[0]], anchor[others[1]]]])
+        y = np.array([lms_w[k], anchor[k]])
+        ab = np.linalg.solve(A, y)
+        row = np.zeros(3)
+        row[k] = c
+        row[others[0]] = (1.0 - c) * ab[0]
+        row[others[1]] = (1.0 - c) * ab[1]
+        distort[k] = row
+    elif cones in pair:
+        i1, i2, j = pair[cones]
+        # only one cone left: preserve neutral exactly
+        for i in (i1, i2):
+            row = np.zeros(3)
+            row[i] = c
+            row[j] = (1.0 - c) * lms_w[i] / lms_w[j]
+            distort[i] = row
+    else:  # LMS: rod-cell approximation (reference colorspace.c rod model)
+        w = np.array([0.3605, 0.6415, -0.002])
+        distort = (1.0 - c) * w[None, :] * lms_w[:, None] / lms_w[None, :] \
+            + c * np.eye(3)
+
+    out = np.linalg.inv(rgb2lms) @ distort @ rgb2lms
+    return Matrix3x3(out)

@@ -95,6 +95,10 @@ class IccProfile:
     description: str = ""
     a2b: Optional["IccLut"] = None             # device -> PCS (decode)
     b2a: Optional["IccLut"] = None             # PCS -> device (encode)
+    # content signature (crc32 of the raw profile bytes): the stable jit
+    # cache key — id() would alias a new profile reusing a freed address
+    # (reference: pl_icc caches by a 64-bit signature, icc.c)
+    signature: int = 0
 
     # -- cLUT transforms through the PCS (reference uses lcms transforms;
     # icc.c:624-720 then bakes them into a 3D texture) -------------------
@@ -503,6 +507,8 @@ def parse_icc(data: bytes) -> IccProfile:
                 .rstrip("\x00")
             break
 
+    import zlib
     return IccProfile(color_space=color_space, pcs=pcs, version=version,
                       white=white, rgb2xyz=m, trc=trc, chad=chad,
-                      description=desc, a2b=a2b, b2a=b2a)
+                      description=desc, a2b=a2b, b2a=b2a,
+                      signature=zlib.crc32(data))

@@ -27,8 +27,23 @@ from ..core.colorspace import (COLOR_SDR_WHITE, ColorPrimaries, ColorRepr,
 __all__ = [
     "apply_matrix", "decode_color", "encode_color", "linearize",
     "delinearize", "sigmoidize", "desigmoidize", "nominal_luma_norm",
-    "SigmoidParams",
+    "SigmoidParams", "cone_distort",
 ]
+
+
+def cone_distort(img, csp: ColorSpace, params, already_linear=False):
+    """Color-blindness simulation/adaptation (reference
+    pl_shader_cone_distort, shaders/colorspace.c:2040): apply the cone
+    deficiency matrix in linear light.  With `already_linear`, the
+    surrounding linearize/delinearize round trip is skipped (the renderer
+    calls this inside its linear-light section)."""
+    from ..core.colorspace import Cone, cone_matrix
+    if params is None or Cone(params.cones) == Cone.NONE:
+        return img
+    m = cone_matrix(params, primaries_get(csp.infer().primaries))
+    if already_linear:
+        return apply_matrix(img, m.m)
+    return delinearize(apply_matrix(linearize(img, csp), m.m), csp)
 
 _HLG_REF = 1000.0 / COLOR_SDR_WHITE
 _SCRGB_WHITE = 80.0 / COLOR_SDR_WHITE
@@ -101,15 +116,19 @@ def decode_color(img, repr: ColorRepr,
         return img
 
     if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
-        # ICtCp -> L'M'S' (linear part) -> LMS -> RGB(2020)
+        # ICtCp -> L'M'S' (linear part) -> LMS -> RGB(2020).
+        # Container transforms use the *exact* PQ curves: they run once
+        # per frame at the pipeline boundary, and the pow-free fast
+        # approximations clamp the near-black toe (<0.001 nits), which
+        # would break encode<->decode round trips.
         tr, _ = color_repr_decode(repr, prim)
         lmsp = apply_matrix(img, tr.mat.m, tr.c)
         rgb2lms, _ = ictcp_matrices(sys)
         lms2rgb = np.linalg.inv(rgb2lms)
         if sys == ColorSystem.BT_2100_PQ:
-            lms = tf.pq_eotf_fast(lmsp)
+            lms = tf.pq_eotf(lmsp)
             rgb = apply_matrix(lms, lms2rgb)
-            return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
+            return tf.pq_oetf(jnp.maximum(rgb, 0.0))
         else:
             lms = tf.hlg_oetf_inv(lmsp) / 12.0
             rgb = apply_matrix(lms, lms2rgb)
@@ -169,9 +188,29 @@ def encode_color(img, repr: ColorRepr,
     """Full-range RGB -> encoded representation (inverse of decode_color;
     reference pl_shader_encode_color, shaders/colorspace.c:462)."""
     sys = repr.sys
-    if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG,
-               ColorSystem.XYZ):
-        raise NotImplementedError(f"encode to {sys} not yet supported")
+    if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
+        # inverse of the ICtCp decode: (PQ/HLG)-encoded RGB -> LMS ->
+        # L'M'S' -> ICtCp -> range compression
+        rgb2lms, _ = ictcp_matrices(sys)
+        if sys == ColorSystem.BT_2100_PQ:
+            lms = apply_matrix(tf.pq_eotf(img), rgb2lms)
+            lmsp = tf.pq_oetf(jnp.maximum(lms, 0.0))
+        else:
+            lms = apply_matrix(tf.hlg_oetf_inv(img) / 12.0, rgb2lms)
+            lmsp = tf.hlg_oetf(jnp.maximum(lms, 0.0) * 12.0)
+        tr, _ = color_repr_decode(repr, prim)
+        inv = tr.invert()
+        return apply_matrix(lmsp, inv.mat.m, inv.c)
+    if sys == ColorSystem.XYZ:
+        # inverse of the ST 428 decode: gamma-2.6 RGB -> linear ->
+        # RGB->XYZ -> DCDM encode -> range compression
+        from ..core.colorspace import rgb_to_xyz_matrix
+        lin = (52.37 / 48.0) * jnp.power(jnp.maximum(img, 0.0), 2.6)
+        xyz = apply_matrix(lin, rgb_to_xyz_matrix(primaries_get(prim)).m)
+        sig = jnp.power(jnp.maximum(xyz / (52.37 / 48.0), 0.0), 1 / 2.6)
+        tr, _ = color_repr_decode(repr, prim)
+        inv = tr.invert()
+        return apply_matrix(sig, inv.mat.m, inv.c)
     if sys == ColorSystem.BT_2020_C:
         # inverse of the constant-luminance decode (Rec. BT.2020-2)
         r = img[..., 0, :, :]

@@ -135,6 +135,10 @@ class Frame:
             self.repr.sys, self.repr.levels, self.repr.alpha,
             self.repr.bits, dovi_key,
             self.color.primaries, self.color.transfer,
+            # full HDR metadata: min/max_luma & scene stats bake into the
+            # traced tone-map/gamut math (renderer: hdr_rescale of the
+            # inferred levels), so they must key the pipeline cache
+            self.color.hdr,
             self.get_crop(), self.rotation, grain_static,
             self.field, self.first_field,
             self.prev is not None, self.next is not None,

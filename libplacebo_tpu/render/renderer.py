@@ -44,7 +44,7 @@ from ..ops.peak_detect import PeakDetectParams
 from .frame import Frame, Plane
 
 __all__ = ["RenderParams", "Target", "Renderer", "render_image",
-           "RenderError"]
+           "RenderError", "color_map_stage", "tone_with_recovery"]
 
 
 class RenderError(Exception):
@@ -90,10 +90,16 @@ class Target:
     icc: Optional[object] = None
 
     def meta_key(self):
+        # the whole HdrMetadata is part of the key: inferred min/max_luma
+        # (and HDR10+ scene stats) bake into the traced tone curve and
+        # gamut boundary fits — omitting them would silently reuse a
+        # stale pipeline when only mastering metadata changed
+        icc_key = None
+        if self.icc is not None:
+            icc_key = getattr(self.icc, "signature", 0) or id(self.icc)
         return (self.w, self.h, self.repr.sys, self.repr.levels,
                 self.repr.bits, self.color.primaries, self.color.transfer,
-                self.bit_depth, self.crop,
-                id(self.icc) if self.icc is not None else None)
+                self.color.hdr, self.bit_depth, self.crop, icc_key)
 
 
 @dataclass(frozen=True)
@@ -122,6 +128,9 @@ class RenderParams:
     # HDR contrast recovery strength (reference pl_color_map_params
     # .contrast_recovery; 0 = off)
     contrast_recovery: float = 0.0
+    # color-blindness simulation/adaptation (reference
+    # pl_render_params.cone_params; core.colorspace.ConeParams)
+    cone: Optional[object] = None
     # border fill when the image doesn't cover the target (reference
     # pl_render_params.background/border: clear_target renderer.c:2491)
     background: str = "color"            # color | tiles
@@ -146,7 +155,7 @@ class RenderParams:
                 self.deband.key() if self.deband else None,
                 self.film_grain,
                 self.deinterlace.key() if self.deinterlace else None,
-                self.contrast_recovery, self.background,
+                self.contrast_recovery, self.cone, self.background,
                 self.background_color, self.tile_colors, self.tile_size,
                 tuple(h.signature for h in self.hooks),
                 self.lut.signature if self.lut is not None else None,
@@ -171,6 +180,115 @@ def _find_scaler(name: str) -> flt.FilterConfig:
     if cfg is None:
         raise RenderError(f"unknown filter: {name}")
     return cfg
+
+
+def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
+                    params: RenderParams, peak_stats=None):
+    """Linear-light color conversion: gamut matrix + tone map
+    (reference pl_shader_color_map_ex). With `peak_stats`, the tone
+    curve adapts to the detected (avg, peak) as traced scalars —
+    the TPU equivalent of the reference's per-frame LUT refresh.
+
+    Module-level (not a Renderer method) so the multi-chip sharded
+    pipeline (parallel/renderer.py) applies the *identical* stage: it is
+    pointwise in the pixels, so it needs no communication."""
+    need_gamut = (src.primaries != dst.primaries and
+                  params.gamut_mapping not in (None, "", "none"))
+    if src.primaries != dst.primaries:
+        m = color_mapping_matrix(primaries_get(src.primaries),
+                                 primaries_get(dst.primaries))
+        img = ops_color.apply_matrix(img, m.m)
+    src_peak = src.nominal_peak_norm()
+    dst_peak = dst.nominal_peak_norm()
+
+    if need_gamut:
+        from ..ops import gamut as ops_gamut
+        dst_inf2 = dst.infer()
+        min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                             dst_inf2.hdr.min_luma)
+        max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                             dst_inf2.hdr.max_luma)
+        b_src = ops_gamut.fit_boundary(primaries_get(src.primaries),
+                                       min_pq, max_pq)
+        b_dst = ops_gamut.fit_boundary(primaries_get(dst.primaries),
+                                       min_pq, max_pq)
+
+    if peak_stats is not None:
+        from ..core.transfer import pq_eotf_fast as pq_eotf, \
+            pq_oetf_fast as pq_oetf
+        avg_pq, max_pq = peak_stats
+        dst_inf = dst.infer()
+        dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                 dst_inf.hdr.min_luma)
+        dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                 dst_inf.hdr.max_luma)
+        maxrgb = jnp.max(img, axis=-3, keepdims=True)
+        maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
+        tone = lambda x: ops_tone_dyn.tone_map_dynamic(
+            x, params.tone_mapping_function,
+            src_max=max_pq, src_avg=avg_pq,
+            dst_min=dst_min_pq, dst_max=dst_max_pq)
+        mapped_pq = tone_with_recovery(
+            maxrgb_pq, tone, params.contrast_recovery,
+            dst_min_pq, dst_max_pq)
+        mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
+        ratio = mapped / jnp.maximum(maxrgb, 1e-6)
+        img = img * ratio
+    elif src_peak > dst_peak + 1e-3:
+        # build tone LUT in PQ domain, apply via interp
+        fun = tm.find_tone_map_function(params.tone_mapping_function) \
+            or tm.TONE_MAP_SPLINE
+        p = tm.ToneMapParams(
+            function=fun,
+            input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
+            lut_size=256,
+            input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                  src.infer().hdr.min_luma),
+            input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                  src.infer().hdr.max_luma),
+            output_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                   dst.infer().hdr.min_luma),
+            output_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                   dst.infer().hdr.max_luma))
+        # tone map maxRGB closed-form on device (tm.apply_device —
+        # elementwise math XLA fuses; a LUT gather would be ~70x
+        # slower on TPU), scale channels by the ratio (the hybrid
+        # mode of the reference's color_map)
+        from ..core.transfer import pq_eotf_fast as pq_eotf, \
+            pq_oetf_fast as pq_oetf
+        maxrgb = jnp.max(img, axis=-3, keepdims=True)
+        maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
+        mapped_pq = tone_with_recovery(
+            maxrgb_pq, lambda x: tm.apply_device(x, p),
+            params.contrast_recovery, p.output_min, p.output_max)
+        mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
+        ratio = mapped / jnp.maximum(maxrgb, 1e-6)
+        img = img * ratio
+
+    if need_gamut:
+        img = ops_gamut.map_gamut(
+            img, params.gamut_mapping, b_src, b_dst,
+            to_norm=COLOR_SDR_WHITE / 10000.0)
+    return img
+
+
+def tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
+                       out_min: float, out_max: float):
+    """HDR contrast recovery (reference shaders/colorspace.c:1880-1920):
+    tone map a low-passed feature map and re-inject the high-frequency
+    detail, mixing by `cr` strength."""
+    if cr <= 0:
+        return tone_fn(maxrgb_pq)
+    H, W = maxrgb_pq.shape[-2], maxrgb_pq.shape[-1]
+    lh, lw = max(1, H // 4), max(1, W // 4)
+    low = ops_sampling.sample_bilinear(maxrgb_pq, lh, lw)
+    cfg = flt.find_filter_config("bicubic")
+    lowres = ops_sampling.resize_separable(low, H, W, cfg)
+    base = tone_fn(maxrgb_pq)
+    detail = maxrgb_pq - lowres
+    sharp = tone_fn(lowres) + detail
+    mixed = base + (sharp - base) * cr
+    return jnp.clip(mixed, out_min, out_max)
 
 
 class Renderer:
@@ -409,6 +527,11 @@ class Renderer:
                             self._disabled_hooks)
 
             # ---- pass_convert_colors
+            # cone distortion first (reference renderer.c:2192-2247:
+            # before feature map / peak detection / color map)
+            if params.cone is not None:
+                img = ops_color.cone_distort(img, src_color, params.cone,
+                                             already_linear=use_linear)
             need_color_map = (src_color.primaries != dst_color.primaries or
                               src_color.transfer != dst_color.transfer)
             new_state = peak_state
@@ -535,107 +658,7 @@ class Renderer:
 
     def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
                    params: RenderParams, peak_stats=None):
-        """Linear-light color conversion: gamut matrix + tone map
-        (reference pl_shader_color_map_ex). With `peak_stats`, the tone
-        curve adapts to the detected (avg, peak) as traced scalars —
-        the TPU equivalent of the reference's per-frame LUT refresh."""
-        need_gamut = (src.primaries != dst.primaries and
-                      params.gamut_mapping not in (None, "", "none"))
-        if src.primaries != dst.primaries:
-            m = color_mapping_matrix(primaries_get(src.primaries),
-                                     primaries_get(dst.primaries))
-            img = ops_color.apply_matrix(img, m.m)
-        src_peak = src.nominal_peak_norm()
-        dst_peak = dst.nominal_peak_norm()
-
-        if need_gamut:
-            from ..ops import gamut as ops_gamut
-            dst_inf2 = dst.infer()
-            min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                 dst_inf2.hdr.min_luma)
-            max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                 dst_inf2.hdr.max_luma)
-            b_src = ops_gamut.fit_boundary(primaries_get(src.primaries),
-                                           min_pq, max_pq)
-            b_dst = ops_gamut.fit_boundary(primaries_get(dst.primaries),
-                                           min_pq, max_pq)
-
-        if peak_stats is not None:
-            from ..core.transfer import pq_eotf_fast as pq_eotf, \
-                pq_oetf_fast as pq_oetf
-            avg_pq, max_pq = peak_stats
-            dst_inf = dst.infer()
-            dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                     dst_inf.hdr.min_luma)
-            dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                     dst_inf.hdr.max_luma)
-            maxrgb = jnp.max(img, axis=-3, keepdims=True)
-            maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-            tone = lambda x: ops_tone_dyn.tone_map_dynamic(
-                x, params.tone_mapping_function,
-                src_max=max_pq, src_avg=avg_pq,
-                dst_min=dst_min_pq, dst_max=dst_max_pq)
-            mapped_pq = self._tone_with_recovery(
-                maxrgb_pq, tone, params.contrast_recovery,
-                dst_min_pq, dst_max_pq)
-            mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
-            ratio = mapped / jnp.maximum(maxrgb, 1e-6)
-            img = img * ratio
-        elif src_peak > dst_peak + 1e-3:
-            # build tone LUT in PQ domain, apply via interp
-            fun = tm.find_tone_map_function(params.tone_mapping_function) \
-                or tm.TONE_MAP_SPLINE
-            p = tm.ToneMapParams(
-                function=fun,
-                input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
-                lut_size=256,
-                input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                      src.infer().hdr.min_luma),
-                input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                      src.infer().hdr.max_luma),
-                output_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                       dst.infer().hdr.min_luma),
-                output_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                       dst.infer().hdr.max_luma))
-            # tone map maxRGB closed-form on device (tm.apply_device —
-            # elementwise math XLA fuses; a LUT gather would be ~70x
-            # slower on TPU), scale channels by the ratio (the hybrid
-            # mode of the reference's color_map)
-            from ..core.transfer import pq_eotf_fast as pq_eotf, \
-                pq_oetf_fast as pq_oetf
-            maxrgb = jnp.max(img, axis=-3, keepdims=True)
-            maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-            mapped_pq = self._tone_with_recovery(
-                maxrgb_pq, lambda x: tm.apply_device(x, p),
-                params.contrast_recovery, p.output_min, p.output_max)
-            mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
-            ratio = mapped / jnp.maximum(maxrgb, 1e-6)
-            img = img * ratio
-
-        if need_gamut:
-            img = ops_gamut.map_gamut(
-                img, params.gamut_mapping, b_src, b_dst,
-                to_norm=COLOR_SDR_WHITE / 10000.0)
-        return img
-
-    @staticmethod
-    def _tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
-                            out_min: float, out_max: float):
-        """HDR contrast recovery (reference shaders/colorspace.c:1880-1920):
-        tone map a low-passed feature map and re-inject the high-frequency
-        detail, mixing by `cr` strength."""
-        if cr <= 0:
-            return tone_fn(maxrgb_pq)
-        H, W = maxrgb_pq.shape[-2], maxrgb_pq.shape[-1]
-        lh, lw = max(1, H // 4), max(1, W // 4)
-        low = ops_sampling.sample_bilinear(maxrgb_pq, lh, lw)
-        cfg = flt.find_filter_config("bicubic")
-        lowres = ops_sampling.resize_separable(low, H, W, cfg)
-        base = tone_fn(maxrgb_pq)
-        detail = maxrgb_pq - lowres
-        sharp = tone_fn(lowres) + detail
-        mixed = base + (sharp - base) * cr
-        return jnp.clip(mixed, out_min, out_max)
+        return color_map_stage(img, src, dst, params, peak_stats)
 
     # -- public API ----------------------------------------------------
 

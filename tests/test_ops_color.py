@@ -192,3 +192,71 @@ def test_bt2020_cl_roundtrip():
                          bits=BitEncoding(10, 10, 0))
         back = decode_color(encode_color(rgb, repr), repr)
         assert float(jnp.max(jnp.abs(back - rgb))) < 2e-6, levels
+
+
+@pytest.mark.parametrize("sys", [ColorSystem.BT_2100_PQ,
+                                 ColorSystem.BT_2100_HLG,
+                                 ColorSystem.XYZ])
+def test_encode_hdr_systems_roundtrip(sys):
+    """encode_color now covers every system decode_color does (reference
+    pl_shader_encode_color, shaders/colorspace.c:462) — HDR passthrough
+    targets (ICtCp PQ/HLG, XYZ) round-trip through decode."""
+    repr = ColorRepr(sys=sys, levels=ColorLevels.FULL,
+                     bits=BitEncoding(10, 10, 0))
+    rng = np.random.default_rng(1)
+    rgb = rng.random((64, 3)) * 0.8 + 0.05
+    prim = ColorPrimaries.BT_2020 if sys != ColorSystem.XYZ \
+        else ColorPrimaries.BT_709
+    enc = C.encode_color(_img(rgb), repr, prim)
+    dec = _colors(C.decode_color(enc, repr, prim))
+    # PQ's steep toe amplifies the f32 noise of the LMS mixing into
+    # ~1e-3 signal error for near-black components; the physically
+    # meaningful criterion is linear light
+    np.testing.assert_allclose(dec, rgb, atol=1e-2)
+    if sys == ColorSystem.BT_2100_PQ:
+        from libplacebo_tpu.core import transfer as tf
+        lin_d = np.asarray(tf.pq_eotf(jnp.asarray(dec)))
+        lin_s = np.asarray(tf.pq_eotf(jnp.asarray(rgb.astype(np.float32))))
+        np.testing.assert_allclose(lin_d, lin_s, rtol=5e-3, atol=5e-6)
+    else:
+        np.testing.assert_allclose(dec, rgb, atol=3e-4)
+
+
+def test_encode_ictcp_pq_gray_is_achromatic():
+    """Neutral grays must encode to zero chroma (It = Ct = 0) in ICtCp."""
+    repr = ColorRepr(sys=ColorSystem.BT_2100_PQ, levels=ColorLevels.FULL)
+    gray = _img([[0.3, 0.3, 0.3], [0.7, 0.7, 0.7]])
+    out = _colors(C.encode_color(gray, repr, ColorPrimaries.BT_2020))
+    # both grays encode to the same (neutral) chroma center, and the
+    # intensity channel carries the gray level
+    np.testing.assert_allclose(out[0, 1:], out[1, 1:], atol=1e-4)
+    np.testing.assert_allclose(out[:, 0], [0.3, 0.7], atol=1e-4)
+
+
+def test_cone_distort_monochromacy_grayscales():
+    from libplacebo_tpu.core.colorspace import VISION_MONOCHROMACY
+    rng = np.random.default_rng(2)
+    rgb = rng.random((16, 3))
+    csp = CSP_SRGB
+    out = _colors(C.cone_distort(_img(rgb), csp, VISION_MONOCHROMACY))
+    np.testing.assert_allclose(out[:, 0], out[:, 1], atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], out[:, 2], atol=1e-5)
+
+
+def test_cone_distort_normal_vision_identity():
+    from libplacebo_tpu.core.colorspace import (Cone, ConeParams,
+                                                VISION_NORMAL)
+    rng = np.random.default_rng(3)
+    rgb = rng.random((16, 3))
+    out = _colors(C.cone_distort(_img(rgb), CSP_SRGB, VISION_NORMAL))
+    np.testing.assert_allclose(out, rgb, atol=1e-5)
+    out2 = _colors(C.cone_distort(_img(rgb), CSP_SRGB,
+                                  ConeParams(Cone.M, 1.0)))
+    np.testing.assert_allclose(out2, rgb, atol=1e-5)
+
+
+def test_cone_distort_preserves_neutral():
+    from libplacebo_tpu.core.colorspace import VISION_DEUTERANOPIA
+    gray = _img([[0.18, 0.18, 0.18], [0.9, 0.9, 0.9]])
+    out = _colors(C.cone_distort(gray, CSP_SRGB, VISION_DEUTERANOPIA))
+    np.testing.assert_allclose(out, [[0.18] * 3, [0.9] * 3], atol=1e-5)

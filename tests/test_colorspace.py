@@ -153,10 +153,14 @@ def test_ycbcr_matrix_red():
                      bits=BitEncoding(8, 8, 0))
     tr, _ = cs.color_repr_decode(repr)
     kr, kb = 0.2126, 0.0722
-    # encode red manually: Y=kr, Cb=-kr/(2(1-kb)), Cr=0.5 (+center offset)
+    # encode red manually with the reference's full-range convention
+    # (center 128/255, positive excursion stretched to +0.5 at MAX_INT;
+    # pl_color_repr_decode, golden-verified): signal = c/cmul + cmid
+    cmid = 128 / 255
+    cmul = 0.5 / (1.0 - cmid)
     y = kr
-    cb = -kr / (2 * (1 - kb)) + 128 / 255
-    cr = 0.5 + 128 / 255
+    cb = -kr / (2 * (1 - kb)) / cmul + cmid
+    cr = 0.5 / cmul + cmid
     rgb = tr.apply([y, cb, cr])
     np.testing.assert_allclose(rgb, [1, 0, 0], atol=1e-6)
 

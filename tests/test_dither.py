@@ -9,15 +9,16 @@ from libplacebo_tpu.core import dither as dth
 def test_bayer_properties(size):
     m = dth.bayer_matrix(size)
     assert m.shape == (size, size)
-    # all n^2 distinct values (k+0.5)/n^2
+    # all n^2 distinct values k/n^2, starting at 0 (reference
+    # pl_generate_bayer_matrix, dither.c:36; golden-verified)
     vals = np.sort(m.flatten())
-    expect = (np.arange(size * size) + 0.5) / (size * size)
+    expect = np.arange(size * size) / (size * size)
     np.testing.assert_allclose(vals, expect, atol=1e-6)
 
 
 def test_bayer_2x2():
     m = dth.bayer_matrix(2)
-    np.testing.assert_allclose(m * 4 - 0.5, [[0, 2], [3, 1]])
+    np.testing.assert_allclose(m * 4, [[0, 2], [3, 1]])
 
 
 @pytest.mark.parametrize("shift", [4, 5])

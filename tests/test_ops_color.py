@@ -169,9 +169,14 @@ def test_bt2020_cl_decode_matches_spec():
     db, dr = bp - yp, rp - yp
     cb = db / np.where(db <= 0, 1.9404, 1.5816)
     cr = dr / np.where(dr <= 0, 1.7184, 0.9936)
-    # full-range chroma neutral = 128/255 (8-bit sampled convention)
+    # full-range chroma encoding (reference pl_color_repr_decode:
+    # center 128/255, positive excursion stretched so MAX_INT == +0.5;
+    # golden-verified): signal = c / cmul + cmid
+    cmid = 128 / 255
+    cmul = 0.5 / (1.0 - cmid)
     img = jnp.asarray(np.stack(
-        [yp, cb + 128 / 255, cr + 128 / 255]).astype(np.float32)[:, :, None])
+        [yp, cb / cmul + cmid, cr / cmul + cmid]
+    ).astype(np.float32)[:, :, None])
     repr = ColorRepr(sys=ColorSystem.BT_2020_C, levels=ColorLevels.FULL)
     out = np.asarray(decode_color(img, repr))[:, :, 0]
     assert np.abs(out - cols.T).max() < 2e-5

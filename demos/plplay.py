@@ -102,6 +102,7 @@ def main():
         out = render_image_mix(renderer, mix, target, opts.params)
         rendered += 1
     out.block_until_ready()
+    renderer.flush_telemetry()   # telemetry records one frame late
     dt = time.perf_counter() - t0
 
     print(f"played {rendered} vsyncs ({args.frames} source frames) "

@@ -1,10 +1,12 @@
 """Options: typed key/value reflection over RenderParams.
 
-TPU-native rebuild of the reference's pl_options (src/options.c,
+TPU-native rebuild of the reference's pl_options (src/options.c:908-1179,
 src/include/libplacebo/options.h): a table of typed option descriptors
 with bounds and presets, string parse/save in
 "preset=high_quality,upscaler=ewa_lanczos,deband=yes" form, and
-iteration over non-default values.
+iteration over non-default values.  Option keys mirror the reference's
+pl_option_list so option strings written for libplacebo (mpv/plplay
+configs) parse unchanged where the feature exists.
 """
 from __future__ import annotations
 
@@ -22,7 +24,7 @@ class OptionError(ValueError):
 @dataclass(frozen=True)
 class _Opt:
     key: str
-    type: str                 # bool | int | float | str | enum
+    type: str                 # bool | int | float | str | enum | preset
     get: Callable             # params -> value
     set: Callable             # (params, value) -> params
     minimum: float = 0.0
@@ -41,23 +43,36 @@ def _parse_bool(v: str) -> bool:
 
 
 def _build_table() -> List[_Opt]:
+    from ..core.colorspace import (Cone, ConeParams, VISION_ACHROMATOPSIA,
+                                   VISION_DEUTERANOMALY, VISION_DEUTERANOPIA,
+                                   VISION_MONOCHROMACY, VISION_NORMAL,
+                                   VISION_PROTANOMALY, VISION_PROTANOPIA,
+                                   VISION_TRITANOMALY, VISION_TRITANOPIA)
+    from ..core.dither import (DitherMethod, ERROR_DIFFUSION_KERNELS)
+    from ..core.gamut_mapping import GamutMapConstants
+    from ..core.tone_mapping import ToneMapConstants
     from ..ops.deband import DebandParams
+    from ..ops.deinterlace import DeinterlaceAlgo, DeinterlaceParams
     from ..ops.dithering import DitherParams
     from ..ops.peak_detect import PeakDetectParams
-    from ..core.dither import DitherMethod
     from .filters import FILTER_CONFIGS
     from .tone_mapping import TONE_MAP_FUNCTIONS
 
     filter_names = tuple(c.name for c in FILTER_CONFIGS)
     tm_names = tuple(f.name for f in TONE_MAP_FUNCTIONS)
+    ed_names = tuple(k.name for k in ERROR_DIFFUSION_KERNELS)
+
+    def field_opt(key, typ, field, lo=0.0, hi=0.0, choices=(), desc=""):
+        """Direct RenderParams field."""
+        return _Opt(key, typ,
+                    get=lambda p, f=field: getattr(p, f),
+                    set=lambda p, v, f=field: replace(p, **{f: v}),
+                    minimum=lo, maximum=hi, choices=choices,
+                    description=desc or key.replace("_", " "))
 
     def scaler_opt(key, field):
-        return _Opt(
-            key, "enum",
-            get=lambda p: getattr(p, field),
-            set=lambda p, v: replace(p, **{field: v}),
-            choices=filter_names,
-            description=f"{field} filter")
+        return field_opt(key, "enum", field, choices=filter_names,
+                         desc=f"{field} filter")
 
     def sub_opt(key, typ, holder, field, default_factory, lo=0.0, hi=0.0,
                 choices=()):
@@ -72,7 +87,18 @@ def _build_table() -> List[_Opt]:
             return replace(p, **{holder: replace(sub, **{field: v})})
         return _Opt(key, typ, get, setv, lo, hi, choices)
 
-    def feature_toggle(key, holder, default_factory):
+    def const_opt(key, holder, field, lo, hi):
+        """Option on an always-present constants struct
+        (tone_constants / gamut_constants)."""
+        def get(p):
+            return getattr(getattr(p, holder), field)
+
+        def setv(p, v):
+            return replace(p, **{holder: replace(getattr(p, holder),
+                                                 **{field: v})})
+        return _Opt(key, "float", get, setv, lo, hi)
+
+    def feature_toggle(key, holder, default_factory, desc=""):
         def get(p):
             return getattr(p, holder) is not None
 
@@ -84,82 +110,228 @@ def _build_table() -> List[_Opt]:
                 return replace(p, **{holder: None})
             return p
         return _Opt(key, "bool", get, setv,
-                    description=f"enable {key}")
+                    description=desc or f"enable {key}")
+
+    def preset_opt(key, apply, choices, current=None):
+        """Sub-object preset pseudo-option (reference OPT_PRESET):
+        write-only in save() unless `current` recovers the name."""
+        return _Opt(key, "preset",
+                    get=current or (lambda p: None),
+                    set=apply, choices=choices)
+
+    vision_presets = {
+        "normal": VISION_NORMAL, "protanomaly": VISION_PROTANOMALY,
+        "protanopia": VISION_PROTANOPIA,
+        "deuteranomaly": VISION_DEUTERANOMALY,
+        "deuteranopia": VISION_DEUTERANOPIA,
+        "tritanomaly": VISION_TRITANOMALY, "tritanopia": VISION_TRITANOPIA,
+        "monochromacy": VISION_MONOCHROMACY,
+        "achromatopsia": VISION_ACHROMATOPSIA,
+    }
+    cone_names = {"none": Cone.NONE, "l": Cone.L, "m": Cone.M, "s": Cone.S,
+                  "lm": Cone.LM, "ms": Cone.MS, "ls": Cone.LS,
+                  "lms": Cone.LMS}
+
+    def tuple_elem_opt(key, field, idx, n=3, lo=0.0, hi=1.0, sub=None):
+        """One element of a float tuple field (background/tile colors)."""
+        def get(p):
+            t = getattr(p, field)
+            return (t[sub][idx] if sub is not None else t[idx])
+
+        def setv(p, v):
+            t = getattr(p, field)
+            if sub is not None:
+                inner = tuple(v if i == idx else x
+                              for i, x in enumerate(t[sub]))
+                t = tuple(inner if j == sub else tuple(x)
+                          for j, x in enumerate(t))
+            else:
+                t = tuple(v if i == idx else x for i, x in enumerate(t))
+            return replace(p, **{field: t})
+        return _Opt(key, "float", get, setv, lo, hi)
 
     table = [
+        # ---- scalers (options.c:915-920)
         scaler_opt("upscaler", "upscaler"),
         scaler_opt("downscaler", "downscaler"),
         scaler_opt("plane_upscaler", "plane_upscaler"),
         scaler_opt("frame_mixer", "frame_mixer"),
-        _Opt("antiringing_strength", "float",
-             lambda p: p.antiringing_strength,
-             lambda p, v: replace(p, antiringing_strength=v), 0.0, 1.0),
-        _Opt("linear_scaling", "bool",
-             lambda p: p.linear_scaling,
-             lambda p, v: replace(p, linear_scaling=v)),
+        field_opt("antiringing_strength", "float", "antiringing_strength",
+                  0.0, 1.0),
+
+        # ---- debanding (options.c:922-932)
+        feature_toggle("deband", "deband", DebandParams),
+        preset_opt("deband_preset",
+                   lambda p, v: replace(p, deband=DebandParams()),
+                   ("default",)),
+        sub_opt("deband_iterations", "int", "deband", "iterations",
+                DebandParams, 0, 16),
+        sub_opt("deband_threshold", "float", "deband", "threshold",
+                DebandParams, 0.0, 1000.0),
+        sub_opt("deband_radius", "float", "deband", "radius",
+                DebandParams, 0.0, 1000.0),
+        sub_opt("deband_grain", "float", "deband", "grain",
+                DebandParams, 0.0, 1000.0),
+        _Opt("deband_grain_neutral_r", "float",
+             lambda p: p.deband.grain_neutral[0] if p.deband else None,
+             lambda p, v: replace(p, deband=replace(
+                 p.deband or DebandParams(),
+                 grain_neutral=(v,) + tuple(
+                     (p.deband or DebandParams()).grain_neutral[1:])))),
+        _Opt("deband_grain_neutral_g", "float",
+             lambda p: p.deband.grain_neutral[1] if p.deband else None,
+             lambda p, v: replace(p, deband=replace(
+                 p.deband or DebandParams(), grain_neutral=(
+                     (p.deband or DebandParams()).grain_neutral[0], v,
+                     (p.deband or DebandParams()).grain_neutral[2])))),
+        _Opt("deband_grain_neutral_b", "float",
+             lambda p: p.deband.grain_neutral[2] if p.deband else None,
+             lambda p, v: replace(p, deband=replace(
+                 p.deband or DebandParams(), grain_neutral=tuple(
+                     (p.deband or DebandParams()).grain_neutral[:2]) + (v,)))),
+
+        # ---- sigmoidization (options.c:934-939)
         _Opt("sigmoid", "bool",
              lambda p: p.sigmoid is not None,
              lambda p, v: replace(p, sigmoid=(0.75, 6.5) if v else None)),
+        preset_opt("sigmoid_preset",
+                   lambda p, v: replace(p, sigmoid=(0.75, 6.5)),
+                   ("default",)),
         _Opt("sigmoid_center", "float",
              lambda p: p.sigmoid[0] if p.sigmoid else None,
-             lambda p, v: replace(p, sigmoid=(v, (p.sigmoid or (0.75, 6.5))[1])),
-             0.0, 1.0),
+             lambda p, v: replace(
+                 p, sigmoid=(v, (p.sigmoid or (0.75, 6.5))[1])), 0.0, 1.0),
         _Opt("sigmoid_slope", "float",
              lambda p: p.sigmoid[1] if p.sigmoid else None,
-             lambda p, v: replace(p, sigmoid=((p.sigmoid or (0.75, 6.5))[0], v)),
-             1.0, 20.0),
-        _Opt("tone_mapping", "enum",
-             lambda p: p.tone_mapping_function,
-             lambda p, v: replace(p, tone_mapping_function=v),
-             choices=tm_names),
-        _Opt("gamut_mapping", "enum",
-             lambda p: p.gamut_mapping,
-             lambda p, v: replace(p, gamut_mapping=v),
-             choices=("clip", "perceptual", "softclip", "relative",
-                      "desaturate", "saturation", "linear", "darken",
-                      "none")),
-        _Opt("contrast_recovery", "float",
-             lambda p: p.contrast_recovery,
-             lambda p, v: replace(p, contrast_recovery=v), 0.0, 2.0),
-        _Opt("background", "enum",
-             lambda p: p.background,
-             lambda p, v: replace(p, background=v),
-             choices=("color", "tiles")),
-        _Opt("error_diffusion", "str",
-             lambda p: p.error_diffusion,
-             lambda p, v: replace(p, error_diffusion=v or None)),
-        _Opt("film_grain", "bool",
-             lambda p: p.film_grain,
-             lambda p, v: replace(p, film_grain=v)),
-        # feature toggles + nested fields
-        feature_toggle("deband", "deband",
-                       lambda: __import__(
-                           "libplacebo_tpu.ops.deband",
-                           fromlist=["DebandParams"]).DebandParams()),
-        sub_opt("deband_iterations", "int", "deband", "iterations",
-                lambda: DebandParams(), 0, 16),
-        sub_opt("deband_threshold", "float", "deband", "threshold",
-                lambda: DebandParams(), 0.0, 1000.0),
-        sub_opt("deband_radius", "float", "deband", "radius",
-                lambda: DebandParams(), 0.0, 1000.0),
-        sub_opt("deband_grain", "float", "deband", "grain",
-                lambda: DebandParams(), 0.0, 1000.0),
-        feature_toggle("peak_detect", "peak_detect",
-                       lambda: PeakDetectParams()),
+             lambda p, v: replace(
+                 p, sigmoid=((p.sigmoid or (0.75, 6.5))[0], v)), 1.0, 20.0),
+
+        # ---- peak detection (options.c:956-965)
+        feature_toggle("peak_detect", "peak_detect", PeakDetectParams),
+        preset_opt("peak_detect_preset",
+                   lambda p, v: replace(p, peak_detect=(
+                       PeakDetectParams(percentile=99.995)
+                       if v == "high_quality" else PeakDetectParams())),
+                   ("default", "high_quality")),
         sub_opt("peak_smoothing_period", "float", "peak_detect",
-                "smoothing_period", lambda: PeakDetectParams(), 0.0, 1000.0),
-        sub_opt("peak_percentile", "float", "peak_detect", "percentile",
-                lambda: PeakDetectParams(), 0.0, 100.0),
+                "smoothing_period", PeakDetectParams, 0.0, 1000.0),
         sub_opt("scene_threshold_low", "float", "peak_detect",
-                "scene_threshold_low", lambda: PeakDetectParams(), 0.0, 20.0),
+                "scene_threshold_low", PeakDetectParams, 0.0, 100.0),
         sub_opt("scene_threshold_high", "float", "peak_detect",
-                "scene_threshold_high", lambda: PeakDetectParams(), 0.0, 20.0),
-        feature_toggle("dither", "dither", lambda: DitherParams()),
-        sub_opt("dither_method", "enum", "dither", "method",
-                lambda: DitherParams(),
+                "scene_threshold_high", PeakDetectParams, 0.0, 100.0),
+        sub_opt("peak_percentile", "float", "peak_detect", "percentile",
+                PeakDetectParams, 0.0, 100.0),
+        sub_opt("black_cutoff", "float", "peak_detect", "black_cutoff",
+                PeakDetectParams, 0.0, 100.0),
+        sub_opt("allow_delayed_peak", "bool", "peak_detect",
+                "allow_delayed", PeakDetectParams),
+
+        # ---- color mapping (options.c:967-1016)
+        field_opt("gamut_mapping", "enum", "gamut_mapping",
+                  choices=("clip", "perceptual", "softclip", "relative",
+                           "desaturate", "saturation", "linear", "darken",
+                           "none")),
+        const_opt("perceptual_deadzone", "gamut_constants",
+                  "perceptual_deadzone", 0.0, 1.0),
+        const_opt("perceptual_strength", "gamut_constants",
+                  "perceptual_strength", 0.0, 1.0),
+        const_opt("colorimetric_gamma", "gamut_constants",
+                  "colorimetric_gamma", 0.0, 10.0),
+        const_opt("softclip_knee", "gamut_constants",
+                  "softclip_knee", 0.0, 1.0),
+        const_opt("softclip_desat", "gamut_constants",
+                  "softclip_desat", 0.0, 1.0),
+        field_opt("tone_mapping", "enum", "tone_mapping_function",
+                  choices=tm_names),
+        const_opt("knee_adaptation", "tone_constants", "knee_adaptation",
+                  0.0, 1.0),
+        const_opt("knee_minimum", "tone_constants", "knee_minimum",
+                  0.0, 0.5),
+        const_opt("knee_maximum", "tone_constants", "knee_maximum",
+                  0.5, 1.0),
+        const_opt("knee_default", "tone_constants", "knee_default",
+                  0.0, 1.0),
+        const_opt("knee_offset", "tone_constants", "knee_offset", 0.5, 2.0),
+        const_opt("slope_tuning", "tone_constants", "slope_tuning",
+                  0.0, 10.0),
+        const_opt("slope_offset", "tone_constants", "slope_offset",
+                  0.0, 1.0),
+        const_opt("spline_contrast", "tone_constants", "spline_contrast",
+                  0.0, 1.5),
+        const_opt("reinhard_contrast", "tone_constants",
+                  "reinhard_contrast", 0.0, 1.0),
+        const_opt("linear_knee", "tone_constants", "linear_knee", 0.0, 1.0),
+        const_opt("exposure", "tone_constants", "exposure", 0.0, 10.0),
+        field_opt("contrast_recovery", "float", "contrast_recovery",
+                  0.0, 2.0),
+
+        # ---- dithering (options.c:1018-1028)
+        feature_toggle("dither", "dither", DitherParams),
+        preset_opt("dither_preset",
+                   lambda p, v: replace(p, dither=DitherParams()),
+                   ("default",)),
+        sub_opt("dither_method", "enum", "dither", "method", DitherParams,
                 choices=tuple(m.value for m in DitherMethod)),
+        sub_opt("dither_lut_size", "int", "dither", "lut_size",
+                DitherParams, 1, 8),
         sub_opt("dither_temporal", "bool", "dither", "temporal",
-                lambda: DitherParams()),
+                DitherParams),
+        field_opt("disable_dither_gamma_correction", "bool",
+                  "disable_dither_gamma_correction"),
+
+        # ---- cone distortion (options.c:1046-1069)
+        feature_toggle("cone", "cone", lambda: ConeParams(Cone.NONE, 1.0)),
+        preset_opt("cone_preset",
+                   lambda p, v: replace(p, cone=vision_presets[v]),
+                   tuple(vision_presets)),
+        _Opt("cones", "enum",
+             lambda p: (next((k for k, c in cone_names.items()
+                              if p.cone is not None and
+                              Cone(p.cone.cones) == c), None)),
+             lambda p, v: replace(p, cone=replace(
+                 p.cone or ConeParams(Cone.NONE, 1.0),
+                 cones=cone_names[v])),
+             choices=tuple(cone_names)),
+        _Opt("cone_strength", "float",
+             lambda p: p.cone.strength if p.cone else None,
+             lambda p, v: replace(p, cone=replace(
+                 p.cone or ConeParams(Cone.NONE, 1.0), strength=v)),
+             0.0, 10.0),
+
+        # ---- deinterlacing (options.c:1077-1090)
+        feature_toggle("deinterlace", "deinterlace", DeinterlaceParams),
+        sub_opt("deinterlace_algo", "enum", "deinterlace", "algo",
+                DeinterlaceParams,
+                choices=tuple(a.name.lower() for a in DeinterlaceAlgo)),
+        sub_opt("deinterlace_skip_spatial", "bool", "deinterlace",
+                "skip_spatial_check", DeinterlaceParams),
+
+        # ---- output (options.c:1107-1165)
+        field_opt("error_diffusion", "enum", "error_diffusion",
+                  choices=ed_names + ("none",)),
+        field_opt("lut_type", "enum", "lut_type",
+                  choices=("native", "normalized", "conversion")),
+        field_opt("background", "enum", "background",
+                  choices=("color", "tiles")),
+        tuple_elem_opt("background_r", "background_color", 0),
+        tuple_elem_opt("background_g", "background_color", 1),
+        tuple_elem_opt("background_b", "background_color", 2),
+        tuple_elem_opt("tile_color_hi_r", "tile_colors", 0, sub=0),
+        tuple_elem_opt("tile_color_hi_g", "tile_colors", 1, sub=0),
+        tuple_elem_opt("tile_color_hi_b", "tile_colors", 2, sub=0),
+        tuple_elem_opt("tile_color_lo_r", "tile_colors", 0, sub=1),
+        tuple_elem_opt("tile_color_lo_g", "tile_colors", 1, sub=1),
+        tuple_elem_opt("tile_color_lo_b", "tile_colors", 2, sub=1),
+        field_opt("tile_size", "int", "tile_size", 2, 256),
+        field_opt("corner_rounding", "float", "corner_rounding", 0.0, 1.0),
+
+        # ---- misc render params (options.c:1150-1179)
+        field_opt("linear_scaling", "bool", "linear_scaling"),
+        field_opt("skip_anti_aliasing", "bool", "skip_anti_aliasing"),
+        field_opt("disable_linear_scaling", "bool",
+                  "disable_linear_scaling"),
+        field_opt("film_grain", "bool", "film_grain",
+                  desc="honor frame-attached film grain"),
     ]
     return table
 
@@ -219,7 +391,7 @@ class Options:
                 raise OptionError(f"invalid number for {key}: {value!r}")
             if opt.minimum != opt.maximum:
                 v = min(max(v, opt.minimum), opt.maximum)
-        elif opt.type == "enum":
+        elif opt.type in ("enum", "preset"):
             if opt.choices and value not in opt.choices:
                 raise OptionError(
                     f"invalid value {value!r} for {key}; "
@@ -228,6 +400,11 @@ class Options:
             if key == "dither_method":
                 from .dither import DitherMethod
                 v = DitherMethod(value)
+            elif key == "deinterlace_algo":
+                from ..ops.deinterlace import DeinterlaceAlgo
+                v = DeinterlaceAlgo[value.upper()]
+            elif key == "error_diffusion" and value == "none":
+                v = None
         else:
             v = value
         self.params = opt.set(self.params, v)
@@ -237,8 +414,9 @@ class Options:
         if opt is None:
             raise OptionError(f"unknown option: {key!r}")
         v = opt.get(self.params)
-        if hasattr(v, "value"):
-            v = v.value
+        import enum as _enum
+        if isinstance(v, _enum.Enum):
+            v = v.value if isinstance(v.value, str) else v.name.lower()
         return v
 
     def parse(self, s: str):
@@ -258,6 +436,8 @@ class Options:
         defaults = Options(DEFAULT_PARAMS)
         out = []
         for opt in OPTION_TABLE():
+            if opt.type == "preset":
+                continue           # write-only pseudo-options
             cur = self.get(opt.key)
             dfl = defaults.get(opt.key)
             if cur != dfl and cur is not None:
@@ -267,6 +447,8 @@ class Options:
         return ",".join(out)
 
     def iterate(self):
-        """Yield (key, value) for every option."""
+        """Yield (key, value) for every real (non-preset) option."""
         for opt in OPTION_TABLE():
+            if opt.type == "preset":
+                continue
             yield opt.key, self.get(opt.key)

@@ -58,17 +58,74 @@ class FrameMix:
     vsync_duration: float = 1.0
 
 
+class _RatePool:
+    """Windowed rate estimator (reference struct pool + update_estimate,
+    frame_queue.c:54-70,247-274): rolling mean over up to 32 deltas; the
+    pool RESETS when a new delta deviates >30% from the running mean
+    (rate change / seek), and the estimate only updates once 4 samples
+    agree — so a single jittery pts can no longer flip emission modes."""
+    MAX_SAMPLES = 32
+    MIN_SAMPLES = 4
+    MAX_DELTA = 0.3
+
+    def __init__(self):
+        self.samples: List[float] = []
+        self.total = 0
+        self.estimate = 0.0
+
+    def default(self, val: float):
+        """Seed the estimate from a metadata hint (reference
+        default_estimate, frame_queue.c:246): used until real samples
+        take over."""
+        if not self.estimate and val and val > 0:
+            self.estimate = val
+
+    def update(self, cur: float):
+        if cur <= 0:
+            return
+        if self.samples:
+            mean = sum(self.samples) / len(self.samples)
+            if abs(cur - mean) / max(min(cur, mean), 1e-12) > self.MAX_DELTA:
+                self.samples.clear()
+        self.samples.append(cur)
+        if len(self.samples) > self.MAX_SAMPLES:
+            self.samples.pop(0)
+        self.total += 1
+        if self.total < self.MIN_SAMPLES or \
+                len(self.samples) >= self.MIN_SAMPLES:
+            self.estimate = sum(self.samples) / len(self.samples)
+
+    @property
+    def rate(self) -> float:
+        return 1.0 / self.estimate if self.estimate > 0 else 0.0
+
+
 class FrameQueue:
     """Reference pl_queue object."""
+
+    # interpolation-threshold stickiness (frame_queue.c:58-60): once
+    # interpolation is disabled because source and vsync rates match,
+    # it stays disabled until the ratio exceeds the threshold for this
+    # many consecutive updates
+    THRESHOLD_FRAMES = 5
 
     def __init__(self, params: Optional[QueueParams] = None):
         self.params = params or QueueParams()
         self._frames: List[Frame] = []        # sorted by pts
         self._eof = False
         self._prev_pts = None
-        self._fps_est = 0.0
-        self._vps_est = 0.0
+        self._fps_pool = _RatePool()
+        self._vps_pool = _RatePool()
         self._last_vsync_pts = None
+        self._threshold_stick = 0
+
+    @property
+    def _fps_est(self) -> float:
+        return self._fps_pool.rate
+
+    @property
+    def _vps_est(self) -> float:
+        return self._vps_pool.rate
 
     # -- ingestion ----------------------------------------------------
 
@@ -79,12 +136,11 @@ class FrameQueue:
             return
         self._frames.append(frame)
         self._frames.sort(key=lambda f: f.pts)
-        # FPS estimation from pts deltas (frame_queue.c:247-274)
-        if len(self._frames) >= 2:
-            deltas = [b.pts - a.pts for a, b in
-                      zip(self._frames, self._frames[1:]) if b.pts > a.pts]
-            if deltas:
-                self._fps_est = 1.0 / (sum(deltas) / len(deltas))
+        # FPS estimation from successive pts deltas (frame_queue.c:247)
+        if self._prev_pts is not None and frame.pts > self._prev_pts:
+            self._fps_pool.update(frame.pts - self._prev_pts)
+        if self._prev_pts is None or frame.pts > self._prev_pts:
+            self._prev_pts = frame.pts
 
     def _fill_until(self, pts: float):
         while not self._eof and (not self._frames or
@@ -117,6 +173,9 @@ class FrameQueue:
         self._eof = False
         self._prev_pts = None
         self._last_vsync_pts = None
+        self._fps_pool = _RatePool()
+        self._vps_pool = _RatePool()
+        self._threshold_stick = 0
 
     # -- emission -----------------------------------------------------
 
@@ -132,10 +191,14 @@ class FrameQueue:
         p = self.params
         pts = p.pts
 
-        # vsync rate estimation from successive update() calls
+        # windowed vsync rate estimation from successive update() calls,
+        # seeded from the declared vsync duration until samples arrive
+        if p.vsync_duration:
+            self._vps_pool.default(p.vsync_duration)
+        if p.frame_duration:
+            self._fps_pool.default(p.frame_duration)
         if self._last_vsync_pts is not None and pts > self._last_vsync_pts:
-            delta = pts - self._last_vsync_pts
-            self._vps_est = 1.0 / delta if delta > 0 else 0.0
+            self._vps_pool.update(pts - self._last_vsync_pts)
         self._last_vsync_pts = pts
 
         self._fill_until(pts + max(p.radius, 1.0) *
@@ -158,11 +221,17 @@ class FrameQueue:
             1.0 / self._fps_est if self._fps_est else vsync)
 
         # interpolation pointless when rates are close (reference
-        # interpolation_threshold logic)
+        # interpolation_threshold logic + stickiness, frame_queue.c:58)
         if mode == QueueMode.INTERPOLATE and self._fps_est and \
-                self._vps_est and abs(self._fps_est / self._vps_est - 1.0) \
-                < p.interpolation_threshold:
-            mode = QueueMode.POINT
+                self._vps_est:
+            close = abs(self._fps_est / self._vps_est - 1.0) \
+                < p.interpolation_threshold
+            if close:
+                self._threshold_stick = self.THRESHOLD_FRAMES
+            elif self._threshold_stick > 0:
+                self._threshold_stick -= 1
+            if close or self._threshold_stick > 0:
+                mode = QueueMode.POINT
 
         if mode in (QueueMode.POINT, QueueMode.NEAREST):
             if mode == QueueMode.POINT:

@@ -74,6 +74,17 @@ def _strips_anything(flag: str, strip, params) -> bool:
     return strip(params).key() != params.key()
 
 
+# Exceptions that are USER errors, not backend failures: never degraded
+# away (the reference's PL_RENDER_ERR_* recovery covers shader/GPU
+# failures only, renderer.c:777-788). ValueError/TypeError cover bad
+# shapes/params raised by our own validation and by jnp argument checks.
+_NON_DEGRADABLE = (RenderError, ValueError, TypeError, KeyError)
+
+# bound on the compiled-pipeline cache (reference dispatch.c:707 GCs
+# passes above max_passes)
+_MAX_CACHED_PIPELINES = 64
+
+
 @dataclass(frozen=True)
 class Target:
     """Render target description (reference: the target pl_frame)."""
@@ -118,8 +129,19 @@ class RenderParams:
     # features
     dither: Optional[DitherParams] = field(default_factory=DitherParams)
     error_diffusion: Optional[str] = None   # kernel name, overrides dither
+    # disable the gamma-correct low-depth dither path (reference
+    # pl_render_params.disable_dither_gamma_correction)
+    disable_dither_gamma_correction: bool = False
     tone_mapping_function: str = "spline"
     gamut_mapping: str = "perceptual"
+    # tunable curve constants (reference pl_color_map_params
+    # .tone_constants / .gamut_constants)
+    tone_constants: "tm.ToneMapConstants" = field(
+        default_factory=lambda: tm.ToneMapConstants())
+    gamut_constants: "object" = field(
+        default_factory=lambda: __import__(
+            "libplacebo_tpu.core.gamut_mapping",
+            fromlist=["GamutMapConstants"]).GamutMapConstants())
     peak_detect: Optional[PeakDetectParams] = field(
         default_factory=PeakDetectParams)
     deband: Optional[ops_deband.DebandParams] = None
@@ -137,6 +159,9 @@ class RenderParams:
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     tile_colors: Tuple = ((0.93, 0.93, 0.93), (0.87, 0.87, 0.87))
     tile_size: int = 32
+    # rounded-corner mask strength, 0..1 of min(w,h)/2 (reference
+    # pl_render_params.corner_rounding, renderer.c:2615)
+    corner_rounding: float = 0.0
     hooks: Tuple = ()            # render.hooks.Hook instances
     lut: Optional[object] = None          # core.lut.CustomLut
     lut_type: str = "conversion"          # native|normalized|conversion
@@ -148,7 +173,10 @@ class RenderParams:
         return (self.upscaler, self.downscaler, self.plane_upscaler,
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
+                self.disable_dither_gamma_correction,
                 self.tone_mapping_function, self.gamut_mapping,
+                self.tone_constants, self.gamut_constants,
+                self.corner_rounding,
                 self.skip_anti_aliasing,
                 self.disable_linear_scaling,
                 self.peak_detect.key() if self.peak_detect else None,
@@ -184,92 +212,94 @@ def _find_scaler(name: str) -> flt.FilterConfig:
 
 def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
                     params: RenderParams, peak_stats=None):
-    """Linear-light color conversion: gamut matrix + tone map
-    (reference pl_shader_color_map_ex). With `peak_stats`, the tone
-    curve adapts to the detected (avg, peak) as traced scalars —
-    the TPU equivalent of the reference's per-frame LUT refresh.
+    """Linear-light color conversion: fused tone + gamut mapping through
+    ONE IPT round trip (reference pl_shader_color_map_ex, shaders/
+    colorspace.c:1790-1980: RGB -> LMS -> PQ -> IPT, tone map on the
+    PQ-encoded intensity ipt.x with the cubic-hull chroma adjustment,
+    gamut operator on ICh, back out through the *destination* LMS
+    matrices — the primaries conversion rides the shared LMS space for
+    free).  With `peak_stats`, the tone curve adapts to the detected
+    (avg, peak) as traced scalars — the TPU equivalent of the
+    reference's per-frame LUT refresh.
 
     Module-level (not a Renderer method) so the multi-chip sharded
     pipeline (parallel/renderer.py) applies the *identical* stage: it is
     pointwise in the pixels, so it needs no communication."""
+    from ..ops import gamut as ops_gamut
     need_gamut = (src.primaries != dst.primaries and
                   params.gamut_mapping not in (None, "", "none"))
-    if src.primaries != dst.primaries:
-        m = color_mapping_matrix(primaries_get(src.primaries),
-                                 primaries_get(dst.primaries))
-        img = ops_color.apply_matrix(img, m.m)
     src_peak = src.nominal_peak_norm()
     dst_peak = dst.nominal_peak_norm()
+    need_tone = peak_stats is not None or src_peak > dst_peak + 1e-3
 
-    if need_gamut:
-        from ..ops import gamut as ops_gamut
-        dst_inf2 = dst.infer()
-        min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                             dst_inf2.hdr.min_luma)
-        max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                             dst_inf2.hdr.max_luma)
+    src_inf = src.infer()
+    dst_inf = dst.infer()
+    dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                             dst_inf.hdr.min_luma)
+    dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                             dst_inf.hdr.max_luma)
+
+    # fast paths that skip the IPT round trip entirely (reference
+    # colorspace.c:1780-1788)
+    if not need_tone:
+        if not need_gamut or params.gamut_mapping in ("clip", "saturation"):
+            if src.primaries != dst.primaries:
+                m = color_mapping_matrix(primaries_get(src.primaries),
+                                         primaries_get(dst.primaries))
+                img = ops_color.apply_matrix(img, m.m)
+            if need_gamut:   # clip/saturation = plain range clamp
+                b_dst = ops_gamut.ipt_space(primaries_get(dst.primaries),
+                                            dst_min_pq, dst_max_pq)
+                to_norm = COLOR_SDR_WHITE / 10000.0
+                img = jnp.clip(img, b_dst.min_rgb / to_norm,
+                               b_dst.max_rgb / to_norm)
+            return img
+
+    if need_gamut and params.gamut_mapping not in ("clip", "saturation"):
         b_src = ops_gamut.fit_boundary(primaries_get(src.primaries),
-                                       min_pq, max_pq)
+                                       dst_min_pq, dst_max_pq)
         b_dst = ops_gamut.fit_boundary(primaries_get(dst.primaries),
-                                       min_pq, max_pq)
+                                       dst_min_pq, dst_max_pq)
+        gamut_fn = params.gamut_mapping
+    else:
+        b_src = ops_gamut.ipt_space(primaries_get(src.primaries),
+                                    dst_min_pq, dst_max_pq)
+        b_dst = ops_gamut.ipt_space(primaries_get(dst.primaries),
+                                    dst_min_pq, dst_max_pq)
+        gamut_fn = "clip" if need_gamut else None
 
-    if peak_stats is not None:
-        from ..core.transfer import pq_eotf_fast as pq_eotf, \
-            pq_oetf_fast as pq_oetf
-        avg_pq, max_pq = peak_stats
-        dst_inf = dst.infer()
-        dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                 dst_inf.hdr.min_luma)
-        dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                 dst_inf.hdr.max_luma)
-        maxrgb = jnp.max(img, axis=-3, keepdims=True)
-        maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-        tone = lambda x: ops_tone_dyn.tone_map_dynamic(
-            x, params.tone_mapping_function,
-            src_max=max_pq, src_avg=avg_pq,
-            dst_min=dst_min_pq, dst_max=dst_max_pq)
-        mapped_pq = tone_with_recovery(
-            maxrgb_pq, tone, params.contrast_recovery,
-            dst_min_pq, dst_max_pq)
-        mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
-        ratio = mapped / jnp.maximum(maxrgb, 1e-6)
-        img = img * ratio
-    elif src_peak > dst_peak + 1e-3:
-        # build tone LUT in PQ domain, apply via interp
-        fun = tm.find_tone_map_function(params.tone_mapping_function) \
-            or tm.TONE_MAP_SPLINE
-        p = tm.ToneMapParams(
-            function=fun,
-            input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
-            lut_size=256,
-            input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                  src.infer().hdr.min_luma),
-            input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                  src.infer().hdr.max_luma),
-            output_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                   dst.infer().hdr.min_luma),
-            output_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                   dst.infer().hdr.max_luma))
-        # tone map maxRGB closed-form on device (tm.apply_device —
-        # elementwise math XLA fuses; a LUT gather would be ~70x
-        # slower on TPU), scale channels by the ratio (the hybrid
-        # mode of the reference's color_map)
-        from ..core.transfer import pq_eotf_fast as pq_eotf, \
-            pq_oetf_fast as pq_oetf
-        maxrgb = jnp.max(img, axis=-3, keepdims=True)
-        maxrgb_pq = pq_oetf(maxrgb * (COLOR_SDR_WHITE / 10000.0))
-        mapped_pq = tone_with_recovery(
-            maxrgb_pq, lambda x: tm.apply_device(x, p),
-            params.contrast_recovery, p.output_min, p.output_max)
-        mapped = pq_eotf(mapped_pq) * (10000.0 / COLOR_SDR_WHITE)
-        ratio = mapped / jnp.maximum(maxrgb, 1e-6)
-        img = img * ratio
+    tone_fn = None
+    if need_tone:
+        if peak_stats is not None:
+            avg_pq, max_pq = peak_stats
+            base = lambda x: ops_tone_dyn.tone_map_dynamic(
+                x, params.tone_mapping_function,
+                src_max=max_pq, src_avg=avg_pq,
+                dst_min=dst_min_pq, dst_max=dst_max_pq,
+                constants=params.tone_constants)
+        else:
+            # closed-form tone curve on device (tm.apply_device —
+            # elementwise math XLA fuses; a LUT gather would be ~70x
+            # slower on TPU)
+            fun = tm.find_tone_map_function(params.tone_mapping_function) \
+                or tm.TONE_MAP_SPLINE
+            p = tm.ToneMapParams(
+                function=fun,
+                input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
+                lut_size=256, constants=params.tone_constants,
+                input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                      src_inf.hdr.min_luma),
+                input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                      src_inf.hdr.max_luma),
+                output_min=dst_min_pq, output_max=dst_max_pq)
+            base = lambda x: tm.apply_device(x, p)
+        cr = params.contrast_recovery
+        tone_fn = lambda x: tone_with_recovery(x, base, cr,
+                                               dst_min_pq, dst_max_pq)
 
-    if need_gamut:
-        img = ops_gamut.map_gamut(
-            img, params.gamut_mapping, b_src, b_dst,
-            to_norm=COLOR_SDR_WHITE / 10000.0)
-    return img
+    return ops_gamut.color_map_ipt(img, tone_fn, gamut_fn, b_src, b_dst,
+                                   to_norm=COLOR_SDR_WHITE / 10000.0,
+                                   constants=params.gamut_constants)
 
 
 def tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
@@ -586,6 +616,21 @@ class Renderer:
                 img = jax.lax.dynamic_update_slice(
                     canvas, img, (0,) * (img.ndim - 3) + (0, y0, x0))
 
+            # corner rounding (reference renderer.c:2615): an antialiased
+            # rounded-rect mask blends the frame toward the background.
+            # The mask is static per geometry — host-computed, baked.
+            if params.corner_rounding > 0:
+                r_px = params.corner_rounding * min(target.h, target.w) / 2
+                yy, xx = np.mgrid[0:target.h, 0:target.w] + 0.5
+                cx = np.clip(xx, r_px, target.w - r_px)
+                cy = np.clip(yy, r_px, target.h - r_px)
+                d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+                mask = jnp.asarray(
+                    np.clip(r_px + 0.5 - d, 0.0, 1.0).astype(np.float32))
+                bg = self._background(params, img.shape[-3],
+                                      target.h, target.w)
+                img = bg + (img - bg) * mask
+
             if target.bit_depth:
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
@@ -596,6 +641,8 @@ class Renderer:
                                  transfer=dst_color.transfer) \
                         if params.dither.transfer == ColorTransfer.UNKNOWN \
                         else params.dither
+                    if params.disable_dither_gamma_correction:
+                        dp = replace(dp, transfer=ColorTransfer.LINEAR)
                     img = ops_dither.dither(img, target.bit_depth, dp)
 
             # overlays (subtitles/OSD; reference draw_overlays,
@@ -680,8 +727,15 @@ class Renderer:
                 params = strip(params)
         try:
             return self._render_once(frame, target, params)
-        except Exception:
-            pass
+        except _NON_DEGRADABLE:
+            # user/parameter errors surface unchanged — the reference
+            # degrades only on *shader/GPU* failures (renderer.c:777-788),
+            # not on invalid inputs
+            raise
+        except Exception as e:
+            first_exc = e
+        from ..core.log import default_log
+        log = default_log()
         # attribute the failure: try stripping ONE feature at a time, so a
         # broken scaler doesn't permanently disable unrelated features
         for flag, strip in _DEGRADE_LADDER:
@@ -690,7 +744,13 @@ class Renderer:
             try:
                 out = self._render_once(frame, target, strip(params))
                 self.errors.add(flag)
+                log.error(
+                    f"render failed ({type(first_exc).__name__}: "
+                    f"{first_exc}); disabled {flag!r} and recovered "
+                    "(reference PL_RENDER_ERR_* degradation)")
                 return out
+            except _NON_DEGRADABLE:
+                raise
             except Exception:
                 continue
         # compound failure: strip cumulatively
@@ -703,16 +763,23 @@ class Renderer:
             try:
                 out = self._render_once(frame, target, cur)
                 self.errors.update(stripped)
+                log.error(
+                    f"render failed ({type(first_exc).__name__}: "
+                    f"{first_exc}); disabled {stripped} and recovered")
                 return out
+            except _NON_DEGRADABLE:
+                raise
             except Exception:
                 continue
-        return self._render_once(frame, target, cur)  # re-raise original class
+        raise first_exc
 
     def _render_once(self, frame: Frame, target: Target,
                      params: RenderParams) -> jnp.ndarray:
         crop = frame.get_crop()
         key = (frame.meta_key(), target.meta_key(), params.key())
-        fn = self._cache.get(key)
+        # LRU: re-insertion keeps hot pipelines; eviction above the cap
+        # mirrors dispatch.c:707's pass GC
+        fn = self._cache.pop(key, None)
         if fn is None:
             pipeline = self._trace_pipeline(
                 frame.meta_key(), target, params, frame.repr, frame.color,
@@ -723,7 +790,9 @@ class Renderer:
                 rotation=int(frame.rotation),
                 overlays=tuple(frame.overlays))
             fn = jax.jit(pipeline)
-            self._cache[key] = fn
+        self._cache[key] = fn
+        while len(self._cache) > _MAX_CACHED_PIPELINES:
+            self._cache.pop(next(iter(self._cache)))
 
         # per-frame grain tables (traced inputs; host prep cached by seed)
         grain_tables = None
@@ -747,19 +816,34 @@ class Renderer:
                 frame.repr.dovi is not None:
             from ..ops.dovi import pack_dovi
             dovi_packed = pack_dovi(frame.repr.dovi)
-        if self.telemetry is not None:
-            import time as _time
-            t0 = _time.perf_counter()
-            out, self._peak_state = fn(self._peak_state, grain_tables,
-                                       temporal, overlay_datas, dovi_packed,
-                                       *[p.data for p in frame.planes])
-            out.block_until_ready()
-            self.telemetry.record("frame", _time.perf_counter() - t0)
-            return out
         out, self._peak_state = fn(self._peak_state, grain_tables,
                                    temporal, overlay_datas, dovi_packed,
                                    *[p.data for p in frame.planes])
+        if self.telemetry is not None:
+            # non-blocking timing (reference pl_timer queries are read
+            # opportunistically, gpu.h:403-437): harvest the PREVIOUS
+            # frame's dispatch->ready latency now — by this point it has
+            # almost surely completed, so the async pipeline (frames in
+            # flight) is never serialized by its own measurement
+            import time as _time
+            pending = getattr(self, "_telemetry_pending", None)
+            if pending is not None:
+                pt0, pout = pending
+                pout.block_until_ready()
+                self.telemetry.record("frame", _time.perf_counter() - pt0)
+            self._telemetry_pending = (_time.perf_counter(), out)
         return out
+
+    def flush_telemetry(self):
+        """Harvest the last in-flight frame's timing (telemetry is
+        recorded one frame late to avoid serializing the pipeline)."""
+        pending = getattr(self, "_telemetry_pending", None)
+        if pending is not None and self.telemetry is not None:
+            import time as _time
+            pt0, pout = pending
+            pout.block_until_ready()
+            self.telemetry.record("frame", _time.perf_counter() - pt0)
+        self._telemetry_pending = None
 
     def reset_peak_detection(self):
         """Reference pl_renderer_flush_cache / peak state reset."""

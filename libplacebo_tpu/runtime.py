@@ -49,6 +49,7 @@ class TpuContext:
             else jax.devices()
         self.log = log or default_log()
         self.cache = cache or Cache()
+        self._failed = False
         kind = self.devices[0].device_kind if self.devices else "cpu"
         is_tpu = "tpu" in str(kind).lower() or "TPU" in str(kind)
         self.limits = TpuLimits(
@@ -96,13 +97,27 @@ class TpuContext:
 
     @property
     def is_failed(self) -> bool:
-        """Reference pl_gpu_is_failed (gpu.h:1398): device-loss check."""
+        """Reference pl_gpu_is_failed (gpu.h:1398): a cheap FLAG, set by
+        the first failed device operation (probing with a blocking
+        round-trip per query would cost ~30 ms over the axon tunnel).
+        Use `check_alive()` for an active probe."""
+        return self._failed
+
+    def mark_failed(self):
+        """Record device loss (called by execution wrappers on XLA
+        runtime errors — the analog of vk_ctx.failed)."""
+        self._failed = True
+
+    def check_alive(self) -> bool:
+        """Active device probe: one tiny upload+fetch round trip
+        (~30 ms over the tunnel). Sets the failed flag on error."""
         try:
             x = self.upload(np.zeros(1, np.float32))
             float(x[0])
-            return False
-        except Exception:
             return True
+        except Exception:
+            self._failed = True
+            return False
 
 
 def create(log: Optional[Log] = None) -> TpuContext:

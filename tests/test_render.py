@@ -307,3 +307,51 @@ def test_render_cone_distortion():
     ref = np.asarray(Renderer()._render_once(
         frame, target, RenderParams(dither=None)))
     np.testing.assert_allclose(out_n, ref, atol=1e-6)
+
+
+def test_bad_params_surface_unchanged():
+    """User errors must NOT be silently degraded away (reference only
+    degrades on shader/GPU failures, renderer.c:777-788)."""
+    frame = _yuv_frame(h=16, w=24)
+    r = Renderer()
+    with pytest.raises(Exception) as ei:
+        r.render(frame, Target(w=32, h=24),
+                 RenderParams(upscaler="not_a_filter"))
+    assert "not_a_filter" in str(ei.value)
+    assert not r.errors                      # nothing was degraded
+
+
+def test_degradation_logs_and_recovers(monkeypatch):
+    """A genuinely broken stage degrades gracefully AND logs the
+    exception + disabled feature."""
+    from libplacebo_tpu.core import log as core_log
+    from libplacebo_tpu.ops import deband as ops_deband
+
+    records = []
+    lg = core_log.Log(level=core_log.LogLevel.ERR,
+                      callback=lambda lvl, msg: records.append(msg))
+    monkeypatch.setattr(core_log, "default_log", lambda: lg)
+
+    def broken(*a, **k):
+        raise RuntimeError("synthetic backend failure")
+    monkeypatch.setattr(ops_deband, "deband", broken)
+
+    frame = _yuv_frame(h=16, w=24)
+    r = Renderer()
+    out = r.render(frame, Target(w=24, h=16),
+                   RenderParams(deband=ops_deband.DebandParams()))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert "deband" in r.errors
+    assert any("deband" in m and "synthetic backend failure" in m
+               for m in records)
+
+
+def test_pipeline_cache_is_bounded():
+    from libplacebo_tpu.render.renderer import _MAX_CACHED_PIPELINES
+    r = Renderer()
+    frame = frame_from_rgb(np.full((4, 6, 3), 0.5, np.float32),
+                           color=CSP_SRGB)
+    p = RenderParams(peak_detect=None, dither=None, linear_scaling=False)
+    for i in range(_MAX_CACHED_PIPELINES + 10):
+        r.render(frame, Target(w=6 + i, h=4, color=CSP_SRGB), p)
+    assert len(r._cache) <= _MAX_CACHED_PIPELINES

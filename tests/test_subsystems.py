@@ -307,3 +307,175 @@ def test_lut_in_render():
     out = np.asarray(Renderer().render(frame, Target(w=8, h=8), params))
     np.testing.assert_allclose(out, np.moveaxis(rgb, -1, 0)[::-1],
                                atol=2e-2)
+
+
+# --- options completeness (VERDICT r1 #6; reference options.c:908-1179,
+# fuzz/options.c) -------------------------------------------------------
+
+def _nondefault_value(o, opt):
+    """Pick a legal non-default string value for an option."""
+    cur = o.get(opt.key)
+    if opt.type == "bool":
+        return "no" if cur else "yes"
+    if opt.type == "int":
+        lo, hi = int(opt.minimum), int(opt.maximum)
+        v = lo if cur != lo else (hi if hi != lo else lo + 1)
+        if v == cur:
+            v = min(hi, cur + 1)
+        return str(v)
+    if opt.type == "float":
+        lo, hi = opt.minimum, opt.maximum
+        if lo == hi:
+            return str((cur or 0.0) + 0.25)
+        v = lo if cur != lo else hi
+        if v == cur:
+            v = (lo + hi) / 2
+        return repr(v)
+    if opt.type in ("enum", "preset"):
+        for c in opt.choices:
+            if c != cur and c != "none":
+                return c
+    return None
+
+
+def test_options_table_size():
+    """The reflection table must expose the pl_render_params surface
+    (reference has ~150 options incl. deprecated/unsupported; target
+    >= 60 live ones here)."""
+    from libplacebo_tpu.core.options import OPTION_TABLE
+    assert len(OPTION_TABLE()) >= 60
+
+
+def test_options_every_option_roundtrips():
+    """For EVERY option: set a non-default value, read it back, save(),
+    re-parse into a fresh Options, and compare the full params key —
+    mirrors tests/options.c's set/save/load loop."""
+    from libplacebo_tpu.core.options import OPTION_TABLE
+    for opt in OPTION_TABLE():
+        o = Options()
+        val = _nondefault_value(o, opt)
+        if val is None:
+            continue
+        o.set(opt.key, val)
+        if opt.type != "preset":
+            got = o.get(opt.key)
+            if opt.type == "bool":
+                assert got == (val == "yes"), opt.key
+            elif opt.type == "int":
+                assert got == int(val), opt.key
+            elif opt.type == "float":
+                assert abs(got - float(val)) < 1e-9, opt.key
+            else:
+                assert got == val, opt.key
+        s = o.save()
+        o2 = Options()
+        o2.parse(s)
+        assert o2.params.key() == o.params.key(), (opt.key, s)
+
+
+def test_options_presets_apply():
+    o = Options()
+    o.set("preset", "high_quality")
+    assert o.params.deband is not None
+    o.set("preset", "fast")
+    assert not o.params.linear_scaling
+    o.set("cone_preset", "deuteranopia")
+    from libplacebo_tpu.core.colorspace import Cone
+    assert Cone(o.params.cone.cones) == Cone.M
+    assert o.params.cone.strength == 0.0
+    o.set("peak_detect_preset", "high_quality")
+    assert o.params.peak_detect.percentile == 99.995
+    o.set("deband_preset", "default")
+    o.set("dither_preset", "default")
+    o.set("sigmoid_preset", "default")
+
+
+def test_options_parse_fuzz():
+    """Garbage inputs raise OptionError, never crash or corrupt state
+    (reference fuzz/options.c)."""
+    import random
+    rng = random.Random(0)
+    alphabet = "abcdefgh=,._-0123456789!%$ \t"
+    o = Options()
+    before = o.params.key()
+    errors = 0
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 40)))
+        try:
+            o2 = Options()
+            o2.parse(s)
+        except OptionError:
+            errors += 1
+    assert errors > 400           # almost everything random is invalid
+    assert o.params.key() == before
+    # targeted malformed cases
+    for bad in ("upscaler", "=x", "upscaler=notafilter", "tile_size=abc",
+                "deband_iterations=", "unknown_opt=1", "cones=xyz",
+                "preset=bogus"):
+        try:
+            Options().parse(bad)
+            assert False, bad
+        except OptionError:
+            pass
+
+
+def test_options_save_is_minimal():
+    o = Options()
+    assert o.save() == ""          # defaults save to empty string
+    o.set("upscaler", "ewa_lanczos")
+    s = o.save()
+    assert s == "upscaler=ewa_lanczos"
+
+
+# --- windowed rate estimation (reference frame_queue.c:54-70,247-274) --
+
+def test_rate_pool_jitter_resistant():
+    """A single jittery pts delta must not move the estimate (the old
+    single-delta estimator oscillated emission modes on jitter)."""
+    from libplacebo_tpu.render.queue import _RatePool
+    p = _RatePool()
+    for _ in range(10):
+        p.update(1 / 60)
+    before = p.estimate
+    p.update(1 / 60 * 1.6)       # >30% outlier: resets pool, keeps estimate
+    assert abs(p.estimate - before) < 1e-9
+    # consistent new rate takes over after MIN_SAMPLES agree
+    for _ in range(4):
+        p.update(1 / 24)
+    assert abs(p.estimate - 1 / 24) < 1e-9
+
+
+def test_rate_pool_converges():
+    from libplacebo_tpu.render.queue import _RatePool
+    import random
+    rng = random.Random(1)
+    p = _RatePool()
+    for _ in range(32):
+        p.update(1 / 50 * (1 + rng.uniform(-0.05, 0.05)))  # small jitter
+    assert abs(p.rate - 50) < 2.5
+
+
+def test_queue_interpolation_threshold_sticky():
+    """Once rates match (interpolation off), a single outlier vsync must
+    not re-enable interpolation immediately."""
+    from libplacebo_tpu.render.frame import Frame, Plane
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    import jax.numpy as jnp
+
+    def mk(pts):
+        return Frame(planes=[Plane(jnp.zeros((1, 4, 4)), (0,))], pts=pts)
+
+    q = FrameQueue()
+    for i in range(40):
+        q.push(mk(i / 60))
+    q.push(None)
+    for i in range(20):
+        st, mix = q.update(QueueParams(pts=i / 60, radius=1.0,
+                                       vsync_duration=1 / 60),
+                           QueueMode.INTERPOLATE)
+        if st != QueueStatus.OK:
+            break
+        # rates match (60/60) -> single-frame mixes (POINT mode)
+        assert len(mix.frames) == 1

@@ -2,3 +2,5 @@
 
 from .frame import Frame, Plane, Overlay  # noqa: F401
 from .renderer import Renderer, RenderParams, render_image  # noqa: F401
+from .hooks import Hook, HookStage  # noqa: F401
+from .mpv_hooks import parse_user_shader, user_shader_hook  # noqa: F401

@@ -1,0 +1,1168 @@
+"""mpv `.hook` user-shader ingestion.
+
+TPU-native rebuild of the reference's mpv custom-shader parser + runner
+(src/shaders/custom_mpv.c): the full text format — //!HOOK/BIND/SAVE/
+DESC/OFFSET/WIDTH/HEIGHT/WHEN/COMPONENTS directives (custom_mpv.c:
+152-300), RPN size/condition expressions (:87), //!TEXTURE blocks with
+hex payloads (:305), tunable //!PARAM blocks incl. ENUM/DEFINE (:687),
+and stage-name mapping (:832) — parsed into passes that execute inside
+the jit-traced pipeline.
+
+The GLSL *body* is not compiled to GLSL (there is no GLSL here); instead
+a restricted arithmetic subset is translated to jnp operations at trace
+time: `vec4 hook()` bodies built from vector/scalar arithmetic,
+swizzles, the standard math builtins, ternaries, `#define` constants,
+`NAME_tex` / `NAME_texOff` sampling with *statically determined*
+coordinates (offsets in texels, affine position scaling), and
+`NAME_pos/size/pt` metadata.  That covers the classic single-texture
+community hooks (unsharp/adaptive-sharpen style arithmetic); bodies
+using data-dependent sampling coordinates or loops are rejected at parse
+time with a clear error (and auto-disabled by the hook engine rather
+than failing frames, mirroring renderer.c:64-65).
+"""
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .hooks import Hook, HookStage
+
+__all__ = ["parse_user_shader", "user_shader_hook", "UserShader",
+           "MpvHookError"]
+
+
+class MpvHookError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# RPN size/condition expressions (reference parse_rpn_shexpr,
+# custom_mpv.c:87-140)
+# ---------------------------------------------------------------------------
+
+def _parse_shexpr(line: str):
+    """Tokenize an RPN expression; returns a list of (tag, value)."""
+    out = []
+    for word in line.split():
+        if word.endswith(".w") or word.endswith(".width"):
+            out.append(("tex_w", word.rsplit(".", 1)[0]))
+        elif word.endswith(".h") or word.endswith(".height"):
+            out.append(("tex_h", word.rsplit(".", 1)[0]))
+        elif word in "+-*/%!":
+            out.append(("op", word))
+        elif word in (">", "<", "="):
+            out.append(("op", word))
+        elif word[0].isdigit():
+            try:
+                out.append(("const", float(word)))
+            except ValueError:
+                raise MpvHookError(f"bad shexpr constant: {word!r}")
+        else:
+            out.append(("var", word))
+    return out
+
+
+def _eval_shexpr(expr, sizes: Dict[str, Tuple[int, int]],
+                 variables: Dict[str, float]) -> float:
+    """Evaluate an RPN expression against texture sizes + PARAM values
+    (reference pl_shexp evaluation)."""
+    stack: List[float] = []
+    for tag, val in expr:
+        if tag == "const":
+            stack.append(val)
+        elif tag == "tex_w":
+            if val not in sizes:
+                raise MpvHookError(f"unknown texture {val!r} in shexpr")
+            stack.append(float(sizes[val][1]))
+        elif tag == "tex_h":
+            if val not in sizes:
+                raise MpvHookError(f"unknown texture {val!r} in shexpr")
+            stack.append(float(sizes[val][0]))
+        elif tag == "var":
+            if val not in variables:
+                raise MpvHookError(f"unknown variable {val!r} in shexpr")
+            stack.append(float(variables[val]))
+        elif tag == "op":
+            if val == "!":
+                if not stack:
+                    raise MpvHookError("shexpr stack underflow")
+                stack.append(0.0 if stack.pop() else 1.0)
+                continue
+            if len(stack) < 2:
+                raise MpvHookError("shexpr stack underflow")
+            b, a = stack.pop(), stack.pop()
+            if val == "+":
+                stack.append(a + b)
+            elif val == "-":
+                stack.append(a - b)
+            elif val == "*":
+                stack.append(a * b)
+            elif val == "/":
+                stack.append(a / b if b else 0.0)
+            elif val == "%":
+                stack.append(math.fmod(a, b) if b else 0.0)
+            elif val == ">":
+                stack.append(1.0 if a > b else 0.0)
+            elif val == "<":
+                stack.append(1.0 if a < b else 0.0)
+            elif val == "=":
+                stack.append(1.0 if abs(a - b) < 1e-6 * max(
+                    abs(a), abs(b), 1.0) else 0.0)
+    if len(stack) != 1:
+        raise MpvHookError(f"shexpr leaves {len(stack)} values on stack")
+    return stack[0]
+
+
+# ---------------------------------------------------------------------------
+# Data model (reference custom_shader_hook / pl_hook_par)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ShaderPass:
+    desc: str = "unknown user shader"
+    hook_texs: List[str] = field(default_factory=list)
+    bind_texs: List[str] = field(default_factory=list)
+    save_tex: Optional[str] = None      # None = overwrite HOOKED
+    body: str = ""
+    offset: Tuple[float, float] = (0.0, 0.0)
+    offset_align: bool = False
+    components: int = 0                 # 0 = keep
+    width: Optional[list] = None        # shexpr (None = HOOKED.w)
+    height: Optional[list] = None
+    cond: Optional[list] = None         # shexpr (None = true)
+    is_compute: bool = False
+    block_w: int = 0
+    block_h: int = 0
+
+
+@dataclass
+class ShaderTexture:
+    name: str
+    data: np.ndarray                    # (H, W, comps) float32
+    filter: str = "LINEAR"              # LINEAR | NEAREST
+    border: str = "CLAMP"               # CLAMP | REPEAT | MIRROR
+
+
+@dataclass
+class ShaderParam:
+    """Reference pl_hook_par (custom_mpv.c:687)."""
+    name: str
+    description: str = ""
+    mode: str = "variable"              # variable|dynamic|constant|define
+    type: str = "float"
+    default: float = 0.0
+    minimum: float = -math.inf
+    maximum: float = math.inf
+    names: Tuple[str, ...] = ()         # ENUM values
+
+
+@dataclass
+class UserShader:
+    passes: List[ShaderPass] = field(default_factory=list)
+    textures: Dict[str, ShaderTexture] = field(default_factory=dict)
+    params: Dict[str, ShaderParam] = field(default_factory=dict)
+    name: str = "user shader"
+
+
+# stage-name mapping (reference mp_stage_to_pl, custom_mpv.c:832-874)
+_STAGE_MAP = {
+    "RGB": HookStage.RGB_INPUT, "LUMA": HookStage.LUMA_INPUT,
+    "CHROMA": HookStage.CHROMA_INPUT, "ALPHA": HookStage.ALPHA_INPUT,
+    "CHROMA_SCALED": HookStage.CHROMA_SCALED,
+    "ALPHA_SCALED": HookStage.ALPHA_SCALED,
+    "NATIVE": HookStage.NATIVE, "MAINPRESUB": HookStage.RGB,
+    "MAIN": HookStage.RGB, "LINEAR": HookStage.LINEAR,
+    "SIGMOID": HookStage.SIGMOID, "PREKERNEL": HookStage.PRE_KERNEL,
+    "POSTKERNEL": HookStage.POST_KERNEL, "SCALED": HookStage.SCALED,
+    "PREOUTPUT": HookStage.PRE_OUTPUT, "OUTPUT": HookStage.OUTPUT,
+}
+_STAGE_NAME = {v: k for k, v in _STAGE_MAP.items()}
+_STAGE_NAME[HookStage.RGB] = "MAIN"
+
+
+# ---------------------------------------------------------------------------
+# Text parsing (reference parse_hook/parse_tex/parse_param,
+# custom_mpv.c:152-300,305-500,687-830, pl_mpv_user_shader_parse :1594)
+# ---------------------------------------------------------------------------
+
+_TEX_FORMATS = {
+    # name: (components, dtype, scale)
+    "r8": (1, np.uint8, 255.0), "rg8": (2, np.uint8, 255.0),
+    "rgb8": (3, np.uint8, 255.0), "rgba8": (4, np.uint8, 255.0),
+    "r16": (1, np.dtype(">u2"), 65535.0),
+    "rg16": (2, np.dtype(">u2"), 65535.0),
+    "rgb16": (3, np.dtype(">u2"), 65535.0),
+    "rgba16": (4, np.dtype(">u2"), 65535.0),
+    "r16hf": (1, np.dtype("<f2"), 1.0), "rg16hf": (2, np.dtype("<f2"), 1.0),
+    "rgb16hf": (3, np.dtype("<f2"), 1.0),
+    "rgba16hf": (4, np.dtype("<f2"), 1.0),
+    "r32f": (1, np.dtype("<f4"), 1.0), "rg32f": (2, np.dtype("<f4"), 1.0),
+    "rgb32f": (3, np.dtype("<f4"), 1.0),
+    "rgba32f": (4, np.dtype("<f4"), 1.0),
+}
+
+
+def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
+    """Parse a full mpv .hook file (reference pl_mpv_user_shader_parse,
+    custom_mpv.c:1594)."""
+    shader = UserShader(name=name)
+    lines = text.split("\n")
+    i = 0
+    n = len(lines)
+
+    def read_block_lines():
+        """Consume //! directive lines starting at i; returns (directives,
+        next_i)."""
+        nonlocal i
+        dirs = []
+        while i < n:
+            stripped = lines[i].strip()
+            if not stripped.startswith("//!"):
+                break
+            dirs.append(stripped[3:])
+            i += 1
+        return dirs
+
+    def read_body():
+        """Consume the body until the next //! line."""
+        nonlocal i
+        body = []
+        while i < n and not lines[i].strip().startswith("//!"):
+            body.append(lines[i])
+            i += 1
+        return "\n".join(body)
+
+    while i < n:
+        stripped = lines[i].strip()
+        if not stripped.startswith("//!"):
+            i += 1
+            continue
+        head = stripped[3:]
+        if head.startswith("HOOK"):
+            dirs = read_block_lines()
+            p = ShaderPass()
+            for d in dirs:
+                key, _, rest = d.partition(" ")
+                rest = rest.strip()
+                if key == "HOOK":
+                    if len(p.hook_texs) >= 16:
+                        raise MpvHookError("too many HOOKs")
+                    p.hook_texs.append(rest)
+                elif key == "BIND":
+                    p.bind_texs.append(rest)
+                elif key == "SAVE":
+                    p.save_tex = None if rest == "HOOKED" else (
+                        "MAINPRESUB" if rest == "MAIN" else rest)
+                    if p.save_tex is None:
+                        p.save_tex = "HOOKED"
+                elif key == "DESC":
+                    p.desc = rest
+                elif key == "OFFSET":
+                    if rest == "ALIGN":
+                        p.offset_align = True
+                    else:
+                        parts = rest.split()
+                        if len(parts) != 2:
+                            raise MpvHookError("Error while parsing OFFSET!")
+                        p.offset = (float(parts[0]), float(parts[1]))
+                elif key == "WIDTH":
+                    p.width = _parse_shexpr(rest)
+                elif key == "HEIGHT":
+                    p.height = _parse_shexpr(rest)
+                elif key == "WHEN":
+                    p.cond = _parse_shexpr(rest)
+                elif key == "COMPONENTS":
+                    p.components = int(rest)
+                elif key == "COMPUTE":
+                    parts = rest.split()
+                    p.is_compute = True
+                    p.block_w, p.block_h = int(parts[0]), int(parts[1])
+                else:
+                    raise MpvHookError(f"Unrecognized command {key!r}!")
+            p.body = read_body()
+            if not p.hook_texs:
+                continue        # reference: warn + ignore
+            shader.passes.append(p)
+        elif head.startswith("TEXTURE"):
+            dirs = read_block_lines()
+            tname = dirs[0].partition(" ")[2].strip()
+            size = None
+            fmt = "rgba8"
+            filt, border = "LINEAR", "CLAMP"
+            for d in dirs[1:]:
+                key, _, rest = d.partition(" ")
+                rest = rest.strip()
+                if key == "SIZE":
+                    size = tuple(int(x) for x in rest.split())
+                elif key == "FORMAT":
+                    fmt = rest
+                elif key == "FILTER":
+                    filt = rest
+                elif key == "BORDER":
+                    border = rest
+                elif key == "STORAGE":
+                    pass
+                else:
+                    raise MpvHookError(f"bad TEXTURE directive {key!r}")
+            payload = read_body().strip().replace("\n", "").replace(" ", "")
+            if fmt not in _TEX_FORMATS:
+                raise MpvHookError(f"unsupported texture format {fmt!r}")
+            comps, dtype, scale = _TEX_FORMATS[fmt]
+            raw = bytes.fromhex(payload)
+            arr = np.frombuffer(raw, dtype=dtype).astype(np.float64) / scale
+            if size is None:
+                size = (len(arr) // comps, 1)   # width, height=1
+            w = size[0]
+            h = size[1] if len(size) > 1 else 1
+            if len(arr) != w * h * comps:
+                raise MpvHookError(
+                    f"texture {tname}: payload {len(arr)} != "
+                    f"{w}x{h}x{comps}")
+            data = arr.reshape(h, w, comps).astype(np.float32)
+            shader.textures[tname] = ShaderTexture(
+                name=tname, data=data, filter=filt, border=border)
+        elif head.startswith("BUFFER"):
+            # storage buffers have no TPU counterpart (they exist for
+            # compute-shader scratch); parse + skip the block
+            read_block_lines()
+            read_body()
+        elif head.startswith("PARAM"):
+            dirs = read_block_lines()
+            pname = dirs[0].partition(" ")[2].strip()
+            par = ShaderParam(name=pname)
+            for d in dirs[1:]:
+                key, _, rest = d.partition(" ")
+                rest = rest.strip()
+                if key == "DESC":
+                    par.description = rest
+                elif key == "MINIMUM":
+                    par.minimum = float(rest)
+                elif key == "MAXIMUM":
+                    par.maximum = float(rest)
+                elif key == "TYPE":
+                    words = rest.split()
+                    is_enum = words and words[0] == "ENUM"
+                    if is_enum:
+                        words = words[1:]
+                    mode = "variable"
+                    if words and words[0] in ("DYNAMIC", "CONSTANT",
+                                              "DEFINE"):
+                        mode = words[0].lower()
+                        words = words[1:]
+                    par.mode = mode
+                    par.type = words[0] if words else (
+                        "int" if mode == "define" else "float")
+                    if is_enum:
+                        par.type = "enum"
+                else:
+                    raise MpvHookError(f"bad PARAM directive {key!r}")
+            body = read_body()
+            vals = [ln.strip() for ln in body.split("\n") if ln.strip()]
+            if par.type == "enum":
+                par.names = tuple(vals[1:]) if len(vals) > 1 else ()
+                # first line is the default enum NAME
+                all_names = tuple(vals)
+                par.names = all_names
+                par.default = 0.0
+            elif vals:
+                par.default = float(vals[0])
+            par.default = min(max(par.default, par.minimum), par.maximum)
+            shader.params[pname] = par
+        else:
+            i += 1
+    return shader
+
+
+# ---------------------------------------------------------------------------
+# GLSL body translation
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<num>\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?u?)
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|==|!=|&&|\|\||[+\-*/%(),.;=?:!<>{}\[\]])
+""", re.VERBOSE)
+
+
+def _tokenize(src: str) -> List[str]:
+    src = re.sub(r"/\*.*?\*/", " ", src, flags=re.S)
+    src = re.sub(r"//[^\n]*", " ", src)
+    toks = []
+    pos = 0
+    while pos < len(src):
+        if src[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise MpvHookError(f"GLSL tokenize error at {src[pos:pos+20]!r}")
+        toks.append(m.group(0))
+        pos = m.end()
+    return toks
+
+
+class _Pos:
+    """Symbolic sampling position: an affine transform of a texture's
+    normalized coordinates — keeps sampling coordinates statically
+    resolvable (gathers with data-dependent indices are the one pattern
+    TPU cannot afford)."""
+    __slots__ = ("base", "scale", "offset")
+
+    def __init__(self, base, scale=(1.0, 1.0), offset=(0.0, 0.0)):
+        self.base = base
+        self.scale = scale
+        self.offset = offset
+
+
+class _Vec:
+    """A GLSL value: tuple of per-pixel components (jnp arrays (H, W) or
+    python floats). A scalar is a 1-component _Vec with scalar=True."""
+    __slots__ = ("comps", "scalar")
+
+    def __init__(self, comps, scalar=False):
+        self.comps = list(comps)
+        self.scalar = scalar and len(self.comps) == 1
+
+    def __len__(self):
+        return len(self.comps)
+
+
+_SWIZ = {"x": 0, "y": 1, "z": 2, "w": 3,
+         "r": 0, "g": 1, "b": 2, "a": 3,
+         "s": 0, "t": 1, "p": 2, "q": 3}
+
+
+def _expand_defines(body: str, max_rounds: int = 16) -> str:
+    """Expand #define macros: object-like AND simple function-like
+    (naive textual argument substitution, like the C preprocessor
+    without stringize/paste). Community hooks rely heavily on
+    `#define get(off) HOOKED_texOff(off)`-style helpers."""
+    obj: Dict[str, str] = {}
+    funcs: Dict[str, Tuple[List[str], str]] = {}
+    out_lines = []
+    for line in body.split("\n"):
+        m = re.match(r"\s*#define\s+(\w+)\(([^)]*)\)\s+(.*)$", line)
+        if m:
+            args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+            funcs[m.group(1)] = (args, m.group(3).strip())
+            continue
+        m = re.match(r"\s*#define\s+(\w+)\s+(.*)$", line)
+        if m:
+            obj[m.group(1)] = m.group(2).strip()
+            continue
+        out_lines.append(line)
+    body = "\n".join(out_lines)
+
+    def expand_call(text, name, params, repl):
+        """Expand one function-like macro occurrence at a time."""
+        pat = re.compile(rf"\b{re.escape(name)}\s*\(")
+        while True:
+            m = pat.search(text)
+            if not m:
+                return text
+            # find matching close paren + split top-level args
+            depth, j = 1, m.end()
+            arg_starts = [m.end()]
+            args = []
+            while j < len(text) and depth:
+                c = text[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args.append(text[arg_starts[-1]:j].strip())
+                elif c == "," and depth == 1:
+                    args.append(text[arg_starts[-1]:j].strip())
+                    arg_starts.append(j + 1)
+                j += 1
+            if depth:
+                raise MpvHookError(f"unbalanced parens in {name} call")
+            exp = repl
+            for pn, av in zip(params, args):
+                exp = re.sub(rf"\b{re.escape(pn)}\b", f"({av})", exp)
+            text = text[:m.start()] + "(" + exp + ")" + text[j:]
+
+    for _ in range(max_rounds):
+        before = body
+        for name, val in obj.items():
+            body = re.sub(rf"\b{re.escape(name)}\b", f"({val})", body)
+        for name, (params, repl) in funcs.items():
+            body = expand_call(body, name, params, repl)
+        if body == before:
+            break
+    return body
+
+
+class _BodyRunner:
+    """Executes a restricted-GLSL `vec4 hook()` body on traced arrays."""
+
+    def __init__(self, textures: Dict[str, "_TexView"],
+                 hooked: str, params: Dict[str, float],
+                 defines: Dict[str, str], out_shape: Tuple[int, int]):
+        self.tex = textures
+        self.hooked = hooked
+        self.params = params
+        self.defines = defines
+        self.H, self.W = out_shape
+
+    # -- value helpers ---------------------------------------------------
+
+    def _broadcast(self, a: _Vec, b: _Vec) -> Tuple[_Vec, _Vec]:
+        if len(a) == len(b):
+            return a, b
+        if a.scalar:
+            return _Vec(a.comps * len(b)), b
+        if b.scalar:
+            return a, _Vec(b.comps * len(a))
+        raise MpvHookError(f"size mismatch: vec{len(a)} vs vec{len(b)}")
+
+    def _binop(self, op, a: _Vec, b: _Vec) -> _Vec:
+        import jax.numpy as jnp
+        a, b = self._broadcast(a, b)
+        fns = {
+            "+": lambda x, y: x + y, "-": lambda x, y: x - y,
+            "*": lambda x, y: x * y, "/": lambda x, y: x / y,
+            "%": lambda x, y: jnp.mod(x, y) if hasattr(x, "shape") or
+            hasattr(y, "shape") else math.fmod(x, y),
+            "<": lambda x, y: x < y, ">": lambda x, y: x > y,
+            "<=": lambda x, y: x <= y, ">=": lambda x, y: x >= y,
+            "==": lambda x, y: x == y, "!=": lambda x, y: x != y,
+            "&&": lambda x, y: x & y if hasattr(x, "shape") or
+            hasattr(y, "shape") else (bool(x) and bool(y)),
+            "||": lambda x, y: x | y if hasattr(x, "shape") or
+            hasattr(y, "shape") else (bool(x) or bool(y)),
+        }
+        return _Vec([fns[op](x, y) for x, y in zip(a.comps, b.comps)],
+                    scalar=a.scalar and b.scalar)
+
+    # -- statements --------------------------------------------------------
+
+    def run(self, body: str):
+        # apply PARAM/enum #define substitution first
+        for k, v in self.defines.items():
+            body = re.sub(rf"\b{re.escape(k)}\b", v, body)
+        body = _expand_defines(body)
+        if re.search(r"^\s*#", body, re.M):
+            raise MpvHookError("unsupported preprocessor directive")
+        m = re.search(r"vec4\s+hook\s*\(\s*\)\s*{", body)
+        if not m:
+            raise MpvHookError("no `vec4 hook()` entry point found")
+        depth = 1
+        j = m.end()
+        while j < len(body) and depth:
+            if body[j] == "{":
+                depth += 1
+            elif body[j] == "}":
+                depth -= 1
+            j += 1
+        inner = body[m.end():j - 1]
+        self.toks = _tokenize(inner)
+        self.pos = 0
+        self.vars: Dict[str, _Vec] = {}
+        ret = self._run_statements()
+        if ret is None:
+            raise MpvHookError("hook() did not return")
+        return ret
+
+    def _peek(self, k=0):
+        return self.toks[self.pos + k] if self.pos + k < len(self.toks) \
+            else None
+
+    def _next(self):
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _expect(self, t):
+        got = self._next()
+        if got != t:
+            raise MpvHookError(f"expected {t!r}, got {got!r}")
+
+    _TYPES = ("float", "int", "uint", "bool", "vec2", "vec3", "vec4")
+
+    def _run_statements(self):
+        while self._peek() is not None:
+            t = self._peek()
+            if t == "return":
+                self._next()
+                v = self._expr()
+                self._expect(";")
+                return self._to_vec4(v)
+            if t == ";":
+                self._next()
+                continue
+            if t in self._TYPES:
+                self._next()
+                name = self._next()
+                if self._peek() == "=":
+                    self._next()
+                    self.vars[name] = self._expr()
+                else:
+                    self.vars[name] = _Vec([0.0], scalar=True)
+                self._expect(";")
+                continue
+            # assignment: name [.swz] (=|+=|-=|*=|/=) expr ;
+            name = self._next()
+            if name not in self.vars:
+                raise MpvHookError(f"unsupported statement at {name!r}")
+            swz = None
+            if self._peek() == ".":
+                self._next()
+                swz = self._next()
+            op = self._next()
+            if op not in ("=", "+=", "-=", "*=", "/="):
+                raise MpvHookError(f"unsupported assignment op {op!r}")
+            rhs = self._expr()
+            self._expect(";")
+            cur = self.vars[name]
+            if swz is None:
+                if op != "=":
+                    rhs = self._binop(op[0], cur, rhs)
+                self.vars[name] = rhs
+            else:
+                idxs = [_SWIZ[c] for c in swz]
+                comps = list(cur.comps)
+                if op != "=":
+                    old = _Vec([comps[i] for i in idxs])
+                    rhs = self._binop(op[0], old, rhs)
+                rhs_c = rhs.comps if len(rhs) == len(idxs) \
+                    else rhs.comps * len(idxs)
+                for i, c in zip(idxs, rhs_c):
+                    comps[i] = c
+                self.vars[name] = _Vec(comps)
+        return None
+
+    def _to_vec4(self, v) -> _Vec:
+        import jax.numpy as jnp
+        if isinstance(v, _Pos):
+            raise MpvHookError("hook() returned a position")
+        comps = list(v.comps)
+        while len(comps) < 4:
+            comps.append(1.0 if len(comps) == 3 else 0.0)
+        return _Vec(comps[:4])
+
+    # -- expressions -----------------------------------------------------
+
+    def _expr(self):
+        return self._ternary()
+
+    def _ternary(self):
+        import jax.numpy as jnp
+        cond = self._or()
+        if self._peek() == "?":
+            self._next()
+            a = self._ternary()
+            self._expect(":")
+            b = self._ternary()
+            if isinstance(a, _Pos) or isinstance(b, _Pos) or \
+                    isinstance(cond, _Pos):
+                raise MpvHookError("ternary on positions unsupported")
+            a, b = self._broadcast(a, b)
+            c = cond.comps[0]
+            if hasattr(c, "shape"):
+                return _Vec([jnp.where(c, x, y)
+                             for x, y in zip(a.comps, b.comps)],
+                            scalar=a.scalar)
+            return a if c else b
+        return cond
+
+    def _binlevel(self, sub, ops):
+        def parse():
+            left = sub()
+            while self._peek() in ops:
+                op = self._next()
+                right = sub()
+                if isinstance(left, _Pos) or isinstance(right, _Pos):
+                    left = self._pos_arith(op, left, right)
+                else:
+                    left = self._binop(op, left, right)
+            return left
+        return parse
+
+    def _pos_arith(self, op, a, b):
+        """Affine arithmetic on sampling positions: pos */ scalar-const,
+        pos +- vec2-const.  Anything data-dependent is rejected."""
+        pos, other = (a, b) if isinstance(a, _Pos) else (b, a)
+        if isinstance(other, _Pos):
+            raise MpvHookError("position-position arithmetic unsupported")
+        vals = other.comps
+        if any(hasattr(v, "shape") for v in vals):
+            raise MpvHookError(
+                "data-dependent sampling coordinates are not supported "
+                "on TPU (requires per-pixel gather)")
+        if op == "*":
+            sx = vals[0]
+            sy = vals[1] if len(vals) > 1 else vals[0]
+            return _Pos(pos.base, (pos.scale[0] * sx, pos.scale[1] * sy),
+                        (pos.offset[0] * sx, pos.offset[1] * sy))
+        if op in ("+", "-"):
+            sgn = 1.0 if op == "+" else -1.0
+            if isinstance(a, _Pos):
+                ox = vals[0]
+                oy = vals[1] if len(vals) > 1 else vals[0]
+                return _Pos(pos.base, pos.scale,
+                            (pos.offset[0] + sgn * ox,
+                             pos.offset[1] + sgn * oy))
+        raise MpvHookError(f"unsupported position arithmetic {op!r}")
+
+    def _or(self):
+        return self._binlevel(self._and, ("||",))()
+
+    def _and(self):
+        return self._binlevel(self._cmp, ("&&",))()
+
+    def _cmp(self):
+        return self._binlevel(
+            self._add, ("<", ">", "<=", ">=", "==", "!="))()
+
+    def _add(self):
+        return self._binlevel(self._mul, ("+", "-"))()
+
+    def _mul(self):
+        return self._binlevel(self._unary, ("*", "/", "%"))()
+
+    def _unary(self):
+        t = self._peek()
+        if t == "-":
+            self._next()
+            v = self._unary()
+            return _Vec([-(c) for c in v.comps], scalar=v.scalar)
+        if t == "!":
+            self._next()
+            v = self._unary()
+            return _Vec([~c if hasattr(c, "shape") else (not c)
+                         for c in v.comps], scalar=v.scalar)
+        if t == "+":
+            self._next()
+            return self._unary()
+        return self._postfix()
+
+    def _postfix(self):
+        v = self._primary()
+        while self._peek() == ".":
+            self._next()
+            swz = self._next()
+            if isinstance(v, _Pos):
+                raise MpvHookError("cannot swizzle a position")
+            try:
+                idxs = [_SWIZ[c] for c in swz]
+            except KeyError:
+                raise MpvHookError(f"bad swizzle {swz!r}")
+            v = _Vec([v.comps[i] for i in idxs], scalar=len(idxs) == 1)
+        return v
+
+    _FUNCS1 = ("abs", "floor", "ceil", "fract", "sqrt", "inversesqrt",
+               "exp", "exp2", "log", "log2", "sign", "sin", "cos", "tan",
+               "normalize", "length", "saturate")
+
+    def _primary(self):
+        import jax.numpy as jnp
+        t = self._next()
+        if t is None:
+            raise MpvHookError("unexpected end of expression")
+        if t == "(":
+            v = self._expr()
+            self._expect(")")
+            return v
+        if re.match(r"^(\d|\.\d)", t):
+            return _Vec([float(t.rstrip("u"))], scalar=True)
+        if t in ("vec2", "vec3", "vec4", "float", "int", "uint", "bool"):
+            nc = {"vec2": 2, "vec3": 3, "vec4": 4}.get(t, 1)
+            self._expect("(")
+            args = [self._expr()]
+            while self._peek() == ",":
+                self._next()
+                args.append(self._expr())
+            self._expect(")")
+            comps = []
+            for a in args:
+                comps.extend(a.comps)
+            if len(comps) == 1 and nc > 1:
+                comps = comps * nc
+            if len(comps) < nc:
+                raise MpvHookError(f"too few components for {t}")
+            return _Vec(comps[:nc], scalar=nc == 1)
+        if t in self._FUNCS1 or t in (
+                "min", "max", "clamp", "mix", "pow", "mod", "step",
+                "smoothstep", "dot", "distance"):
+            return self._call(t)
+        # NAME_tex / NAME_texOff / NAME_pos / NAME_size / NAME_pt
+        for suffix in ("_texOff", "_tex", "_pos", "_size", "_pt", "_off"):
+            if t.endswith(suffix):
+                base = t[:-len(suffix)]
+                if base == "HOOKED":
+                    base = self.hooked
+                if base in self.tex:
+                    return self._tex_access(base, suffix)
+        if t in self.vars:
+            return self.vars[t]
+        if t in self.params:
+            return _Vec([float(self.params[t])], scalar=True)
+        raise MpvHookError(f"unknown identifier {t!r}")
+
+    def _call(self, fname):
+        import jax.numpy as jnp
+        self._expect("(")
+        args = [self._expr()]
+        while self._peek() == ",":
+            self._next()
+            args.append(self._expr())
+        self._expect(")")
+
+        def lift(f):
+            a = args[0]
+            return _Vec([f(c) for c in a.comps], scalar=a.scalar)
+
+        def j(f, pyf=None):
+            def g(x):
+                if hasattr(x, "shape"):
+                    return f(x)
+                return (pyf or (lambda v: float(f(jnp.asarray(v)))))(x)
+            return g
+
+        if fname in self._FUNCS1:
+            table = {
+                "abs": j(jnp.abs, abs), "floor": j(jnp.floor, math.floor),
+                "ceil": j(jnp.ceil, math.ceil),
+                "fract": j(lambda x: x - jnp.floor(x),
+                           lambda x: x - math.floor(x)),
+                "sqrt": j(jnp.sqrt, math.sqrt),
+                "inversesqrt": j(lambda x: 1 / jnp.sqrt(x),
+                                 lambda x: 1 / math.sqrt(x)),
+                "exp": j(jnp.exp, math.exp), "exp2": j(
+                    jnp.exp2, lambda x: 2 ** x),
+                "log": j(jnp.log, math.log),
+                "log2": j(jnp.log2, math.log2),
+                "sign": j(jnp.sign, lambda x: (x > 0) - (x < 0)),
+                "sin": j(jnp.sin, math.sin), "cos": j(jnp.cos, math.cos),
+                "tan": j(jnp.tan, math.tan),
+                "saturate": j(lambda x: jnp.clip(x, 0, 1),
+                              lambda x: min(max(x, 0.0), 1.0)),
+            }
+            if fname == "length":
+                a = args[0]
+                s = sum(c * c for c in a.comps)
+                return _Vec([s ** 0.5 if not hasattr(s, "shape")
+                             else jnp.sqrt(s)], scalar=True)
+            if fname == "normalize":
+                a = args[0]
+                s = sum(c * c for c in a.comps)
+                inv = (1.0 / math.sqrt(s)) if not hasattr(s, "shape") \
+                    else 1.0 / jnp.sqrt(s)
+                return _Vec([c * inv for c in a.comps])
+            return lift(table[fname])
+
+        if fname in ("min", "max"):
+            a, b = self._broadcast(args[0], args[1])
+            f = jnp.minimum if fname == "min" else jnp.maximum
+            pf = min if fname == "min" else max
+            return _Vec([f(x, y) if hasattr(x, "shape") or
+                         hasattr(y, "shape") else pf(x, y)
+                         for x, y in zip(a.comps, b.comps)],
+                        scalar=a.scalar)
+        if fname == "clamp":
+            x, lo, hi = args
+            v = self._call_inline("max", x, lo)
+            return self._call_inline("min", v, hi)
+        if fname == "mix":
+            a, b = self._broadcast(args[0], args[1])
+            t = args[2]
+            tt, _ = self._broadcast(t, a)
+            return _Vec([x + (y - x) * w for x, y, w in
+                         zip(a.comps, b.comps, tt.comps)], scalar=a.scalar)
+        if fname == "pow":
+            a, b = self._broadcast(args[0], args[1])
+            return _Vec([jnp.power(x, y) if hasattr(x, "shape") or
+                         hasattr(y, "shape") else math.pow(x, y)
+                         for x, y in zip(a.comps, b.comps)],
+                        scalar=a.scalar)
+        if fname == "mod":
+            a, b = self._broadcast(args[0], args[1])
+            return _Vec([jnp.mod(x, y) if hasattr(x, "shape") or
+                         hasattr(y, "shape") else math.fmod(x, y)
+                         for x, y in zip(a.comps, b.comps)],
+                        scalar=a.scalar)
+        if fname == "step":
+            e, x = self._broadcast(args[0], args[1])
+            return _Vec([jnp.where(v < ee, 0.0, 1.0) if
+                         hasattr(v, "shape") or hasattr(ee, "shape")
+                         else (0.0 if x_ < e_ else 1.0)
+                         for ee, v, e_, x_ in
+                         zip(e.comps, x.comps, e.comps, x.comps)],
+                        scalar=x.scalar)
+        if fname == "smoothstep":
+            e0, e1, x = args
+            e0, x = self._broadcast(e0, x)
+            e1, x = self._broadcast(e1, x)
+            out = []
+            for a_, b_, v in zip(e0.comps, e1.comps, x.comps):
+                t_ = (v - a_) / (b_ - a_)
+                t_ = jnp.clip(t_, 0.0, 1.0) if hasattr(t_, "shape") \
+                    else min(max(t_, 0.0), 1.0)
+                out.append(t_ * t_ * (3.0 - 2.0 * t_))
+            return _Vec(out, scalar=x.scalar)
+        if fname == "dot":
+            a, b = self._broadcast(args[0], args[1])
+            return _Vec([sum(x * y for x, y in zip(a.comps, b.comps))],
+                        scalar=True)
+        if fname == "distance":
+            a, b = self._broadcast(args[0], args[1])
+            s = sum((x - y) ** 2 for x, y in zip(a.comps, b.comps))
+            return _Vec([s ** 0.5 if not hasattr(s, "shape")
+                         else jnp.sqrt(s)], scalar=True)
+        raise MpvHookError(f"unsupported function {fname!r}")
+
+    def _call_inline(self, fname, *args):
+        import jax.numpy as jnp
+        a, b = self._broadcast(args[0], args[1])
+        f = jnp.minimum if fname == "min" else jnp.maximum
+        pf = min if fname == "min" else max
+        return _Vec([f(x, y) if hasattr(x, "shape") or hasattr(y, "shape")
+                     else pf(x, y) for x, y in zip(a.comps, b.comps)],
+                    scalar=a.scalar)
+
+    # -- texture access ----------------------------------------------------
+
+    def _tex_access(self, base, suffix):
+        tv = self.tex[base]
+        if suffix == "_pos":
+            return _Pos(base)
+        if suffix == "_size":
+            return _Vec([float(tv.w), float(tv.h)])
+        if suffix in ("_pt", "_off"):
+            return _Vec([1.0 / tv.w, 1.0 / tv.h])
+        if suffix == "_tex":
+            self._expect("(")
+            pos = self._expr()
+            self._expect(")")
+            if not isinstance(pos, _Pos):
+                raise MpvHookError(
+                    "texture coordinates must derive from a *_pos "
+                    "(static affine transforms only)")
+            return tv.sample(pos, (self.H, self.W))
+        if suffix == "_texOff":
+            self._expect("(")
+            off = self._expr()
+            self._expect(")")
+            if isinstance(off, _Pos):
+                raise MpvHookError("texOff takes a constant offset")
+            vals = off.comps
+            if any(hasattr(v, "shape") for v in vals):
+                raise MpvHookError("texOff offset must be static")
+            ox = float(vals[0])
+            oy = float(vals[1]) if len(vals) > 1 else ox
+            pos = _Pos(base, (1.0, 1.0), (ox / tv.w, oy / tv.h))
+            return tv.sample(pos, (self.H, self.W))
+        raise MpvHookError(suffix)
+
+
+class _TexView:
+    """A bindable texture: either the traced hooked/saved image
+    ((C, H, W) jnp array) or a builtin //!TEXTURE (np array)."""
+
+    def __init__(self, name, data, filter="LINEAR", border="CLAMP",
+                 is_builtin=False):
+        self.name = name
+        self.data = data                 # (C, H, W) jnp or (H, W, C) np
+        self.filter = filter
+        self.border = border
+        self.is_builtin = is_builtin
+        if is_builtin:
+            self.h, self.w = data.shape[0], data.shape[1]
+            self.comps = data.shape[2]
+        else:
+            self.h, self.w = data.shape[-2], data.shape[-1]
+            self.comps = data.shape[-3]
+
+    def sample(self, pos: _Pos, out_shape) -> _Vec:
+        import jax.numpy as jnp
+        H, W = out_shape
+        # continuous sample coordinates of every output pixel, in THIS
+        # texture's texel units (statically computed on the host)
+        src = pos
+        xs = (np.arange(W, dtype=np.float64) + 0.5) / W
+        ys = (np.arange(H, dtype=np.float64) + 0.5) / H
+        u = xs * src.scale[0] + src.offset[0]
+        v = ys * src.scale[1] + src.offset[1]
+        px = u * self.w - 0.5            # texel-space coordinates
+        py = v * self.h - 0.5
+
+        def index(coord, size):
+            if self.border == "REPEAT":
+                return np.mod(coord, size).astype(np.int64)
+            if self.border == "MIRROR":
+                period = 2 * size
+                c = np.mod(coord, period)
+                return np.where(c < size, c, period - 1 - c).astype(np.int64)
+            return np.clip(coord, 0, size - 1).astype(np.int64)
+
+        nearest = self.filter == "NEAREST"
+        if nearest:
+            ix = index(np.round(px), self.w)
+            iy = index(np.round(py), self.h)
+            return self._gather(iy, ix)
+        x0 = np.floor(px)
+        y0 = np.floor(py)
+        fx = (px - x0).astype(np.float32)
+        fy = (py - y0).astype(np.float32)
+        if np.all(fx < 1e-9) and np.all(fy < 1e-9):
+            return self._gather(index(y0, self.h), index(x0, self.w))
+        c00 = self._gather(index(y0, self.h), index(x0, self.w))
+        c01 = self._gather(index(y0, self.h), index(x0 + 1, self.w))
+        c10 = self._gather(index(y0 + 1, self.h), index(x0, self.w))
+        c11 = self._gather(index(y0 + 1, self.h), index(x0 + 1, self.w))
+        fxj = fx[None, :] if not self.is_builtin else fx[None, :]
+        out = []
+        for a, b, c, d in zip(c00.comps, c01.comps, c10.comps, c11.comps):
+            top = a + (b - a) * fx[None, :]
+            bot = c + (d - c) * fx[None, :]
+            out.append(top + (bot - top) * fy[:, None])
+        return _Vec(out)
+
+    def _gather(self, iy, ix) -> _Vec:
+        """Gather rows iy (H,) x cols ix (W,) — separable static take."""
+        import jax.numpy as jnp
+        if self.is_builtin:
+            block = self.data[np.ix_(iy, ix)]    # (H, W, C) numpy
+            comps = [jnp.asarray(block[..., c]) for c in
+                     range(self.comps)]
+        else:
+            rows = jnp.take(self.data, jnp.asarray(iy), axis=-2)
+            block = jnp.take(rows, jnp.asarray(ix), axis=-1)
+            comps = [block[..., c, :, :] for c in range(self.comps)]
+        while len(comps) < 4:
+            comps.append(jnp.ones_like(comps[0]) if len(comps) == 3
+                         else jnp.zeros_like(comps[0]))
+        return _Vec(comps)
+
+
+# ---------------------------------------------------------------------------
+# Hook assembly
+# ---------------------------------------------------------------------------
+
+def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
+    """Build a render.hooks.Hook executing this user shader's passes at
+    their hooked stages (reference pl_mpv_user_shader_parse returning a
+    pl_hook; execution engine renderer.c:1036)."""
+    if isinstance(shader, str):
+        shader = parse_user_shader(shader)
+    stages = HookStage(0)
+    for p in shader.passes:
+        for tname in p.hook_texs:
+            st = _STAGE_MAP.get(tname)
+            if st is not None:
+                stages |= st
+
+    # resolved parameter values
+    par_vals: Dict[str, float] = {}
+    enum_defs: Dict[str, str] = {}
+    for name, par in shader.params.items():
+        if par.type == "enum":
+            # enum values become defines FOO=0 BAR=1...; default = first
+            for idx, nm in enumerate(par.names):
+                enum_defs[nm] = str(idx)
+            par_vals[name] = float((parameters or {}).get(name, 0))
+        else:
+            v = float((parameters or {}).get(name, par.default))
+            par_vals[name] = min(max(v, par.minimum), par.maximum)
+    defines = dict(enum_defs)
+    for name, par in shader.params.items():
+        if par.mode == "define" and par.type != "enum":
+            defines[name] = repr(par_vals[name]) if par.type == "float" \
+                else str(int(par_vals[name]))
+        elif par.type == "enum":
+            defines[name] = str(int(par_vals[name]))
+
+    # saved textures persist across passes within one pipeline trace
+    store: Dict[str, object] = {}
+    first_stage = None
+    for st in HookStage:
+        if stages & st:
+            first_stage = st
+            break
+
+    def func(img, hp):
+        import jax.numpy as jnp
+        nonlocal store
+        if hp.stage == first_stage:
+            store = {}
+        stage_name = _STAGE_NAME.get(hp.stage)
+        cur = img
+        for p in shader.passes:
+            applies = any(
+                t == stage_name or
+                (t in ("MAIN", "MAINPRESUB") and stage_name == "MAIN")
+                for t in p.hook_texs)
+            if not applies:
+                continue
+            cur = _run_pass(shader, p, cur, stage_name, store, par_vals,
+                            defines)
+        return cur
+
+    h = Hook(stages=stages, func=func, name=shader.name,
+             parameters=dict(par_vals))
+    h.user_shader = shader
+    return h
+
+
+def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
+              store, par_vals, defines):
+    import jax.numpy as jnp
+    H, W = img.shape[-2], img.shape[-1]
+
+    # texture views available to this pass
+    views: Dict[str, _TexView] = {stage_name: _TexView(stage_name, img)}
+    if stage_name == "MAIN":
+        views["MAINPRESUB"] = views["MAIN"]
+    for tname, tex in shader.textures.items():
+        views[tname] = _TexView(tname, tex.data, tex.filter, tex.border,
+                                is_builtin=True)
+    for tname, arr in store.items():
+        views[tname] = _TexView(tname, arr)
+
+    sizes = {name: (tv.h, tv.w) for name, tv in views.items()}
+    sizes["HOOKED"] = (H, W)
+    # WHEN gating (reference custom_mpv.c WHEN + shexp eval)
+    if p.cond is not None:
+        if not _eval_shexpr(p.cond, sizes, par_vals):
+            return img
+    # output size
+    out_h, out_w = H, W
+    if p.width is not None:
+        out_w = int(round(_eval_shexpr(p.width, sizes, par_vals)))
+    if p.height is not None:
+        out_h = int(round(_eval_shexpr(p.height, sizes, par_vals)))
+    if out_h <= 0 or out_w <= 0:
+        raise MpvHookError("non-positive hook output size")
+
+    # resolve binds (HOOKED alias + availability check)
+    hooked = stage_name
+    bind_views = {}
+    for b in p.bind_texs:
+        name = hooked if b == "HOOKED" else (
+            "MAINPRESUB" if b == "MAIN" and "MAINPRESUB" in views else b)
+        if name not in views:
+            raise MpvHookError(f"pass binds unknown texture {b!r}")
+        bind_views[name] = views[name]
+    if not bind_views:
+        bind_views = {hooked: views[hooked]}
+    bind_views.setdefault(hooked, views[hooked])
+
+    runner = _BodyRunner(bind_views, hooked, par_vals, defines,
+                         (out_h, out_w))
+    result = runner.run(p.body)
+
+    comps = p.components or img.shape[-3]
+    out = jnp.stack(result.comps[:comps], axis=-3)
+    out = jnp.broadcast_to(
+        out, img.shape[:-3] + (comps, out_h, out_w)) if False else out
+
+    if p.save_tex and p.save_tex != "HOOKED":
+        store[p.save_tex] = out
+        return img
+    return out

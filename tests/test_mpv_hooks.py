@@ -1,0 +1,273 @@
+"""mpv .hook user-shader ingestion — oracle: the reference's own
+user_shader_tests (src/tests/gpu_tests.c:999-1080) and
+pl_mpv_user_shader_parse semantics (src/shaders/custom_mpv.c:1594)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libplacebo_tpu.render.hooks import HookStage, run_hooks
+from libplacebo_tpu.render.mpv_hooks import (MpvHookError, UserShader,
+                                             parse_user_shader,
+                                             user_shader_hook)
+
+
+# the reference's own first test shader (gpu_tests.c:1001-1024):
+# upscale 10x at NATIVE gated on size, save, then load at MAIN
+SAVE_LOAD_SHADER = """\
+// Example of a comment at the beginning
+
+//!HOOK NATIVE
+//!DESC upscale image
+//!BIND HOOKED
+//!WIDTH HOOKED.w 10 *
+//!HEIGHT HOOKED.h 10 *
+//!SAVE NATIVEBIG
+//!WHEN NATIVE.w 500 <
+
+vec4 hook()
+{
+    return HOOKED_texOff(0);
+}
+
+//!HOOK MAIN
+//!DESC downscale bigger image
+//!WHEN NATIVE.w 500 <
+//!BIND NATIVEBIG
+
+vec4 hook()
+{
+    return NATIVEBIG_texOff(0);
+}
+"""
+
+DISCO_SHADER = """\
+//!HOOK MAIN
+//!DESC turn everything into colorful pixels
+//!BIND HOOKED
+//!BIND DISCO
+//!COMPONENTS 3
+
+vec4 hook()
+{
+    return vec4(DISCO_tex(HOOKED_pos * 10.0).rgb, 1);
+}
+
+//!TEXTURE DISCO
+//!SIZE 3 3
+//!FORMAT rgba8
+//!FILTER NEAREST
+//!BORDER REPEAT
+ff0000ff00ff00ff0000ffff00ffffffff00ffffffff00ff4c4c4cff999999ffffffffff
+"""
+
+PARAM_SHADER = """\
+//!PARAM intensity
+//!DESC sharpening intensity
+//!TYPE DYNAMIC float
+//!MINIMUM 0.0
+//!MAXIMUM 100.0
+1.0
+
+//!PARAM testconst
+//!TYPE CONSTANT uint
+//!MAXIMUM 16
+3
+
+//!HOOK MAIN
+//!WHEN testconst 30 >
+//!BIND HOOKED
+vec4 hook() { return vec4(0.0); }
+
+//!HOOK MAIN
+//!WHEN testconst 2 >
+//!BIND HOOKED
+vec4 hook() { return intensity * HOOKED_texOff(0); }
+"""
+
+# a realistic community-style unsharp-mask hook (the structure of mpv's
+# classic sharpen hooks: 4-tap cross texOff + PARAM strength)
+UNSHARP_SHADER = """\
+//!HOOK LUMA
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC unsharp masking
+//!PARAM removed-by-next-block
+vec4 hook() { return vec4(0.0); }
+"""
+
+UNSHARP_REAL = """\
+//!PARAM strength
+//!TYPE DYNAMIC float
+//!MINIMUM 0.0
+//!MAXIMUM 3.0
+0.5
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC unsharp masking
+
+#define get(off) HOOKED_texOff(off)
+
+vec4 hook()
+{
+    vec4 color = get(vec2(0.0, 0.0));
+    vec4 blur = (get(vec2(1.0, 0.0)) + get(vec2(-1.0, 0.0)) +
+                 get(vec2(0.0, 1.0)) + get(vec2(0.0, -1.0))) / 4.0;
+    return color + (color - blur) * strength;
+}
+"""
+
+
+def _img(h=8, w=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+
+
+def test_parse_save_load_shader():
+    sh = parse_user_shader(SAVE_LOAD_SHADER)
+    assert len(sh.passes) == 2
+    p0, p1 = sh.passes
+    assert p0.hook_texs == ["NATIVE"]
+    assert p0.save_tex == "NATIVEBIG"
+    assert p0.width is not None and p0.cond is not None
+    assert p1.bind_texs == ["NATIVEBIG"]
+
+
+def test_save_load_runs_with_when_gating():
+    hook = user_shader_hook(SAVE_LOAD_SHADER)
+    img = _img(8, 12)
+    # NATIVE pass: w=12 < 500 -> saves 10x version, output unchanged
+    out1 = run_hooks([hook], HookStage.NATIVE, img)
+    assert out1.shape == img.shape
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(img))
+    # MAIN pass: binds NATIVEBIG (120x80), downscales back via _texOff(0)
+    out2 = run_hooks([hook], HookStage.RGB, out1)
+    assert out2.shape == (4, 8, 12)[1:] == (8, 12) or \
+        out2.shape[-2:] == (8, 12)
+    # NATIVEBIG was a 10x nearest-ish upscale; sampling it back at the
+    # original grid must reproduce the original
+    np.testing.assert_allclose(np.asarray(out2)[:3], np.asarray(img),
+                               atol=1e-6)
+
+
+def test_when_gating_blocks_large_frames():
+    hook = user_shader_hook(SAVE_LOAD_SHADER)
+    img = _img(8, 600)                 # w >= 500: WHEN fails
+    out = run_hooks([hook], HookStage.NATIVE, img)
+    out = run_hooks([hook], HookStage.RGB, out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+
+
+def test_disco_texture_shader():
+    sh = parse_user_shader(DISCO_SHADER)
+    assert "DISCO" in sh.textures
+    tex = sh.textures["DISCO"]
+    assert tex.data.shape == (3, 3, 4)
+    assert tex.filter == "NEAREST" and tex.border == "REPEAT"
+    np.testing.assert_allclose(tex.data[0, 0], [1, 0, 0, 1])  # ff0000ff
+    np.testing.assert_allclose(tex.data[0, 1], [0, 1, 0, 1])
+
+    hook = user_shader_hook(sh)
+    img = _img(6, 9, seed=1)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    assert out.shape == (3, 6, 9)
+    # every output pixel is one of the 9 palette colors
+    pal = tex.data[..., :3].reshape(-1, 3)
+    px = out.reshape(3, -1).T
+    for p in px[:20]:
+        assert np.min(np.abs(pal - p).sum(axis=1)) < 1e-5
+
+
+def test_param_when_gating():
+    hook = user_shader_hook(PARAM_SHADER)
+    img = _img()
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    # first pass gated off (testconst=3 not > 30); second applies
+    # intensity=1.0 -> identity
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-6)
+    hook2 = user_shader_hook(PARAM_SHADER, parameters={"intensity": 2.0})
+    out2 = np.asarray(run_hooks([hook2], HookStage.RGB, img))
+    np.testing.assert_allclose(out2, 2 * np.asarray(img), atol=1e-5)
+    # parameter clamping to MAXIMUM
+    hook3 = user_shader_hook(PARAM_SHADER, parameters={"intensity": 1e6})
+    assert hook3.parameters["intensity"] == 100.0
+
+
+def test_unsharp_community_hook():
+    """A realistic community-style unsharp hook (#define + texOff cross +
+    PARAM) matches a numpy oracle."""
+    hook = user_shader_hook(UNSHARP_REAL, parameters={"strength": 1.5})
+    img = _img(10, 14, seed=2)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+
+    x = np.asarray(img)
+    pad = np.pad(x, [(0, 0), (1, 1), (1, 1)], mode="edge")
+    blur = (pad[:, 1:-1, 2:] + pad[:, 1:-1, :-2] +
+            pad[:, 2:, 1:-1] + pad[:, :-2, 1:-1]) / 4.0
+    expect = x + (x - blur) * 1.5
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_glsl_subset_math():
+    src = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    vec3 t = clamp(c.rgb * 2.0 - 0.25, 0.0, 1.0);
+    float luma = dot(t, vec3(0.25, 0.5, 0.25));
+    t = mix(t, vec3(luma), 0.5);
+    t = pow(max(t, 0.0), vec3(1.2));
+    return vec4(t, 1.0);
+}
+"""
+    hook = user_shader_hook(src)
+    img = _img(4, 6, seed=3)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.clip(np.asarray(img) * 2.0 - 0.25, 0, 1)
+    luma = 0.25 * x[0] + 0.5 * x[1] + 0.25 * x[2]
+    t = x + (luma[None] - x) * 0.5
+    expect = np.power(np.maximum(t, 0), 1.2)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_data_dependent_sampling_rejected():
+    src = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    return HOOKED_tex(HOOKED_pos + c.xy);
+}
+"""
+    hook = user_shader_hook(src)
+    img = _img()
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    # hook auto-disabled (reference rr->disabled_hooks), image unchanged
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
+def test_renderer_integration():
+    """A user shader runs inside the full jit-compiled Renderer."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    hook = user_shader_hook(UNSHARP_REAL)
+    rng = np.random.default_rng(5)
+    rgb = rng.random((16, 24, 3)).astype(np.float32)
+    frame = frame_from_rgb(rgb, color=CSP_SRGB)
+    params = RenderParams(peak_detect=None, dither=None,
+                          linear_scaling=False, hooks=(hook,))
+    out = np.asarray(Renderer()._render_once(
+        frame, Target(w=24, h=16, color=CSP_SRGB), params))
+    base = np.asarray(Renderer()._render_once(
+        frame, Target(w=24, h=16, color=CSP_SRGB),
+        RenderParams(peak_detect=None, dither=None,
+                     linear_scaling=False)))
+    assert out.shape == base.shape
+    assert not np.allclose(out, base)   # the hook did something

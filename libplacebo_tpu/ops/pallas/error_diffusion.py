@@ -14,10 +14,15 @@ body — against a persistent (MAXOFF, C, H) pending-error VMEM scratch
 exactly the role of the reference's shmem ring buffer).  The BlockSpec
 pipeline double-buffers the per-column DMAs.
 
-93 ms / 4K frame vs 1.2 s for the lax.scan formulation (bit-exact).
-Compile-time lessons baked in: per-column grid instead of an in-kernel
-fori_loop (10x faster Mosaic compile, 2x faster runtime) and the
-validity mask computed from iota on device (embedding a 100 MB mask
+~34 ms / 4K frame (vs 93 ms for single-column grid steps and 1.2 s for
+the lax.scan formulation; bit-exact against the scan oracle). Compile
+lessons baked in: 32 columns per grid step as a straight-line unrolled
+chain (single-column steps pay ~11 us each of grid/DMA overhead and a
+~5 min Mosaic compile; an in-kernel fori_loop compiled 10x slower and
+ran 2x slower; K=64 regresses Mosaic compile to ~4 min) — K=32 measures
+54 s cold compile at 4K, and the persistent XLA disk cache
+(core.cache.set_xla_cache_dir) makes it one-time per shape; the
+validity mask is computed from iota on device (embedding a 100 MB mask
 constant cost minutes of XLA time).
 """
 from __future__ import annotations
@@ -41,14 +46,17 @@ _LANE = 128
 
 
 def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
-                 scale):
-    """One grid step = one sheared column (the BlockSpec pipeline
-    double-buffers the column DMAs; a straight-line body keeps the
-    Mosaic compile fast — a chunked fori_loop variant compiled 10x
-    slower and ran ~2x slower).
+                 scale, cols):
+    """One grid step = `cols` sheared columns, processed as a
+    straight-line unrolled chain (the BlockSpec pipeline double-buffers
+    the multi-column DMAs; a chunked fori_loop variant compiled 10x
+    slower and ran ~2x slower, and single-column steps were dominated
+    by ~11 us of per-step grid/DMA overhead — batching 64 columns per
+    step cut the 4K frame from 93 ms to ~25 ms and Mosaic compile from
+    ~5 min to ~1 min).
 
-    x_ref/out_ref: (1, C, Hp) — column-major sheared layout
-    mask_ref:      (1, 1, Hp) — validity of each (column, row)
+    x_ref/out_ref: (cols, C, Hp) — column-major sheared layout
+    mask_ref:      (cols, 1, Hp) — validity of each (column, row)
     pending:       (max_off, C, Hp) VMEM scratch, slot s = error landing
                    s+1 columns ahead of the *current* column (persists
                    across the sequential grid like the reference's shmem
@@ -59,33 +67,35 @@ def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
         pending[...] = jnp.zeros_like(pending)
 
     C, Hp = x_ref.shape[1], x_ref.shape[2]
-    cur = x_ref[0] + pending[0]                        # (C, Hp)
-    quant = jnp.round(cur * scale) * (1.0 / scale)
-    err = (cur - quant) * mask_ref[0]
-    out_ref[0] = quant
-
-    # contributions per destination slot (error landing off columns
-    # ahead lands in slot off-1 after the implicit shift)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, Hp), 1)
-    for s in range(max_off):
-        nxt = pending[s + 1] if s + 1 < max_off else \
-            jnp.zeros((C, Hp), jnp.float32)
+    # keep the rolling window in registers within the step; touch the
+    # VMEM scratch only at the step boundary
+    window = [pending[s] for s in range(max_off)]
+    for k in range(cols):
+        cur = x_ref[k] + window[0]                     # (C, Hp)
+        quant = jnp.round(cur * scale) * (1.0 / scale)
+        err = (cur - quant) * mask_ref[k]
+        out_ref[k] = quant
+
+        # contributions per destination slot (error landing off columns
+        # ahead lands in slot off-1 after the implicit shift)
+        nxt_window = window[1:] + [jnp.zeros((C, Hp), jnp.float32)]
         for dy, off, wgt in taps:
-            if off - 1 != s:
-                continue
             contrib = wgt * err
             if dy > 0:
                 # image row y's error lands on row y+dy: shift along
                 # the lane (row) axis with zero fill
                 contrib = pltpu.roll(contrib, dy, 1)
                 contrib = jnp.where(row_ids < dy, 0.0, contrib)
-            nxt = nxt + contrib
-        pending[s] = nxt
+            nxt_window[off - 1] = nxt_window[off - 1] + contrib
+        window = nxt_window
+    for s in range(max_off):
+        pending[s] = window[s]
 
 
 def error_diffusion_pallas(img, new_depth: int,
                            kernel: Optional[ErrorDiffusionKernel] = None,
-                           interpret: bool = False):
+                           interpret: bool = False, cols_per_step: int = 32):
     """Error-diffusion dither of (..., C, H, W) to `new_depth` bits."""
     k = kernel or dth.ED_FLOYD_STEINBERG
     kern = np.asarray(k.pattern, dtype=np.float32) / k.divisor
@@ -94,6 +104,7 @@ def error_diffusion_pallas(img, new_depth: int,
     x = img.reshape((-1, H, W))
     C = x.shape[0]
     scale = float((1 << new_depth) - 1)
+    K = max(1, int(cols_per_step))
 
     taps = []
     for dy in range(3):
@@ -110,7 +121,8 @@ def error_diffusion_pallas(img, new_depth: int,
     # pure contiguous moves + selects, ~20x faster and trivially
     # compiled.
     Ws = W + (H - 1) * shift
-    Wsp = (Ws + _CHUNK - 1) // _CHUNK * _CHUNK
+    chunk = max(_CHUNK, K)
+    Wsp = (Ws + chunk - 1) // chunk * chunk
     Hp = (H + _LANE - 1) // _LANE * _LANE
     row_offsets = np.arange(H) * shift
     # validity mask computed on device from iota — embedding the
@@ -143,17 +155,17 @@ def error_diffusion_pallas(img, new_depth: int,
     maskcm = jnp.pad(maskcm, ((0, Wsp - Ws), (0, Hp - H)))[:, None, :]
 
     body = functools.partial(_kernel_body, taps=tuple(taps),
-                             max_off=max_off, scale=scale)
+                             max_off=max_off, scale=scale, cols=K)
     out_cm = pl.pallas_call(
         body,
-        grid=(Wsp,),
+        grid=(Wsp // K,),
         in_specs=[
-            pl.BlockSpec((1, C, Hp), lambda i: (i, 0, 0),
+            pl.BlockSpec((K, C, Hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hp), lambda i: (i, 0, 0),
+            pl.BlockSpec((K, 1, Hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, Hp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((K, C, Hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((max_off, C, Hp), jnp.float32)],

@@ -30,6 +30,7 @@ __all__ = [
     "ColorSystem", "ColorLevels", "AlphaMode", "ColorPrimaries",
     "ColorTransfer", "HdrScaling", "CIExy", "RawPrimaries", "BitEncoding",
     "HdrMetadata", "ColorRepr", "ColorSpace", "DoviMetadata",
+    "ColorAdjustment", "COLOR_ADJUSTMENT_NEUTRAL",
     "COLOR_SDR_WHITE", "COLOR_HDR_BLACK", "COLOR_HLG_PEAK",
     "hdr_rescale", "primaries_get", "white_from_temp",
     "rgb_to_xyz_matrix", "xyz_to_rgb_matrix", "adapt_white_matrix",
@@ -317,24 +318,28 @@ def xyz_to_rgb_matrix(prim: RawPrimaries) -> Matrix3x3:
     return rgb_to_xyz_matrix(prim).invert()
 
 
-# Bradford cone response matrix (standard CAT; reference colorspace.c:1473)
-_BRADFORD = np.array([
-    [0.8951, 0.2664, -0.1614],
-    [-0.7502, 1.7135, 0.0367],
-    [0.0389, -0.0685, 1.0296],
+# CAT16 cone response matrix (CIECAM16; reference m_cat16,
+# colorspace.c:1290-1294 — used for both chromatic adaptation and the
+# cone-distortion model)
+_M_CAT16_ADAPT = np.array([
+    [0.401288, 0.650173, -0.051461],
+    [-0.250268, 1.204414, 0.045854],
+    [-0.002079, 0.048952, 0.953127],
 ])
 
 
 def adapt_white_matrix(src_white: CIExy, dst_white: CIExy) -> Matrix3x3:
-    """Bradford chromatic adaptation in XYZ space
-    (reference pl_get_adaptation_matrix / pl_raw_primaries_similar)."""
+    """Linear von-Kries chromatic adaptation in CAT16 cone space
+    (reference apply_chromatic_adaptation, colorspace.c:1296-1334 — the
+    reference adapted from Bradford to CIECAM16's transform;
+    golden-verified against pl_color_repr_decode with temperature)."""
     if (abs(src_white.x - dst_white.x) < 1e-6 and
             abs(src_white.y - dst_white.y) < 1e-6):
         return Matrix3x3.identity()
-    src = _BRADFORD @ src_white.to_XYZ()
-    dst = _BRADFORD @ dst_white.to_XYZ()
+    src = _M_CAT16_ADAPT @ src_white.to_XYZ()
+    dst = _M_CAT16_ADAPT @ dst_white.to_XYZ()
     gain = np.diag(dst / src)
-    return Matrix3x3(np.linalg.inv(_BRADFORD) @ gain @ _BRADFORD)
+    return Matrix3x3(np.linalg.inv(_M_CAT16_ADAPT) @ gain @ _M_CAT16_ADAPT)
 
 
 def color_mapping_matrix(src: RawPrimaries, dst: RawPrimaries) -> Matrix3x3:
@@ -526,8 +531,30 @@ def _ycbcr_matrix(kr: float, kb: float) -> np.ndarray:
     return np.linalg.inv(to_ycbcr)
 
 
+@dataclass(frozen=True)
+class ColorAdjustment:
+    """User color adjustment (reference pl_color_adjustment,
+    colorspace.h:490-525): folded into the decode matrix (hue/sat rotate
+    the chroma subvector, contrast scales the gain, brightness lifts the
+    bias, temperature applies a white-point adaptation); gamma is a
+    separate non-linear step applied by ops.color.decode_color."""
+    brightness: float = 0.0      # -1..1 black lift/boost
+    contrast: float = 1.0        # 0..100 gain
+    saturation: float = 1.0      # 0..100 chroma gain
+    hue: float = 0.0             # radians, chroma rotation
+    gamma: float = 1.0           # 0..100 aesthetic gamma
+    temperature: float = 0.0     # -1..1 of +-3500K around 6500K
+
+    def is_neutral(self) -> bool:
+        return self == COLOR_ADJUSTMENT_NEUTRAL
+
+
+COLOR_ADJUSTMENT_NEUTRAL = ColorAdjustment()
+
+
 def color_repr_decode(repr: ColorRepr,
                       prim: ColorPrimaries = ColorPrimaries.UNKNOWN,
+                      adjustment: Optional[ColorAdjustment] = None,
                       ) -> Tuple[Transform3x3, ColorRepr]:
     """Build the affine transform taking *sampled* (normalized) texture
     values to full-range RGB (or luma-only systems' nearest linear
@@ -538,6 +565,7 @@ def color_repr_decode(repr: ColorRepr,
     linear *pre*-matrix here; their non-linear steps are applied by
     ops.color.decode_color on-device.
     """
+    adj = adjustment or COLOR_ADJUSTMENT_NEUTRAL
     sys = repr.sys if repr.sys != ColorSystem.UNKNOWN else ColorSystem.RGB
     levels = levels_guess(repr)
     scale, norm_repr = color_repr_normalize(repr)
@@ -594,6 +622,35 @@ def color_repr_decode(repr: ColorRepr,
 
     ycbcr = system_is_ycbcr_like(sys)
 
+    # Hue/saturation: rotate+scale the chroma subvector (reference
+    # apply_hue_sat, colorspace.c:1703); non-YCbCr systems simulate it
+    # through the BT.709 YCbCr model like the reference
+    if adj.saturation != 1.0 or adj.hue != 0.0:
+        huecos = adj.saturation * math.cos(adj.hue)
+        huesin = adj.saturation * math.sin(adj.hue)
+        rot = np.array([[1.0, 0.0, 0.0],
+                        [0.0, huecos, huesin],
+                        [0.0, -huesin, huecos]])
+        if ycbcr:
+            M = M @ rot
+        else:
+            yuv2rgb = _ycbcr_matrix(0.2126, 0.0722)
+            M = (yuv2rgb @ rot) @ np.linalg.inv(yuv2rgb) @ M
+
+    # Color temperature: white-point adaptation relative to 6500K,
+    # carried through RGB<->XYZ with BT.709 primaries anchored at the
+    # SOURCE white (reference pl_get_adaptation_matrix,
+    # colorspace.c:1336-1350 + :1805-1812)
+    if adj.temperature:
+        src_w = white_from_temp(6500.0)
+        dst_w = white_from_temp(6500.0 + 3500.0 * adj.temperature)
+        prim = replace(primaries_get(ColorPrimaries.BT_709), white=src_w)
+        r2x = rgb_to_xyz_matrix(prim).m
+        adapt = np.linalg.inv(r2x) @ adapt_white_matrix(src_w, dst_w).m \
+            @ r2x
+        M = adapt @ M
+        off = adapt @ off
+
     # Range expansion. After normalization values are in [0,1] over the
     # sample depth. Limited range: Y spans 16/255..235/255 (scaled per
     # depth: (16<<(d-8))/(2^d-1)), chroma 16..240 centered at 128.
@@ -612,7 +669,13 @@ def color_repr_decode(repr: ColorRepr,
         # 0.5 / (cmax - cmid) with cmax = 1.0)
         cmul = 0.5 / (1.0 - coff) if ycbcr else 1.0
 
-    if ycbcr:
+    if sys == ColorSystem.DOLBYVISION:
+        # the RPU matrix already includes levels normalization; only the
+        # signalled nonlinear offsets apply (reference: mul = 1.0,
+        # black = dovi->nonlinear_offset, colorspace.c PL_HAVE_DOVI)
+        pre_mul = np.eye(3)
+        pre_off = np.zeros(3)
+    elif ycbcr:
         pre_mul = np.diag([ymul, cmul, cmul])
         pre_off = np.array([-yoff * ymul, -coff * cmul, -coff * cmul])
     else:
@@ -624,8 +687,14 @@ def color_repr_decode(repr: ColorRepr,
         # on-device; linear part here is identity + full range.
         pass
 
+    if adj.contrast != 1.0:
+        # contrast scales the output value range (reference: mul[i] *=
+        # params->contrast)
+        pre_mul = pre_mul * adj.contrast
+        pre_off = pre_off * adj.contrast
+
     full = M @ pre_mul * scale
-    full_off = M @ pre_off
+    full_off = M @ pre_off + off + adj.brightness
     out_repr = replace(norm_repr, sys=ColorSystem.RGB,
                        levels=ColorLevels.FULL)
     return Transform3x3(Matrix3x3(full), full_off), out_repr

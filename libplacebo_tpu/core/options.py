@@ -43,7 +43,8 @@ def _parse_bool(v: str) -> bool:
 
 
 def _build_table() -> List[_Opt]:
-    from ..core.colorspace import (Cone, ConeParams, VISION_ACHROMATOPSIA,
+    from ..core.colorspace import (ColorAdjustment, Cone, ConeParams,
+                                   VISION_ACHROMATOPSIA,
                                    VISION_DEUTERANOMALY, VISION_DEUTERANOPIA,
                                    VISION_MONOCHROMACY, VISION_NORMAL,
                                    VISION_PROTANOMALY, VISION_PROTANOPIA,
@@ -205,6 +206,30 @@ def _build_table() -> List[_Opt]:
              lambda p: p.sigmoid[1] if p.sigmoid else None,
              lambda p, v: replace(
                  p, sigmoid=((p.sigmoid or (0.75, 6.5))[0], v)), 1.0, 20.0),
+
+        # ---- color adjustment (options.c:943-954)
+        feature_toggle("color_adjustment", "color_adjustment",
+                       ColorAdjustment),
+        preset_opt("color_adjustment_preset",
+                   lambda p, v: replace(p, color_adjustment=
+                                        ColorAdjustment()),
+                   ("neutral",)),
+        sub_opt("brightness", "float", "color_adjustment", "brightness",
+                ColorAdjustment, -1.0, 1.0),
+        sub_opt("contrast", "float", "color_adjustment", "contrast",
+                ColorAdjustment, 0.0, 100.0),
+        sub_opt("saturation", "float", "color_adjustment", "saturation",
+                ColorAdjustment, 0.0, 100.0),
+        _Opt("hue", "float",
+             lambda p: p.color_adjustment.hue if p.color_adjustment
+             else None,
+             lambda p, v: replace(p, color_adjustment=replace(
+                 p.color_adjustment or ColorAdjustment(), hue=v))),
+        sub_opt("gamma", "float", "color_adjustment", "gamma",
+                ColorAdjustment, 0.0, 100.0),
+        sub_opt("temperature", "float", "color_adjustment", "temperature",
+                ColorAdjustment, (1667 - 6500) / 3500.0,
+                (25000 - 6500) / 3500.0),
 
         # ---- peak detection (options.c:956-965)
         feature_toggle("peak_detect", "peak_detect", PeakDetectParams),

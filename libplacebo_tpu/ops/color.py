@@ -90,7 +90,7 @@ def nominal_luma_norm(csp: ColorSpace) -> Tuple[float, float]:
 
 def decode_color(img, repr: ColorRepr,
                  prim: ColorPrimaries = ColorPrimaries.UNKNOWN,
-                 dovi_packed=None):
+                 dovi_packed=None, adjustment=None):
     """Encoded (sampled, normalized) planes -> full-range RGB [0,1].
 
     Handles the linear matrix systems via the host-computed transform
@@ -102,7 +102,7 @@ def decode_color(img, repr: ColorRepr,
 
     if sys == ColorSystem.XYZ:
         # ST 428 linearization then XYZ->RGB with the target primaries
-        tr, _ = color_repr_decode(repr, prim)
+        tr, _ = color_repr_decode(repr, prim, adjustment)
         img = apply_matrix(img, tr.mat.m, tr.c)
         img = (52.37 / 48.0) * jnp.power(jnp.maximum(img, 0.0), 2.6)
         from ..core.colorspace import xyz_to_rgb_matrix
@@ -121,7 +121,7 @@ def decode_color(img, repr: ColorRepr,
         # per frame at the pipeline boundary, and the pow-free fast
         # approximations clamp the near-black toe (<0.001 nits), which
         # would break encode<->decode round trips.
-        tr, _ = color_repr_decode(repr, prim)
+        tr, _ = color_repr_decode(repr, prim, adjustment)
         lmsp = apply_matrix(img, tr.mat.m, tr.c)
         rgb2lms, _ = ictcp_matrices(sys)
         lms2rgb = np.linalg.inv(rgb2lms)
@@ -152,7 +152,7 @@ def decode_color(img, repr: ColorRepr,
             rgb = jnp.einsum("ck,...khw->...chw", dovi_packed.linear, lms)
             return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
         img = ops_dovi.dovi_reshape(img, repr.dovi)
-        tr, _ = color_repr_decode(repr, prim)
+        tr, _ = color_repr_decode(repr, prim, adjustment)
         img = apply_matrix(img, tr.mat.m, tr.c)
         lms = tf.pq_eotf_fast(jnp.maximum(img, 0.0))
         linear_m = np.asarray(repr.dovi.linear, np.float64).reshape(3, 3)
@@ -165,7 +165,7 @@ def decode_color(img, repr: ColorRepr,
         # expand range, rebuild B'/R' around gamma-luma with the piecewise
         # chroma denominators, then recover G through linear light using
         # the BT.2020 OETF roundtrip.
-        tr, _ = color_repr_decode(repr, prim)   # identity M: range only
+        tr, _ = color_repr_decode(repr, prim, adjustment)  # range only
         ycc = apply_matrix(img, tr.mat.m, tr.c)
         yp = ycc[..., 0, :, :]
         cb = ycc[..., 1, :, :]
@@ -179,8 +179,19 @@ def decode_color(img, repr: ColorRepr,
         gp = _bt2020_oetf(gl)
         return jnp.stack([rp, gp, bp], axis=-3)
 
-    tr, _ = color_repr_decode(repr, prim)
-    return apply_matrix(img, tr.mat.m, tr.c)
+    tr, _ = color_repr_decode(repr, prim, adjustment)
+    out = apply_matrix(img, tr.mat.m, tr.c)
+    return _apply_gamma(out, adjustment)
+
+
+def _apply_gamma(img, adjustment):
+    """Aesthetic gamma, applied in non-linear light at the end of the
+    decode like the reference (shaders/colorspace.c:440-456)."""
+    if adjustment is None or adjustment.gamma == 1.0:
+        return img
+    if adjustment.gamma == 0.0:
+        return jnp.zeros_like(img)
+    return jnp.power(jnp.maximum(img, 0.0), 1.0 / adjustment.gamma)
 
 
 def encode_color(img, repr: ColorRepr,

@@ -166,6 +166,13 @@ def _polar_phased(img, cfg, dst_h, dst_w, plan, antiring):
         [(pad_lo_y, pad_hi_y), (pad_lo_x, pad_hi_x)]
     imgp = jnp.pad(img, pad_width, mode="edge")
 
+    # NB a Pallas VMEM-tiled variant (DMA tile+halo once, taps as
+    # shifted VMEM reads — the reference's shmem pattern) was measured
+    # at 31 ms vs this XLA formulation's 3.7 ms at 1080p->4K: the
+    # misaligned lane-offset slices each cost cross-lane rotates and the
+    # per-tile DMA serializes against compute. Kept out; see round-2
+    # notes.
+
     out_phases = []
     for phy in range(Py):
         row_phases = []

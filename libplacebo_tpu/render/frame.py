@@ -82,6 +82,9 @@ class Frame:
     first_field: Optional[object] = None
     prev: Optional["Frame"] = None        # previous/next fields' frames
     next: Optional["Frame"] = None
+    # source ICC profile (reference pl_frame.profile); consumed by the
+    # renderer's decode side when set (core.icc.IccProfile)
+    icc: Optional[object] = None
     # profiling / mixing identity
     pts: float = 0.0
     signature: int = 0
@@ -129,6 +132,9 @@ class Frame:
         # DV RPU coefficients enter the pipeline as traced arrays
         # (ops.dovi.pack_dovi) — the key only needs presence
         dovi_key = self.repr.dovi is not None
+        icc_key = None
+        if self.icc is not None:
+            icc_key = getattr(self.icc, "signature", 0) or id(self.icc)
         return (
             tuple((p.data.shape, p.component_mapping, p.shift_x, p.shift_y)
                   for p in self.planes),
@@ -139,7 +145,7 @@ class Frame:
             # traced tone-map/gamut math (renderer: hdr_rescale of the
             # inferred levels), so they must key the pipeline cache
             self.color.hdr,
-            self.get_crop(), self.rotation, grain_static,
+            self.get_crop(), self.rotation, grain_static, icc_key,
             self.field, self.first_field,
             self.prev is not None, self.next is not None,
             tuple((o.data.shape, o.rect) for o in self.overlays),

@@ -153,6 +153,9 @@ class RenderParams:
     # color-blindness simulation/adaptation (reference
     # pl_render_params.cone_params; core.colorspace.ConeParams)
     cone: Optional[object] = None
+    # user color adjustment (reference pl_render_params.color_adjustment;
+    # core.colorspace.ColorAdjustment), folded into the decode matrix
+    color_adjustment: Optional[object] = None
     # border fill when the image doesn't cover the target (reference
     # pl_render_params.background/border: clear_target renderer.c:2491)
     background: str = "color"            # color | tiles
@@ -183,7 +186,8 @@ class RenderParams:
                 self.deband.key() if self.deband else None,
                 self.film_grain,
                 self.deinterlace.key() if self.deinterlace else None,
-                self.contrast_recovery, self.cone, self.background,
+                self.contrast_recovery, self.cone,
+                self.color_adjustment, self.background,
                 self.background_color, self.tile_colors, self.tile_size,
                 tuple(h.signature for h in self.hooks),
                 self.lut.signature if self.lut is not None else None,
@@ -442,8 +446,17 @@ class Renderer:
                         frame_color: ColorSpace, crop: RectF,
                         frame_grain=None, field=None, first_field=None,
                         has_prev=False, has_next=False, rotation=0,
-                        overlays=()):
+                        overlays=(), frame_icc=None):
         """Build the traced pipeline function for one signature."""
+        def linearize_src(x):
+            """Source signal -> linear NORM: through the frame's ICC
+            profile when attached (reference: image profiles override
+            the standard characterization, pl_icc_decode)."""
+            if frame_icc is not None:
+                from ..ops import icc as ops_icc
+                return ops_icc.decode_profile(
+                    x, frame_icc, primaries_get(src_color.primaries))
+            return ops_color.linearize(x, src_color)
         plane_metas = frame_meta_key[0]
         src_color = frame_color.infer()
         dst_color = target.color.infer(target.w, target.h)
@@ -488,9 +501,10 @@ class Renderer:
             from .hooks import HookStage, run_hooks
             img = run_hooks(params.hooks, HookStage.NATIVE, img,
                             self._disabled_hooks)
-            img = ops_color.decode_color(img, frame_repr,
-                                         src_color.primaries,
-                                         dovi_packed=dovi_packed)
+            img = ops_color.decode_color(
+                img, frame_repr, src_color.primaries,
+                dovi_packed=dovi_packed,
+                adjustment=params.color_adjustment)
             # rotation (reference coalesces pl_frame.rotation into the
             # target; here the decoded image rotates before scaling)
             if rotation % 4:
@@ -519,7 +533,7 @@ class Renderer:
             use_sigmoid = (use_linear and params.sigmoid is not None
                            and not src_color.is_hdr())
             if use_linear:
-                img = ops_color.linearize(img, src_color)
+                img = linearize_src(img)
                 img = run_hooks(params.hooks, HookStage.LINEAR, img,
                                 self._disabled_hooks)
                 if use_sigmoid:
@@ -567,7 +581,7 @@ class Renderer:
             new_state = peak_state
             if need_color_map:
                 if not use_linear:
-                    img = ops_color.linearize(img, src_color)
+                    img = linearize_src(img)
                 peak_stats = None
                 if use_peak:
                     avg_pq, max_pq, new_state = ops_peak.detect_peak(
@@ -788,7 +802,8 @@ class Renderer:
                 has_prev=frame.prev is not None,
                 has_next=frame.next is not None,
                 rotation=int(frame.rotation),
-                overlays=tuple(frame.overlays))
+                overlays=tuple(frame.overlays),
+                frame_icc=frame.icc)
             fn = jax.jit(pipeline)
         self._cache[key] = fn
         while len(self._cache) > _MAX_CACHED_PIPELINES:

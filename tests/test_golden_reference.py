@@ -329,3 +329,32 @@ def test_end_to_end_hdr10_psnr_vs_reference_oracle(golden):
     mse = np.mean((out - oracle) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= 45.0, f"PSNR vs reference-derived oracle: {psnr:.2f} dB"
+
+
+def test_color_adjustment_matches_reference(golden):
+    """ColorAdjustment (hue/sat rotation, contrast/brightness,
+    temperature adaptation) folded into the decode matrix must match the
+    reference's pl_color_repr_decode with pl_color_adjustment."""
+    from libplacebo_tpu.core.colorspace import (BitEncoding,
+                                                ColorAdjustment,
+                                                ColorLevels, ColorRepr,
+                                                ColorSystem,
+                                                color_repr_decode)
+    cases = {
+        "decode_bt709_lim8_adjusted": (
+            ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED,
+                      bits=BitEncoding(8, 8, 0)),
+            ColorAdjustment(brightness=0.05, contrast=0.9,
+                            saturation=1.4, hue=0.5, temperature=0.6)),
+        "decode_rgb_full8_adjusted": (
+            ColorRepr(sys=ColorSystem.RGB, levels=ColorLevels.FULL,
+                      bits=BitEncoding(8, 8, 0)),
+            ColorAdjustment(brightness=-0.1, contrast=1.2,
+                            saturation=0.7, hue=-0.8, temperature=-0.4)),
+    }
+    for key, (repr_, adj) in cases.items():
+        tr, _ = color_repr_decode(repr_, adjustment=adj)
+        ours = np.concatenate([np.asarray(tr.mat.m).ravel(),
+                               np.asarray(tr.c).ravel()])
+        np.testing.assert_allclose(ours, golden[key], atol=2e-5,
+                                   err_msg=key)

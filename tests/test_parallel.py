@@ -110,7 +110,14 @@ def test_sharded_flagship_matches_renderer(devices, data, spatial):
     for b, frame in enumerate(frames):
         r = Renderer()
         ref = np.asarray(r._render_once(frame, target, params))
-        np.testing.assert_allclose(out[b], ref, atol=1e-5)
+        # psum vs serial-sum float ordering can flip the 8-bit dither
+        # quantization on knife-edge pixels: allow at most 0.01% of
+        # pixels to differ, and only by exactly one LSB
+        diff = np.abs(out[b] - ref)
+        bad = diff > 1e-5
+        assert bad.mean() <= 1e-4, f"{bad.mean():.2%} pixels differ"
+        if bad.any():
+            np.testing.assert_allclose(diff[bad], 1 / 255.0, atol=1e-6)
         np.testing.assert_allclose(new_state[b], np.asarray(r._peak_state),
                                    atol=1e-6)
 

@@ -355,3 +355,22 @@ def test_pipeline_cache_is_bounded():
     for i in range(_MAX_CACHED_PIPELINES + 10):
         r.render(frame, Target(w=6 + i, h=4, color=CSP_SRGB), p)
     assert len(r._cache) <= _MAX_CACHED_PIPELINES
+
+
+def test_render_color_adjustment():
+    """ColorAdjustment flows through the renderer: gamma changes
+    mid-tones; saturation=0 makes the output achromatic."""
+    from libplacebo_tpu.core.colorspace import ColorAdjustment
+    frame = _yuv_frame(h=16, w=24)
+    tgt = Target(w=24, h=16)
+    p0 = RenderParams(peak_detect=None, dither=None)
+    base = np.asarray(Renderer()._render_once(frame, tgt, p0))
+    p1 = RenderParams(peak_detect=None, dither=None,
+                      color_adjustment=ColorAdjustment(gamma=2.0))
+    out = np.asarray(Renderer()._render_once(frame, tgt, p1))
+    assert not np.allclose(out, base, atol=1e-3)
+    p2 = RenderParams(peak_detect=None, dither=None,
+                      color_adjustment=ColorAdjustment(saturation=0.0))
+    gray = np.asarray(Renderer()._render_once(frame, tgt, p2))
+    np.testing.assert_allclose(gray[0], gray[1], atol=1e-3)
+    np.testing.assert_allclose(gray[1], gray[2], atol=1e-3)

@@ -106,3 +106,126 @@ def test_avframe_render_end_to_end():
     out = Renderer().render(f, Target(w=96, h=64))
     assert out.shape == (3, 64, 96)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --- side data + dav1d interop (reference utils/libav_internal.h:384,
+# utils/dav1d.h; VERDICT r1 missing #7) ---------------------------------
+
+def _yuv_av(fmt="yuv420p", h=16, w=24, **extra):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    av = {"format": fmt,
+          "data": [rng.integers(16, 235, (h, w), dtype=np.uint8),
+                   rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8),
+                   rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8)],
+          "colorspace": "bt709", "color_range": "tv"}
+    av.update(extra)
+    return av
+
+
+def test_avframe_side_data_hdr():
+    av = _yuv_av(
+        colorspace="bt2020nc", color_trc="smpte2084",
+        color_primaries="bt2020",
+        mastering_display_metadata={
+            "display_primaries": [[0.708, 0.292], [0.170, 0.797],
+                                  [0.131, 0.046]],
+            "white_point": [0.3127, 0.3290],
+            "min_luminance": 0.005, "max_luminance": 1000.0},
+        content_light_level={"max_cll": 800.0, "max_fall": 300.0},
+        hdr10plus={"scene_max": [500.0, 500.0, 500.0],
+                   "scene_avg": 120.0})
+    f = interop.frame_from_avframe_like(av)
+    assert f.color.hdr.max_luma == 1000.0
+    assert f.color.hdr.min_luma == 0.005
+    assert f.color.hdr.max_cll == 800.0
+    assert f.color.hdr.max_fall == 300.0
+    assert f.color.hdr.scene_avg == 120.0
+    assert abs(f.color.hdr.prim.red.x - 0.708) < 1e-6
+    # HDR metadata keys the pipeline cache (ADVICE r1)
+    f2 = interop.frame_from_avframe_like(_yuv_av(
+        colorspace="bt2020nc", color_trc="smpte2084",
+        color_primaries="bt2020"))
+    assert f.meta_key() != f2.meta_key()
+
+
+def test_avframe_side_data_film_grain_and_crop():
+    av = _yuv_av(
+        film_grain={"type": "av1", "seed": 7, "av1": {
+            "num_points_y": 2, "points_y": ((0, 32), (255, 64)),
+            "ar_coeff_lag": 0}},
+        crop_left=2, crop_top=4, rotation=90)
+    f = interop.frame_from_avframe_like(av)
+    assert f.film_grain is not None and f.film_grain.type == "av1"
+    assert f.film_grain.seed == 7
+    assert f.film_grain.av1.num_points_y == 2
+    assert f.crop is not None and f.crop.x0 == 2 and f.crop.y0 == 4
+    assert int(f.rotation) == 1
+
+
+def test_avframe_roundtrip_export():
+    av = _yuv_av(colorspace="bt709", color_trc="bt709",
+                 color_primaries="bt709",
+                 content_light_level={"max_cll": 600.0, "max_fall": 200.0})
+    f = interop.frame_from_avframe_like(av)
+    out = interop.frame_to_avframe_like(f)
+    assert out["colorspace"] == "bt709"
+    assert out["color_range"] == "tv"
+    assert out["content_light_level"]["max_cll"] == 600.0
+    assert len(out["data"]) == 3
+
+
+def test_dav1d_picture_mapping():
+    import numpy as np
+    rng = np.random.default_rng(1)
+    pic = {
+        "layout": "I420", "bitdepth": 10,
+        "data": [rng.integers(64, 940, (16, 24), dtype=np.uint16),
+                 rng.integers(64, 960, (8, 12), dtype=np.uint16),
+                 rng.integers(64, 960, (8, 12), dtype=np.uint16)],
+        "seq_hdr": {"mtrx": 9, "pri": 9, "trc": 16, "color_range": 0,
+                    "chr": 1},
+        "frame_hdr": {"film_grain": {
+            "seed": 3, "num_y_points": 1, "y_points": ((128, 40),),
+        }},
+    }
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                ColorSystem, ColorTransfer)
+    f = interop.frame_from_dav1d_picture_like(pic)
+    assert f.repr.sys == ColorSystem.BT_2020_NC
+    assert f.color.primaries == ColorPrimaries.BT_2020
+    assert f.color.transfer == ColorTransfer.PQ
+    assert f.repr.bits.color_depth == 10
+    assert f.film_grain is not None and f.film_grain.av1.num_points_y == 1
+    # renders end-to-end
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    out = np.asarray(Renderer()._render_once(
+        f, Target(w=24, h=16, color=CSP_SRGB),
+        RenderParams(peak_detect=None, dither=None)))
+    assert np.all(np.isfinite(out))
+
+
+def test_frame_icc_profile_decodes_source():
+    """A frame-attached ICC profile replaces the standard linearization
+    (reference pl_icc_decode on the image side)."""
+    import numpy as np
+    from tests.test_icc_h274 import _make_profile
+    from libplacebo_tpu.core.icc import parse_icc
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    rng = np.random.default_rng(2)
+    rgb = rng.random((16, 24, 3)).astype(np.float32)
+    f = frame_from_rgb(rgb, color=CSP_SRGB)
+    f.icc = parse_icc(_make_profile(gamma=2.6))
+    p = RenderParams(peak_detect=None, dither=None)
+    tgt = Target(w=48, h=32, color=CSP_SRGB)
+    out_icc = np.asarray(Renderer()._render_once(f, tgt, p))
+    f2 = frame_from_rgb(rgb, color=CSP_SRGB)
+    out_std = np.asarray(Renderer()._render_once(f2, tgt, p))
+    assert f.meta_key() != f2.meta_key()
+    assert not np.allclose(out_icc, out_std, atol=1e-3)
+    assert np.all(np.isfinite(out_icc))

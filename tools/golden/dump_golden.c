@@ -171,6 +171,43 @@ static void dump_matrices(void)
         dump(cases[i].name, buf, 1, dims);
     }
 
+    /* color adjustment folded into the decode matrix
+     * (pl_color_adjustment, colorspace.c:1703-1812) */
+    {
+        struct pl_color_repr repr = {
+            .sys = PL_COLOR_SYSTEM_BT_709,
+            .levels = PL_COLOR_LEVELS_LIMITED,
+            .bits = {.sample_depth = 8, .color_depth = 8},
+        };
+        struct pl_color_adjustment adj = {
+            .brightness = 0.05f, .contrast = 0.9f, .saturation = 1.4f,
+            .hue = 0.5f, .gamma = 1.0f, .temperature = 0.6f,
+        };
+        struct pl_transform3x3 tr = pl_color_repr_decode(&repr, &adj);
+        float buf[12];
+        memcpy(buf, tr.mat.m, 9 * sizeof(float));
+        memcpy(buf + 9, tr.c, 3 * sizeof(float));
+        int dims[1] = {12};
+        dump("decode_bt709_lim8_adjusted", buf, 1, dims);
+    }
+    {
+        struct pl_color_repr repr = {
+            .sys = PL_COLOR_SYSTEM_RGB,
+            .levels = PL_COLOR_LEVELS_FULL,
+            .bits = {.sample_depth = 8, .color_depth = 8},
+        };
+        struct pl_color_adjustment adj = {
+            .brightness = -0.1f, .contrast = 1.2f, .saturation = 0.7f,
+            .hue = -0.8f, .gamma = 1.0f, .temperature = -0.4f,
+        };
+        struct pl_transform3x3 tr = pl_color_repr_decode(&repr, &adj);
+        float buf[12];
+        memcpy(buf, tr.mat.m, 9 * sizeof(float));
+        memcpy(buf + 9, tr.c, 3 * sizeof(float));
+        int dims[1] = {12};
+        dump("decode_rgb_full8_adjusted", buf, 1, dims);
+    }
+
     struct {
         const char *name;
         enum pl_color_primaries src, dst;

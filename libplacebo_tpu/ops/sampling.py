@@ -132,16 +132,99 @@ def _apply_matmul(img, idx: np.ndarray, w: np.ndarray, axis: int,
     raise ValueError(axis)
 
 
+_MAX_ORTHO_PHASES = 8
+
+
+def _phase_plan(cfg: flt.FilterConfig, src_size: int, dst_size: int,
+                s0: float, s1: float):
+    """Detect a periodic UNIT-STRIDE tap pattern from the (unclamped)
+    plan geometry: returns (period, taps, [(base, weights (T,))]) or
+    None.
+
+    When the scale factor is rational with a small denominator (2:1,
+    3:1, 3:2...), consecutive outputs of the same phase read source taps
+    exactly one texel apart with identical weights — each (phase, tap)
+    then becomes a contiguous slice * scalar FMA (the same trick as the
+    polar EWA fast path), replacing per-row gathers / dense matmuls."""
+    scale = (s1 - s0) / dst_size
+    f_scale = max(1.0, scale)
+    radius, _ = flt.filter_cutoffs(cfg, 0.0)
+    taps = max(2, 2 * int(math.ceil(radius * f_scale)))
+    o = np.arange(dst_size, dtype=np.float64)
+    center = s0 + (o + 0.5) * scale - 0.5
+    base = np.floor(center).astype(np.int64) - (taps // 2 - 1)
+    frac = center - np.floor(center)
+    for P in range(1, min(_MAX_ORTHO_PHASES, dst_size) + 1):
+        if dst_size % P or len(base) <= P:
+            continue
+        if not (np.all(base[P:] - base[:-P] == 1) and
+                np.abs(frac[P:] - frac[:-P]).max() < 1e-9):
+            continue
+        phases = []
+        for p in range(P):
+            dist = (center[p] - (base[p] + np.arange(taps))) / f_scale
+            w = flt.sample_filter(cfg, dist)
+            wsum = w.sum()
+            if abs(wsum) < 1e-12:
+                return None
+            phases.append((int(base[p]), (w / wsum).astype(np.float32)))
+        return P, taps, phases
+    return None
+
+
+def _apply_phased(img, axis: int, dst_size: int, src_size: int, plan):
+    """Phase-sliced unit-stride FMA along `axis` (-1 or -2). Edge
+    padding replicates the border, which equals the clamped-index
+    semantics of the gather/matmul paths (every out-of-range tap reads
+    the border texel either way)."""
+    P, taps, phases = plan
+    n = dst_size // P
+    lo = max(0, -min(b for b, _ in phases))
+    hi = max(0, max(b for b, _ in phases) + taps - 1 + (n - 1)
+             - (src_size - 1))
+    last = axis in (-1, img.ndim - 1)
+    pad = [(0, 0)] * img.ndim
+    pad[-1 if last else -2] = (lo, hi)
+    imgp = jnp.pad(img, pad, mode="edge")
+
+    outs = []
+    for base, wts in phases:
+        b = base + lo
+        acc = None
+        for t in range(taps):
+            wv = float(wts[t])
+            if wv == 0.0:
+                continue
+            if last:
+                sl = imgp[..., b + t: b + t + n]
+            else:
+                sl = imgp[..., b + t: b + t + n, :]
+            term = sl * wv
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    # interleave phases: out[P*i + p] = outs[p][i]
+    if last:
+        st = jnp.stack(outs, axis=-1)       # (..., n, P)
+        return st.reshape(*st.shape[:-2], n * P)
+    st = jnp.stack(outs, axis=-2)           # (..., n, P, W)
+    return st.reshape(*st.shape[:-3], n * P, st.shape[-1])
+
+
 def sample_ortho(img, cfg: flt.FilterConfig, dst_size: int, axis: int,
                  s0: float = 0.0, s1: Optional[float] = None,
                  mode: str = "auto"):
     """Resample one axis of (..., H, W) images with the given filter
     (reference pl_shader_sample_ortho2, sampling.c:950)."""
     src_size = img.shape[axis]
-    idx, w = ortho_weights(cfg, src_size, dst_size, s0, s1)
+    if s1 is None:
+        s1 = float(src_size)
     if mode == "auto":
+        plan = _phase_plan(cfg, src_size, dst_size, float(s0), float(s1))
+        if plan is not None:
+            return _apply_phased(img, axis, dst_size, src_size, plan)
         # gathers are cheap along sublanes (H), slow along lanes (W)
         mode = "gather" if axis in (-2, img.ndim - 2) else "matmul"
+    idx, w = ortho_weights(cfg, src_size, dst_size, s0, s1)
     if mode == "gather" and axis in (-1, img.ndim - 1):
         # gather along W: transpose, gather rows, transpose back
         imgT = jnp.swapaxes(img, -1, -2)

@@ -142,16 +142,31 @@ class FrameQueue:
         if self._prev_pts is None or frame.pts > self._prev_pts:
             self._prev_pts = frame.pts
 
+    # Reference PREFETCH_FRAMES (frame_queue.c:62): frames pulled beyond
+    # the emission window so their decode + device upload (jax
+    # dispatches device_put asynchronously) overlap the current frame's
+    # render instead of stalling the next update().
+    PREFETCH_FRAMES = 2
+
     def _fill_until(self, pts: float):
+        if self.params.get_frame is None:
+            return
         while not self._eof and (not self._frames or
                                  self._frames[-1].pts <= pts):
-            if self.params.get_frame is None:
-                break
             f = self.params.get_frame()
             if f is None:
                 self._eof = True
                 break
             self.push(f)
+        # prefetch ahead of the window
+        extra = sum(1 for fr in self._frames if fr.pts > pts)
+        while not self._eof and extra < self.PREFETCH_FRAMES:
+            f = self.params.get_frame()
+            if f is None:
+                self._eof = True
+                break
+            self.push(f)
+            extra += 1
 
     # -- introspection (reference pl_queue_estimate_fps/vps) ----------
 

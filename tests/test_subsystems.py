@@ -479,3 +479,33 @@ def test_queue_interpolation_threshold_sticky():
             break
         # rates match (60/60) -> single-frame mixes (POINT mode)
         assert len(mix.frames) == 1
+
+
+def test_queue_prefetches_ahead():
+    """The queue pulls PREFETCH_FRAMES beyond the emission window so
+    decode + device upload overlap rendering (reference
+    frame_queue.c:62 PREFETCH_FRAMES)."""
+    from libplacebo_tpu.render.frame import Frame, Plane
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    import jax.numpy as jnp
+
+    pulled = []
+
+    def get_frame():
+        i = len(pulled)
+        if i >= 30:
+            return None
+        f = Frame(planes=[Plane(jnp.zeros((1, 4, 4)), (0,))], pts=i / 30)
+        pulled.append(i)
+        return f
+
+    q = FrameQueue()
+    st, mix = q.update(QueueParams(pts=0.0, radius=1.0,
+                                   vsync_duration=1 / 60,
+                                   get_frame=get_frame),
+                       QueueMode.POINT)
+    assert st == QueueStatus.OK
+    window_end = 0.0 + 1.0 * (1 / 60)
+    beyond = [i for i in pulled if i / 30 > window_end]
+    assert len(beyond) >= FrameQueue.PREFETCH_FRAMES

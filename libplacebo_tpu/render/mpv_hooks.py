@@ -9,16 +9,18 @@ and stage-name mapping (:832) — parsed into passes that execute inside
 the jit-traced pipeline.
 
 The GLSL *body* is not compiled to GLSL (there is no GLSL here); instead
-a restricted arithmetic subset is translated to jnp operations at trace
-time: `vec4 hook()` bodies built from vector/scalar arithmetic,
-swizzles, the standard math builtins, ternaries, `#define` constants,
-`NAME_tex` / `NAME_texOff` sampling with *statically determined*
-coordinates (offsets in texels, affine position scaling), and
-`NAME_pos/size/pt` metadata.  That covers the classic single-texture
-community hooks (unsharp/adaptive-sharpen style arithmetic); bodies
-using data-dependent sampling coordinates or loops are rejected at parse
-time with a clear error (and auto-disabled by the hook engine rather
-than failing frames, mirroring renderer.c:64-65).
+a restricted GLSL subset is translated to jnp operations at trace time:
+`vec4 hook()` bodies built from vector/scalar arithmetic, swizzles, the
+standard math builtins, ternaries, object- AND function-like #defines,
+constant-bound `for` loops (fully unrolled — the hot pattern in
+FSRCNNX-class convolution hooks), `if`/`else` (host conditions execute
+one branch; per-pixel conditions run both and merge assignments with
+jnp.where — trace-time predication), `NAME_tex`/`NAME_texOff` sampling
+with *statically determined* coordinates (offsets in texels, affine
+position scaling), and `NAME_pos/size/pt` metadata.  Bodies using
+data-dependent sampling coordinates are rejected with a clear error
+(and auto-disabled by the hook engine rather than failing frames,
+mirroring renderer.c:64-65).
 """
 from __future__ import annotations
 
@@ -384,7 +386,7 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
 _TOKEN_RE = re.compile(r"""
     (?P<num>\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?u?)
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|==|!=|&&|\|\||[+\-*/%(),.;=?:!<>{}\[\]])
+  | (?P<op>\+\+|--|\+=|-=|\*=|/=|<=|>=|==|!=|&&|\|\||[+\-*/%(),.;=?:!<>{}\[\]])
 """, re.VERBOSE)
 
 
@@ -585,56 +587,224 @@ class _BodyRunner:
 
     _TYPES = ("float", "int", "uint", "bool", "vec2", "vec3", "vec4")
 
-    def _run_statements(self):
-        while self._peek() is not None:
-            t = self._peek()
-            if t == "return":
+    def _skip_block(self):
+        """Advance past one statement or a balanced {...} block."""
+        if self._peek() == "{":
+            depth = 0
+            while True:
+                t = self._next()
+                if t is None:
+                    raise MpvHookError("unbalanced braces")
+                if t == "{":
+                    depth += 1
+                elif t == "}":
+                    depth -= 1
+                    if depth == 0:
+                        return
+        else:
+            while self._peek() not in (";", None):
                 self._next()
-                v = self._expr()
-                self._expect(";")
-                return self._to_vec4(v)
-            if t == ";":
-                self._next()
-                continue
-            if t in self._TYPES:
-                self._next()
-                name = self._next()
-                if self._peek() == "=":
-                    self._next()
-                    self.vars[name] = self._expr()
-                else:
-                    self.vars[name] = _Vec([0.0], scalar=True)
-                self._expect(";")
-                continue
-            # assignment: name [.swz] (=|+=|-=|*=|/=) expr ;
-            name = self._next()
-            if name not in self.vars:
-                raise MpvHookError(f"unsupported statement at {name!r}")
-            swz = None
-            if self._peek() == ".":
-                self._next()
-                swz = self._next()
-            op = self._next()
-            if op not in ("=", "+=", "-=", "*=", "/="):
-                raise MpvHookError(f"unsupported assignment op {op!r}")
-            rhs = self._expr()
             self._expect(";")
-            cur = self.vars[name]
-            if swz is None:
-                if op != "=":
-                    rhs = self._binop(op[0], cur, rhs)
-                self.vars[name] = rhs
+
+    def _run_block(self):
+        """Execute one statement or a {...} block; returns the hook's
+        return value if hit."""
+        if self._peek() == "{":
+            self._next()
+            return self._run_statements(stop_at_brace=True)
+        return self._run_one()
+
+    def _for_stmt(self):
+        """Constant-bound for loop, fully unrolled (the TPU has no
+        dynamic control flow inside the fused pipeline; community hooks
+        loop over static tap offsets)."""
+        self._expect("for")
+        self._expect("(")
+        if self._peek() in ("int", "uint", "float"):
+            self._next()
+        var = self._next()
+        self._expect("=")
+        init = self._expr()
+        self._expect(";")
+        if not init.scalar or hasattr(init.comps[0], "shape"):
+            raise MpvHookError("for-loop bounds must be static")
+        cvar = self._next()
+        if cvar != var:
+            raise MpvHookError("for-loop condition must test the loop var")
+        cmp_op = self._next()
+        bound = self._expr()
+        self._expect(";")
+        if not bound.scalar or hasattr(bound.comps[0], "shape"):
+            raise MpvHookError("for-loop bounds must be static")
+        ivar = self._next()
+        if ivar != var:
+            raise MpvHookError("for-loop increment must update the "
+                               "loop var")
+        itok = self._next()
+        if itok == "++":
+            stepv = 1.0
+        elif itok == "--":
+            stepv = -1.0
+        elif itok in ("+=", "-="):
+            sv = self._expr()
+            stepv = float(sv.comps[0]) * (1 if itok == "+=" else -1)
+        else:
+            raise MpvHookError(f"unsupported loop increment {itok!r}")
+        self._expect(")")
+
+        body_start = self.pos
+        self._skip_block()
+        body_end = self.pos
+
+        tests = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                 ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+        if cmp_op not in tests:
+            raise MpvHookError(f"unsupported loop comparison {cmp_op!r}")
+        i = float(init.comps[0])
+        b = float(bound.comps[0])
+        iters = 0
+        while tests[cmp_op](i, b):
+            iters += 1
+            if iters > 4096:
+                raise MpvHookError("for loop exceeds 4096 iterations")
+            self.vars[var] = _Vec([i], scalar=True)
+            self.pos = body_start
+            ret = self._run_block()
+            if ret is not None:
+                raise MpvHookError("return inside a loop is unsupported")
+            i += stepv
+        self.pos = body_end
+
+    def _if_stmt(self):
+        """if/else: executed directly for static (host) conditions;
+        per-pixel conditions run BOTH branches and merge every assigned
+        variable with jnp.where (standard trace-time predication)."""
+        import jax.numpy as jnp
+        self._expect("if")
+        self._expect("(")
+        cond = self._expr()
+        self._expect(")")
+        c = cond.comps[0]
+        if not hasattr(c, "shape"):
+            if c:
+                ret = self._run_block()
             else:
-                idxs = [_SWIZ[c] for c in swz]
-                comps = list(cur.comps)
-                if op != "=":
-                    old = _Vec([comps[i] for i in idxs])
-                    rhs = self._binop(op[0], old, rhs)
-                rhs_c = rhs.comps if len(rhs) == len(idxs) \
-                    else rhs.comps * len(idxs)
-                for i, c in zip(idxs, rhs_c):
-                    comps[i] = c
-                self.vars[name] = _Vec(comps)
+                self._skip_block()
+                ret = None
+            if self._peek() == "else":
+                self._next()
+                if not c:
+                    return self._run_block()
+                self._skip_block()
+            return ret
+
+        # traced condition: predicated execution of both branches
+        snapshot = dict(self.vars)
+        ret = self._run_block()
+        if ret is not None:
+            raise MpvHookError(
+                "return inside a per-pixel if is unsupported")
+        vars_then = self.vars
+        self.vars = dict(snapshot)
+        if self._peek() == "else":
+            self._next()
+            ret = self._run_block()
+            if ret is not None:
+                raise MpvHookError(
+                    "return inside a per-pixel if is unsupported")
+        vars_else = self.vars
+        merged = dict(vars_else)
+        for k, tv in vars_then.items():
+            ev = vars_else.get(k)
+            if ev is None:
+                continue        # declared only inside the then-branch
+            if tv is ev:
+                merged[k] = tv
+                continue
+            a, b2 = self._broadcast(tv, ev)
+            merged[k] = _Vec([jnp.where(c, x, y)
+                              for x, y in zip(a.comps, b2.comps)],
+                             scalar=a.scalar)
+        self.vars = merged
+        return None
+
+    def _run_statements(self, stop_at_brace=False):
+        while True:
+            t = self._peek()
+            if t is None:
+                if stop_at_brace:
+                    raise MpvHookError("unbalanced braces")
+                return None
+            if t == "}" and stop_at_brace:
+                self._next()
+                return None
+            ret = self._run_one()
+            if ret is not None:
+                return ret
+
+    def _run_one(self):
+        """Execute exactly one statement; returns the hook return value
+        when a `return` executes."""
+        t = self._peek()
+        if t == "return":
+            self._next()
+            v = self._expr()
+            self._expect(";")
+            return self._to_vec4(v)
+        if t == ";":
+            self._next()
+            return None
+        if t == "for":
+            self._for_stmt()
+            return None
+        if t == "if":
+            return self._if_stmt()
+        if t == "{":
+            self._next()
+            return self._run_statements(stop_at_brace=True)
+        if t in self._TYPES:
+            self._next()
+            name = self._next()
+            if self._peek() == "=":
+                self._next()
+                self.vars[name] = self._expr()
+            else:
+                self.vars[name] = _Vec([0.0], scalar=True)
+            self._expect(";")
+            return None
+        # assignment: name [.swz] (=|+=|-=|*=|/=|++|--) expr? ;
+        name = self._next()
+        if name not in self.vars:
+            raise MpvHookError(f"unsupported statement at {name!r}")
+        swz = None
+        if self._peek() == ".":
+            self._next()
+            swz = self._next()
+        op = self._next()
+        if op in ("++", "--"):
+            rhs = _Vec([1.0], scalar=True)
+            op = "+=" if op == "++" else "-="
+        elif op in ("=", "+=", "-=", "*=", "/="):
+            rhs = self._expr()
+        else:
+            raise MpvHookError(f"unsupported assignment op {op!r}")
+        self._expect(";")
+        cur = self.vars[name]
+        if swz is None:
+            if op != "=":
+                rhs = self._binop(op[0], cur, rhs)
+            self.vars[name] = rhs
+        else:
+            idxs = [_SWIZ[c] for c in swz]
+            comps = list(cur.comps)
+            if op != "=":
+                old = _Vec([comps[i] for i in idxs])
+                rhs = self._binop(op[0], old, rhs)
+            rhs_c = rhs.comps if len(rhs) == len(idxs) \
+                else rhs.comps * len(idxs)
+            for i, c in zip(idxs, rhs_c):
+                comps[i] = c
+            self.vars[name] = _Vec(comps)
         return None
 
     def _to_vec4(self, v) -> _Vec:

@@ -271,3 +271,86 @@ def test_renderer_integration():
                      linear_scaling=False)))
     assert out.shape == base.shape
     assert not np.allclose(out, base)   # the hook did something
+
+
+FSRCNN_STYLE = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC separable 5-tap box via for loop (FSRCNNX-style tap loop)
+
+vec4 hook()
+{
+    vec4 acc = vec4(0.0);
+    for (int dx = -2; dx <= 2; dx++) {
+        acc += HOOKED_texOff(vec2(dx, 0.0));
+    }
+    return acc / 5.0;
+}
+"""
+
+
+def test_for_loop_hook():
+    hook = user_shader_hook(FSRCNN_STYLE)
+    img = _img(6, 12, seed=4)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    pad = np.pad(x, [(0, 0), (0, 0), (2, 2)], mode="edge")
+    expect = sum(pad[:, :, k:k + 12] for k in range(5)) / 5.0
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+IF_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    float luma = dot(c.rgb, vec3(0.299, 0.587, 0.114));
+    vec3 t = c.rgb;
+    if (luma > 0.5) {
+        t = t * 0.5;
+    } else {
+        t = t + 0.1;
+    }
+    return vec4(t, 1.0);
+}
+"""
+
+
+def test_per_pixel_if_hook():
+    hook = user_shader_hook(IF_HOOK)
+    img = _img(5, 7, seed=6)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    luma = 0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]
+    expect = np.where(luma[None] > 0.5, x * 0.5, x + 0.1)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+STATIC_IF_HOOK = """\
+//!PARAM mode
+//!TYPE DEFINE
+1
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (mode == 1) {
+        return c * 2.0;
+    } else {
+        return c * 0.5;
+    }
+}
+"""
+
+
+def test_static_if_with_define():
+    hook = user_shader_hook(STATIC_IF_HOOK)
+    img = _img(4, 6, seed=7)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    np.testing.assert_allclose(out, 2 * np.asarray(img), atol=1e-6)
+    hook2 = user_shader_hook(STATIC_IF_HOOK, parameters={"mode": 0})
+    out2 = np.asarray(run_hooks([hook2], HookStage.RGB, img))
+    np.testing.assert_allclose(out2, 0.5 * np.asarray(img), atol=1e-6)

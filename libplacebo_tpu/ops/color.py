@@ -67,13 +67,72 @@ def _bt2020_eotf(e):
 
 
 def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
-    """out[c] = sum_k mat[c,k] * img[k] (+ bias[c]); img (..., C, H, W)."""
-    mat = jnp.asarray(np.asarray(mat, dtype=np.float32))
-    out = jnp.einsum("ck,...khw->...chw", mat, img)
-    if bias is not None and np.any(np.asarray(bias) != 0):
-        out = out + jnp.asarray(np.asarray(bias, dtype=np.float32)
-                                ).reshape(-1, 1, 1)
-    return out
+    """out[c] = sum_k mat[c,k] * img[k] (+ bias[c]); img (..., C, H, W).
+
+    Deliberately *unrolled* into per-channel FMAs rather than einsum/dot:
+    XLA lowers a channel dot to an MXU matmul with bf16 converts and
+    layout copies, which splits the surrounding elementwise chain into
+    separate HBM passes — at 4K each extra pass is ~1 ms of pure
+    bandwidth.  The unrolled form stays inside one loop fusion."""
+    return mat_pointwise(img, np.asarray(mat, dtype=np.float64),
+                         None if bias is None else np.asarray(bias))
+
+
+# Channel-mix lowering: "einsum" (MXU dot) measures FASTEST in the full
+# pipeline (88.0 fps vs 84.9 unrolled / 85.8 bcast-reduce, r2): the dot's
+# output layout (c in sublanes) suits the downstream per-channel
+# broadcasts, outweighing the extra layout copies it inserts.  The
+# unrolled/bcast forms win only in isolated micro-benches.
+import os as _os
+_MAT_IMPL = _os.environ.get("LPTPU_MAT_IMPL", "einsum")
+
+
+def mat_pointwise(img, mat, bias=None):
+    """Channel mix as fused elementwise math. mat (C, K) — numpy (host
+    constants, zeros skipped) or a traced jnp array; img (..., K, H, W)."""
+    if _MAT_IMPL == "einsum":
+        m = jnp.asarray(np.asarray(mat, np.float32)) \
+            if not isinstance(mat, jnp.ndarray) else mat
+        out = jnp.einsum("ck,...khw->...chw", m, img)
+        if bias is not None:
+            b = bias if isinstance(bias, jnp.ndarray) else \
+                jnp.asarray(np.asarray(bias, np.float32))
+            out = out + b.reshape(-1, 1, 1)
+        return out
+    if _MAT_IMPL == "bcast":
+        m = jnp.asarray(np.asarray(mat, np.float32)) \
+            if not isinstance(mat, jnp.ndarray) else mat
+        out = jnp.sum(m[:, :, None, None] *
+                      img[..., None, :, :, :], axis=-3)
+        if bias is not None:
+            b = bias if isinstance(bias, jnp.ndarray) else \
+                jnp.asarray(np.asarray(bias, np.float32))
+            out = out + b.reshape(-1, 1, 1)
+        return out
+    traced = isinstance(mat, jnp.ndarray)
+    C = mat.shape[0]
+    K = mat.shape[1]
+    chans = []
+    for c in range(C):
+        acc = None
+        for k in range(K):
+            if traced:
+                w = mat[c, k]
+            else:
+                w = float(mat[c, k])
+                if w == 0.0:
+                    continue
+            term = img[..., k, :, :] * w
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(img[..., 0, :, :])
+        if bias is not None:
+            b = bias[c] if traced or isinstance(bias, jnp.ndarray) \
+                else float(bias[c])
+            if traced or isinstance(bias, jnp.ndarray) or b != 0.0:
+                acc = acc + b
+        chans.append(acc)
+    return jnp.stack(chans, axis=-3)
 
 
 def nominal_luma_norm(csp: ColorSpace) -> Tuple[float, float]:
@@ -144,12 +203,11 @@ def decode_color(img, repr: ColorRepr,
         from . import dovi as ops_dovi
         if dovi_packed is not None:
             img = ops_dovi.dovi_reshape_packed(img, dovi_packed)
-            off = jnp.einsum("ck,k->c", dovi_packed.nonlinear,
-                             dovi_packed.nonlinear_off)
-            img = jnp.einsum("ck,...khw->...chw", dovi_packed.nonlinear,
-                             img) - off[:, None, None]
+            off = dovi_packed.nonlinear @ dovi_packed.nonlinear_off
+            img = mat_pointwise(img, dovi_packed.nonlinear) \
+                - off[:, None, None]
             lms = tf.pq_eotf_fast(jnp.maximum(img, 0.0))
-            rgb = jnp.einsum("ck,...khw->...chw", dovi_packed.linear, lms)
+            rgb = mat_pointwise(lms, dovi_packed.linear)
             return tf.pq_oetf_fast(jnp.maximum(rgb, 0.0))
         img = ops_dovi.dovi_reshape(img, repr.dovi)
         tr, _ = color_repr_decode(repr, prim, adjustment)
@@ -275,7 +333,8 @@ def linearize(img, csp: ColorSpace):
         # OOTF: luma-dependent gamma
         lw_ = jnp.asarray(luma_coeffs(primaries_get(
             csp.infer().primaries)).astype(np.float32))
-        luma = jnp.einsum("c,...chw->...hw", lw_, scene)[..., None, :, :]
+        luma = (lw_[0] * scene[..., 0, :, :] + lw_[1] * scene[..., 1, :, :]
+                + lw_[2] * scene[..., 2, :, :])[..., None, :, :]
         return hi * scene * jnp.power(jnp.maximum(luma, 0.0), y - 1)
     if trc == ColorTransfer.SCRGB:
         return img * _SCRGB_WHITE
@@ -318,7 +377,8 @@ def delinearize(img, csp: ColorSpace):
         disp = img / hi
         lw_ = jnp.asarray(luma_coeffs(primaries_get(
             csp.infer().primaries)).astype(np.float32))
-        luma = jnp.einsum("c,...chw->...hw", lw_, disp)[..., None, :, :]
+        luma = (lw_[0] * disp[..., 0, :, :] + lw_[1] * disp[..., 1, :, :]
+                + lw_[2] * disp[..., 2, :, :])[..., None, :, :]
         scene = 12.0 * disp * jnp.power(jnp.maximum(luma, 1e-6),
                                         (1 - y) / y)
         e = tf.hlg_oetf(scene)

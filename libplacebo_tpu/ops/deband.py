@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DebandParams", "deband"]
+__all__ = ["DebandParams", "deband", "deband_rng_tables", "deband_halo"]
 
 
 @dataclass(frozen=True)
@@ -44,45 +44,114 @@ class DebandParams:
                 self.grain_neutral, self.candidates)
 
 
+def _offset_draws(p: DebandParams, seed: int):
+    """Host-side candidate offset vectors per iteration (numpy RNG,
+    deterministic by seed): [(dxs, dys), ...]."""
+    rng = np.random.default_rng(0xDEBA5D ^ seed)
+    draws = []
+    for i in range(1, p.iterations + 1):
+        dists = rng.random(p.candidates) * i * p.radius
+        angles = rng.random(p.candidates) * 2 * math.pi
+        dxs = np.rint(dists * np.cos(angles)).astype(int)
+        dys = np.rint(dists * np.sin(angles)).astype(int)
+        draws.append((dxs, dys))
+    return draws
+
+
+def deband_halo(p: DebandParams, seed: int) -> int:
+    """Max |row offset| any iteration samples — the halo a row-sharded
+    execution must exchange per iteration."""
+    h = 0
+    for dxs, dys in _offset_draws(p, seed):
+        h = max(h, int(np.max(np.abs(dys))) if len(dys) else 0)
+    return h
+
+
+def deband_rng_tables(p: DebandParams, shape, seed: int,
+                      dtype=jnp.float32):
+    """The per-frame random tables deband() draws internally, generated
+    for the FULL frame shape (..., C, H, W): per-iteration candidate
+    choices [(H, W) int32, ...] and grain noise (shape, f32).  A
+    row-sharded execution slices these along H and passes them via
+    `tables` so every pixel sees the same draw as the single-chip path."""
+    h, w = shape[-2], shape[-1]
+    key = jax.random.PRNGKey(seed)
+    choices = []
+    for _ in range(p.iterations):
+        key, sub = jax.random.split(key)
+        choices.append(jax.random.randint(sub, (h, w), 0, p.candidates))
+    noise = None
+    if p.grain > 0:
+        key, sub = jax.random.split(key)
+        noise = jax.random.uniform(sub, tuple(shape), dtype)
+    return choices, noise
+
+
+def _cyclic_rows(res, ext, halo: int, dy: int):
+    """Rows of roll(res, dy, axis=-2) from the cyclically halo-extended
+    block `ext` (|dy| <= halo)."""
+    if halo == 0 or dy == 0:
+        return res
+    hl = res.shape[-2]
+    return ext[..., halo - dy: halo - dy + hl, :]
+
+
 def deband(img, params: Optional[DebandParams] = None, seed: int = 0,
-           scale: float = 1.0):
+           scale: float = 1.0, tables=None, shard=None):
     """Deband (..., C, H, W). `scale` is the color scale of the samples
     (reference `scale` from repr normalization; thresholds are specified
-    in 8-bit-like units and divided by it)."""
+    in 8-bit-like units and divided by it).
+
+    tables: optional (choices, noise) from deband_rng_tables (sliced to
+    this block's rows); default draws them internally.
+    shard: optional (axis_name, n_shards) — the rows of `img` are one
+    shard of a row-partitioned frame inside shard_map; global rolls are
+    reproduced with cyclic ring halo exchange (wrap-around matches
+    jnp.roll exactly), so the sharded output equals the single-chip one.
+    """
     p = params or DebandParams()
-    rng = np.random.default_rng(0xDEBA5D ^ seed)
-    key = jax.random.PRNGKey(seed)
     h, w = img.shape[-2], img.shape[-1]
+    if tables is None:
+        choices, noise = deband_rng_tables(p, img.shape, seed, img.dtype)
+    else:
+        choices, noise = tables
+
+    if shard is not None:
+        from ..parallel.halo import extend_rows as _extend
+        axis_name, n_sh = shard
 
     res = img
     if p.iterations > 0:
         threshold = p.threshold / (1000.0 * scale)
-        for i in range(1, p.iterations + 1):
-            # K candidate offsets: dist ~ U(0, i*radius), angle ~ U(0,2pi)
-            dists = rng.random(p.candidates) * i * p.radius
-            angles = rng.random(p.candidates) * 2 * math.pi
-            dxs = np.rint(dists * np.cos(angles)).astype(int)
-            dys = np.rint(dists * np.sin(angles)).astype(int)
-
-            key, sub = jax.random.split(key)
-            choice = jax.random.randint(sub, (h, w), 0, p.candidates)
+        for it, (dxs, dys) in enumerate(_offset_draws(p, seed)):
+            choice = choices[it]
+            if shard is not None:
+                halo = int(np.max(np.abs(dys))) if len(dys) else 0
+                ext = _extend(res, halo, n_sh, axis_name, mode="wrap") \
+                    if halo else res
 
             avg = jnp.zeros_like(res)
             for k in range(p.candidates):
                 dx, dy = int(dxs[k]), int(dys[k])
-                a = (jnp.roll(res, (dy, dx), axis=(-2, -1)) +
-                     jnp.roll(res, (dy, -dx), axis=(-2, -1)) +
-                     jnp.roll(res, (-dy, dx), axis=(-2, -1)) +
-                     jnp.roll(res, (-dy, -dx), axis=(-2, -1))) * 0.25
+                if shard is None:
+                    a = (jnp.roll(res, (dy, dx), axis=(-2, -1)) +
+                         jnp.roll(res, (dy, -dx), axis=(-2, -1)) +
+                         jnp.roll(res, (-dy, dx), axis=(-2, -1)) +
+                         jnp.roll(res, (-dy, -dx), axis=(-2, -1))) * 0.25
+                else:
+                    up = _cyclic_rows(res, ext, halo, dy)
+                    dn = _cyclic_rows(res, ext, halo, -dy)
+                    a = (jnp.roll(up, dx, axis=-1) +
+                         jnp.roll(up, -dx, axis=-1) +
+                         jnp.roll(dn, dx, axis=-1) +
+                         jnp.roll(dn, -dx, axis=-1)) * 0.25
                 avg = jnp.where(choice == k, a, avg)
 
             diff = jnp.abs(res - avg)
-            bound = threshold / i
+            bound = threshold / (it + 1)
             res = jnp.where(diff > bound, res, avg)
 
     if p.grain > 0:
-        key, sub = jax.random.split(key)
-        noise = jax.random.uniform(sub, res.shape, res.dtype)
         neutral = jnp.asarray(np.asarray(p.grain_neutral, np.float32) /
                               scale).reshape(-1, 1, 1)
         strength = jnp.minimum(jnp.abs(res - neutral),

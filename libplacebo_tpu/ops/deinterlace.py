@@ -97,12 +97,16 @@ def deinterlace(cur, field: Field,
                 params: Optional[DeinterlaceParams] = None,
                 prev: Optional[jnp.ndarray] = None,
                 next: Optional[jnp.ndarray] = None,
-                first_field: Field = Field.TOP):
+                first_field: Field = Field.TOP,
+                row_offset=0):
     """Deinterlace (..., C, H, W): reconstruct lines of the opposite
     field from `cur` (+ neighbor frames for temporal algos).
 
     `field` — which field of `cur` is being displayed now.
     prev/next — neighboring frames (same shape), may be None.
+    `row_offset` (traced ok) — global row index of row 0, so field
+    parity stays correct when `cur` is a row-shard (or halo-extended
+    block) of a larger frame.
     """
     p = params or DeinterlaceParams()
     algo = p.algo
@@ -111,7 +115,7 @@ def deinterlace(cur, field: Field,
 
     h = cur.shape[-2]
     # mask of lines that belong to the current field (pass through)
-    row_par = (jnp.arange(h) % 2)[:, None]
+    row_par = ((row_offset + jnp.arange(h)) % 2)[:, None]
     keep = (row_par == field.value)
 
     N = 4

@@ -141,7 +141,11 @@ def prepare_av1_grain(data: FilmGrainData, cfg: GrainCfg,
     bw = BLOCK_SIZE >> cfg.sub_x
     bh = BLOCK_SIZE >> cfg.sub_y
     nbx = (w + bw - 1) // bw
-    nby = (h + bh - 1) // bh
+    # +2 block rows beyond the frame: a row-sharded application slices
+    # this table with a traced start (dynamic_slice of static size
+    # local_blocks+2), and the offsets LFSR is seeded per block row so
+    # extra rows never change earlier ones (core/film_grain.py:241)
+    nby = (h + bh - 1) // bh + 2
     offsets = fg.generate_offsets(data.seed, nbx, nby)
 
     grain_scale = 1.0 / ((1 << cfg.bits) - 1)
@@ -177,15 +181,28 @@ def prepare_av1_grain(data: FilmGrainData, cfg: GrainCfg,
 # ---------------------------------------------------------------------------
 
 def _assemble_plane(offsets, ct: ChannelTables, h, w, sub_x, sub_y,
-                    overlap, grain_min, grain_max):
+                    overlap, grain_min, grain_max, row0=None):
+    """Assemble the grain plane for rows [row0, row0+h) of the frame.
+    row0=None means 0 (single-chip); a traced row0 is how the row-sharded
+    renderer gets the exact per-block offsets of its global position."""
     bw = BLOCK_SIZE >> sub_x
     bh = BLOCK_SIZE >> sub_y
     nbx = (w + bw - 1) // bw
-    nby = (h + bh - 1) // bh
     n_ox = max(2 >> sub_x, 1)
     n_oy = max(2 >> sub_y, 1)
 
-    off = offsets[:nby, :nbx]
+    if row0 is None:
+        nby = (h + bh - 1) // bh
+        off = offsets[:nby, :nbx]
+        block_row0 = 0
+    else:
+        # one extra block row covers any intra-block start offset; the
+        # prep pads the table so the dynamic_slice never clamps
+        nby = (h + bh - 1) // bh + 1
+        by0 = row0 // bh
+        off = jax.lax.dynamic_slice(
+            offsets, (by0, 0), (nby, nbx))
+        block_row0 = by0
     idx_n = (off & 0xFF).reshape(-1)
     idx_l = ((off >> 8) & 0xFF).reshape(-1)
     idx_t = ((off >> 16) & 0xFF).reshape(-1)
@@ -208,7 +225,7 @@ def _assemble_plane(offsets, ct: ChannelTables, h, w, sub_x, sub_y,
         wyb = jnp.asarray(np.asarray(wy_o, np.float32) / 32.0)
 
         has_l = (jnp.arange(nbx) > 0)[None, :, None, None]
-        has_t = (jnp.arange(nby) > 0)[:, None, None, None]
+        has_t = ((block_row0 + jnp.arange(nby)) > 0)[:, None, None, None]
 
         gl = jnp.take(ct.right, idx_l, axis=0).reshape(nby, nbx, bh, n_ox)
         mixed_x = gl * wxa + g[..., :n_ox] * wxb
@@ -228,7 +245,11 @@ def _assemble_plane(offsets, ct: ChannelTables, h, w, sub_x, sub_y,
         g = jnp.clip(g, grain_min, grain_max)
 
     plane = g.transpose(0, 2, 1, 3).reshape(nby * bh, nbx * bw)
-    return plane[:h, :w]
+    if row0 is None:
+        return plane[:h, :w]
+    r_off = row0 - block_row0 * bh
+    return jax.lax.dynamic_slice(
+        plane, (r_off, 0), (h, plane.shape[1]))[:, :w]
 
 
 def _scaling_eval(v, points, npoints):
@@ -251,9 +272,11 @@ def _scaling_eval(v, points, npoints):
 
 def apply_av1_grain(img, tables: GrainTables, cfg: GrainCfg,
                     scaling_shift: int,
-                    luma: Optional[jnp.ndarray] = None):
+                    luma: Optional[jnp.ndarray] = None, row0=None):
     """Apply AV1 grain to a plane (..., C, H, W); cfg/scaling_shift are
-    static, tables traced."""
+    static, tables traced.  `row0` (traced ok): the plane's global start
+    row when img is one row-shard of the frame — block offsets and
+    overlap flags then match the single-chip assembly exactly."""
     h, w = img.shape[-2], img.shape[-1]
     bits = cfg.bits
     grain_center = 128 << (bits - 8)
@@ -283,7 +306,8 @@ def apply_av1_grain(img, tables: GrainTables, cfg: GrainCfg,
         grain = _assemble_plane(tables.offsets, ct, h, w,
                                 cfg.sub_x if ch else 0,
                                 cfg.sub_y if ch else 0,
-                                cfg.overlap, grain_min, grain_max)
+                                cfg.overlap, grain_min, grain_max,
+                                row0=row0)
         if ch == 0 or cfg.chroma_scaling_from_luma:
             scale_in = comp if ch == 0 else luma
             vmax = max_luma if ch == 0 else max_chroma

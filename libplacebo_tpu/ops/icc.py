@@ -129,8 +129,8 @@ def encode_profile(img_linear, prof: IccProfile, src_prim: RawPrimaries,
         lut3d = _baked_b2a_lut(pid, src_prim)
         u = jnp.clip(img_linear / peak_norm, 0.0, 1.0) ** (1 / _BAKE_GAMMA)
         return ops_lut.apply_lut(u, lut3d)
-    m = jnp.asarray(_gamut_matrix(prof, src_prim).astype(np.float32))
-    x = jnp.einsum("ck,...khw->...chw", m, img_linear) / peak_norm
+    from .color import mat_pointwise
+    x = mat_pointwise(img_linear, _gamut_matrix(prof, src_prim)) / peak_norm
     x = jnp.clip(x, 0.0, 1.0)
     u = jnp.sqrt(jnp.sqrt(x))
     coefs = _inverse_trc_coefs(pid)
@@ -152,6 +152,6 @@ def decode_profile(img_signal, prof: IccProfile, dst_prim: RawPrimaries,
     coefs = _forward_trc_coefs(pid)
     chans = [_polyval(coefs[c], u[..., c, :, :]) for c in range(3)]
     lin = jnp.stack(chans, axis=-3)
-    m = jnp.asarray(np.linalg.inv(
-        _gamut_matrix(prof, dst_prim)).astype(np.float32))
-    return jnp.einsum("ck,...khw->...chw", m, lin) * peak_norm
+    from .color import mat_pointwise
+    m = np.linalg.inv(_gamut_matrix(prof, dst_prim))
+    return mat_pointwise(lin, m) * peak_norm

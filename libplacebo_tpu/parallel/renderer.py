@@ -34,11 +34,16 @@ Mesh layout: frames batch over 'data', rows of each frame over
 'spatial'.  Peak-detect state is per frame: (B, 2).
 
 Supported subset (asserted at build time): the flagship path — planar
-or packed input, chroma merge, linear/sigmoid scaling, separable or
-polar scalers with anti-ringing, peak detect, any tone/gamut mapping,
-dither.  Not yet sharded: rotation, overlays, hooks, custom LUTs, ICC
-targets, deband, film grain, error diffusion, contrast recovery (these
-need either global layout or neighborhood plans of their own).
+or packed input (alpha planes included), chroma merge, linear/sigmoid
+scaling, separable or polar scalers with anti-ringing, peak detect, any
+tone/gamut mapping, contrast recovery (halo'd feature-map resizes),
+deband (ring-wrap halos + shared RNG tables), AV1 film grain (traced
+global block offsets), temporal deinterlacing (reflect halos + global
+row parity), Dolby Vision reshaping, custom LUTs, frame/target ICC
+profiles, cone distortion, color adjustment, dither.  Not sharded:
+rotation, overlays, hooks, H.274 grain, error diffusion (inherently a
+whole-frame serial scan; the reference runs it as ONE pass too,
+dithering.c:326), target sub-rects.
 """
 from __future__ import annotations
 
@@ -75,29 +80,10 @@ __all__ = ["build_sharded_pipeline", "shard_planes", "sharded_state_init",
 
 
 # ---------------------------------------------------------------------------
-# Halo exchange
+# Halo exchange (parallel.halo: edge/reflect/wrap modes)
 # ---------------------------------------------------------------------------
 
-def extend_rows(x, halo: int, n: int, axis_name: str = "spatial"):
-    """Extend the row-sharded (..., Hl, W) local block by `halo` rows on
-    each side: interior halos come from the ring neighbors over ICI
-    (`lax.ppermute`); the first/last shard replicate their border row,
-    reproducing the single-chip edge-clamp semantics exactly."""
-    if halo <= 0:
-        return x
-    top_edge = jnp.repeat(x[..., :1, :], halo, axis=-2)
-    bot_edge = jnp.repeat(x[..., -1:, :], halo, axis=-2)
-    if n == 1:
-        return jnp.concatenate([top_edge, x, bot_edge], axis=-2)
-    me = jax.lax.axis_index(axis_name)
-    # shard i's bottom rows sit directly above shard i+1's block
-    from_above = jax.lax.ppermute(
-        x[..., -halo:, :], axis_name, [(i, i + 1) for i in range(n - 1)])
-    from_below = jax.lax.ppermute(
-        x[..., :halo, :], axis_name, [(i, i - 1) for i in range(1, n)])
-    from_above = jnp.where(me == 0, top_edge, from_above)
-    from_below = jnp.where(me == n - 1, bot_edge, from_below)
-    return jnp.concatenate([from_above, x, from_below], axis=-2)
+from .halo import extend_rows  # noqa: E402  (re-export; historic home)
 
 
 # ---------------------------------------------------------------------------
@@ -156,17 +142,26 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                            frame_repr: ColorRepr, frame_color: ColorSpace,
                            target: Target,
                            params: Optional[RenderParams] = None,
-                           crop: Optional[RectF] = None):
+                           crop: Optional[RectF] = None,
+                           frame_grain=None, field=None, first_field=None,
+                           frame_icc=None, has_temporal: bool = False):
     """Build the jitted multi-chip render step for one frame signature.
 
     plane_metas: ((shape, component_mapping, shift_x, shift_y), ...) —
     exactly `Frame.meta_key()[0]` with *global* plane shapes (C, ph, pw).
 
-    Returns `step(state, *planes) -> (out, new_state)` where each plane
-    is (B, C, ph, pw) sharded (B over 'data', rows over 'spatial'),
+    Returns `step(state, *planes, grain_tables=None, dovi_packed=None,
+    prev_planes=None, next_planes=None) -> (out, new_state)` where each
+    plane is (B, C, ph, pw) sharded (B over 'data', rows over 'spatial'),
     `state` is (B, 2), and `out` is (B, C_out, target.h, target.w) with
     the same sharding.  Per batch element the output equals the
     single-chip `Renderer.render` of that frame.
+
+    grain_tables: per-frame AV1 tables (ops.film_grain.prepare_av1_grain
+    per plane, stacked over the batch dim) when the frame carries grain.
+    dovi_packed: ops.dovi.pack_dovi coefficients, batched.
+    prev/next_planes: neighbor-frame planes (sharded like planes) for
+    the temporal deinterlacers.
     """
     from ..render.renderer import DEFAULT_PARAMS, Renderer
     params = params or DEFAULT_PARAMS
@@ -175,17 +170,10 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     # ---- unsupported features (see module docstring)
     _check(not params.hooks, "hooks not sharded yet")
-    _check(params.lut is None, "custom LUT not sharded yet")
-    _check(params.deband is None, "deband not sharded yet")
     _check(params.error_diffusion is None,
-           "error diffusion not sharded yet")
-    _check(params.contrast_recovery == 0.0,
-           "contrast recovery not sharded yet")
-    _check(params.deinterlace is None, "deinterlace not sharded yet")
-    _check(target.icc is None, "ICC target not sharded yet")
+           "error diffusion not sharded (inherently serial scan; the "
+           "reference also runs it as ONE pass, dithering.c:326)")
     _check(target.crop is None, "target sub-rect not sharded yet")
-    for shape, mapping, sx, sy in plane_metas:
-        _check(3 not in mapping, "alpha planes not sharded yet")
 
     src_color = frame_color.infer()
     dst_color = target.color.infer(target.w, target.h)
@@ -205,8 +193,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     merge_plans = []
     for shape, mapping, sx, sy in plane_metas:
         ph, pw = shape[-2], shape[-1]
+        _check(ph % n_sp == 0, f"plane rows {ph} % {n_sp} != 0")
         if (ph, pw) != (H, W) or sx or sy:
-            _check(ph % n_sp == 0, f"plane rows {ph} % {n_sp} != 0")
             s0x = -sx * pw / W
             s0y = -sy * ph / H
             halo_m = _halo_ortho(merge_cfg, ph, H, s0y, s0y + ph, n_sp)
@@ -217,6 +205,51 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             merge_plans.append((halo_m, rect_l))
         else:
             merge_plans.append(None)
+
+    # ---- per-plane feature plans (deinterlace / deband / AV1 grain)
+    from ..ops import deband as ops_deband
+    from ..ops import film_grain as ops_fg
+
+    di_on = params.deinterlace is not None and field is not None
+    if di_on:
+        for shape, _m, _sx, _sy in plane_metas:
+            _check(shape[-2] // n_sp >= 4,
+                   "deinterlace halo (4 rows) exceeds local rows")
+
+    deband_tabs = None
+    if params.deband is not None:
+        deband_tabs = []
+        for i, (shape, mapping, sx, sy) in enumerate(plane_metas):
+            if 3 in mapping:
+                deband_tabs.append(None)
+                continue
+            pl_rows = shape[-2] // n_sp
+            halo_db = ops_deband.deband_halo(params.deband, i)
+            _check(halo_db <= pl_rows,
+                   f"deband halo {halo_db} exceeds local rows {pl_rows}")
+            # full-frame random tables, baked as constants; each shard
+            # slices its rows so every pixel sees the single-chip draw
+            deband_tabs.append(ops_deband.deband_rng_tables(
+                params.deband, shape, i))
+
+    grain_cfgs = None
+    scaling_shift = 8
+    if params.film_grain and frame_grain is not None:
+        if frame_grain.type == "av1":
+            grain_cfgs, scaling_shift = Renderer._grain_cfgs(
+                Renderer(), plane_metas, frame_repr, frame_grain)
+            if grain_cfgs is not None:
+                for (shape, mapping, sx, sy), cfg_g in zip(plane_metas,
+                                                           grain_cfgs):
+                    if cfg_g is None:
+                        continue
+                    _check(H_l % (1 << cfg_g.sub_y) == 0,
+                           "luma local rows must align with chroma "
+                           "subsampling for grain scaling")
+        elif frame_grain.type == "h274":
+            from ..ops import film_grain_h274 as ops_h274
+            _check(not ops_h274.needs_fg_h274(frame_grain),
+                   "H.274 grain not sharded yet")
 
     # ---- main-scaler plan (mirrors pass_scale_main)
     src_h_c = crop.y1 - crop.y0
@@ -259,21 +292,105 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             "the 16-row stat tile; the frame average uses shard-local "
             "tiles (tiny deviation from single-chip)")
 
+    # ---- contrast-recovery plan: the low-pass feature map's 4x bilinear
+    # down + bicubic up need their own halos (reference renderer.c:2089)
+    recovery_impl = None
+    if params.contrast_recovery > 0 and need_color_map:
+        _check(dst_l % 4 == 0,
+               f"contrast recovery: local rows {dst_l} % 4 != 0")
+        lh, lw = max(1, dst_h // 4), max(1, dst_w // 4)
+        lh_l = lh // n_sp
+        cfg_bil = _find_scaler("bilinear")
+        cfg_bic = _find_scaler("bicubic")
+        halo_dn = _halo_ortho(cfg_bil, dst_h, lh, 0.0, dst_h, n_sp)
+        halo_up = _halo_ortho(cfg_bic, lh, dst_h, 0.0, lh, n_sp)
+        _check(halo_dn <= dst_l and halo_up <= lh_l,
+               "contrast recovery halo exceeds local rows")
+
+        def recovery_impl(x, base, cr, out_min, out_max):
+            if cr <= 0:
+                return base(x)
+            ext = extend_rows(x, halo_dn, n_sp, axis)
+            low = ops_sampling.resize_separable(
+                ext, lh_l, lw, cfg_bil,
+                RectF(0, halo_dn, dst_w, halo_dn + dst_l))
+            exl = extend_rows(low, halo_up, n_sp, axis)
+            lowres = ops_sampling.resize_separable(
+                exl, dst_l, dst_w, cfg_bic,
+                RectF(0, halo_up, lw, halo_up + lh_l))
+            b = base(x)
+            sharp = base(lowres) + (x - lowres)
+            return jnp.clip(b + (sharp - b) * cr, out_min, out_max)
+
     # ---- dither bias: the frame-global pattern, rows sharded
     bias_np = None
     if target.bit_depth and params.dither is not None:
         dp = replace(params.dither, transfer=dst_color.transfer) \
             if params.dither.transfer == ColorTransfer.UNKNOWN \
             else params.dither
+        if params.disable_dither_gamma_correction:
+            dp = replace(dp, transfer=ColorTransfer.LINEAR)
         bias_np = ops_dither._bias_matrix(dp, dst_h, dst_w)
     else:
         dp = None
 
-    def frame_step(state, bias_l, *planes):
-        # ---- pass_read_image: merge planes on the local row block
+    from ..core.colorspace import AlphaMode, primaries_get
+
+    def linearize_src(x):
+        if frame_icc is not None:
+            from ..ops import icc as ops_icc
+            return ops_icc.decode_profile(
+                x, frame_icc, primaries_get(src_color.primaries))
+        return ops_color.linearize(x, src_color)
+
+    def frame_step(state, bias_l, grain_tables, dovi_packed,
+                   prev_planes, next_planes, *planes):
+        me = jax.lax.axis_index(axis)
+        # ---- pass_read_image: per-plane features, then merge on the
+        # local row block (mirrors Renderer._merge_planes)
+        luma_full = None
+        if 0 in plane_metas[ref_i][1]:
+            luma_full = planes[ref_i][
+                ..., plane_metas[ref_i][1].index(0), :, :]
+
         channels = {}
-        for (shape, mapping, sx, sy), plan, data in zip(
-                plane_metas, merge_plans, planes):
+        for i, ((shape, mapping, sx, sy), plan, data) in enumerate(zip(
+                plane_metas, merge_plans, planes)):
+            pl_rows = shape[-2] // n_sp
+            row0 = me * pl_rows
+            if di_on:
+                from ..ops import deinterlace as ops_di
+                ext = extend_rows(data, 4, n_sp, axis, mode="reflect")
+                pe = extend_rows(prev_planes[i], 4, n_sp, axis,
+                                 mode="reflect") if prev_planes else None
+                ne = extend_rows(next_planes[i], 4, n_sp, axis,
+                                 mode="reflect") if next_planes else None
+                ext = ops_di.deinterlace(
+                    ext, field, params.deinterlace, prev=pe, next=ne,
+                    first_field=first_field or field,
+                    row_offset=row0 - 4)
+                data = ext[..., 4:4 + pl_rows, :]
+            if deband_tabs is not None and deband_tabs[i] is not None:
+                chs, nz = deband_tabs[i]
+                chs_l = [jax.lax.dynamic_slice_in_dim(c, row0, pl_rows,
+                                                      axis=0)
+                         for c in chs]
+                nz_l = None if nz is None else \
+                    jax.lax.dynamic_slice_in_dim(nz, row0, pl_rows,
+                                                 axis=-2)
+                data = ops_deband.deband(
+                    data, params.deband, seed=i,
+                    tables=(chs_l, nz_l), shard=(axis, n_sp))
+            if grain_cfgs is not None and grain_cfgs[i] is not None:
+                cfg_g = grain_cfgs[i]
+                luma = None
+                if 0 not in mapping and luma_full is not None:
+                    luma = luma_full[..., ::1 << cfg_g.sub_y,
+                                     ::1 << cfg_g.sub_x][..., :pl_rows,
+                                                         :shape[-1]]
+                data = ops_fg.apply_av1_grain(
+                    data, grain_tables[i], cfg_g, scaling_shift,
+                    luma=luma, row0=row0)
             if plan is not None:
                 halo_m, rect_l = plan
                 ext = extend_rows(data, halo_m, n_sp, axis)
@@ -281,12 +398,25 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                     ext, H_l, W, merge_cfg, rect_l)
             for ci, ch in enumerate(mapping):
                 channels[ch] = data[..., ci, :, :]
-        img = jnp.stack([channels[c] for c in sorted(channels)], axis=-3)
-        img = ops_color.decode_color(img, frame_repr, src_color.primaries)
+        order = sorted(channels)
+        img = jnp.stack([channels[c] for c in order], axis=-3)
+        has_alpha = 3 in order
+        alpha = None
+        if has_alpha:
+            alpha = img[..., -1:, :, :]
+            img = img[..., :3, :, :]
+            if frame_repr.alpha == AlphaMode.PREMULTIPLIED:
+                img = img / jnp.maximum(alpha, 1e-6)
+        img = ops_color.decode_color(img, frame_repr, src_color.primaries,
+                                     dovi_packed=dovi_packed,
+                                     adjustment=params.color_adjustment)
+        if params.lut is not None and params.lut_type == "native":
+            from ..ops import lut as ops_lut
+            img = ops_lut.apply_lut(img, params.lut)
 
         # ---- pass_scale_main
         if use_linear:
-            img = ops_color.linearize(img, src_color)
+            img = linearize_src(img)
             if use_sigmoid:
                 sig = SigmoidParams(*params.sigmoid)
                 img = ops_color.sigmoidize(img, sig)
@@ -299,61 +429,109 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             else:
                 img = ops_sampling.resize_separable(
                     ext, dst_l, dst_w, cfg_s, rect_s, cfg_down=down)
+            if has_alpha:
+                exta = extend_rows(alpha, halo_s, n_sp, axis)
+                if cfg_s.polar:
+                    alpha = ops_polar.sample_polar(
+                        exta, cfg_s, dst_l, dst_w, rect_s)
+                else:
+                    alpha = ops_sampling.resize_separable(
+                        exta, dst_l, dst_w, cfg_s, rect_s, cfg_down=down)
         if use_sigmoid:
             img = ops_color.desigmoidize(img, sig)
 
         # ---- pass_convert_colors
+        if params.cone is not None:
+            img = ops_color.cone_distort(img, src_color, params.cone,
+                                         already_linear=use_linear)
         new_state = state
         if need_color_map:
             if not use_linear:
-                img = ops_color.linearize(img, src_color)
+                img = linearize_src(img)
             peak_stats = None
             if use_peak:
                 avg_pq, max_pq, new_state = ops_peak.detect_peak(
                     img, state, params.peak_detect, axis_name=axis)
                 peak_stats = (avg_pq, max_pq)
             img = color_map_stage(img, src_color, dst_color, params,
-                                  peak_stats)
-            img = ops_color.delinearize(img, dst_color)
+                                  peak_stats,
+                                  tone_recovery_impl=recovery_impl)
+            if target.icc is not None:
+                from ..ops import icc as ops_icc
+                img = ops_icc.encode_profile(
+                    img, target.icc, primaries_get(dst_color.primaries))
+            else:
+                img = ops_color.delinearize(img, dst_color)
         elif use_linear:
-            img = ops_color.delinearize(img, src_color)
+            if target.icc is not None:
+                from ..ops import icc as ops_icc
+                img = ops_icc.encode_profile(
+                    img, target.icc, primaries_get(src_color.primaries))
+            else:
+                img = ops_color.delinearize(img, src_color)
 
         # ---- pass_output_target
+        if params.lut is not None and params.lut_type == "conversion":
+            from ..ops import lut as ops_lut
+            img = ops_lut.apply_lut(img, params.lut)
         img = ops_color.encode_color(img, target.repr, dst_color.primaries)
+        if has_alpha:
+            if target.repr.alpha == AlphaMode.PREMULTIPLIED:
+                img = img * alpha
+            img = jnp.concatenate([img, alpha], axis=-3)
         if bias_l is not None:
             img = ops_dither.dither(img, target.bit_depth, dp, bias=bias_l)
         return jnp.clip(img, 0.0, 1.0), new_state
 
     spec_img = P("data", None, "spatial", None)
-    if bias_np is not None:
-        def local_step(state_b, bias_l, *planes_b):
-            def one(state, *planes):
-                return frame_step(state, bias_l, *planes)
-            return jax.vmap(one)(state_b, *planes_b)
 
-        in_specs = (P("data", None), P("spatial", None)) + \
-            tuple(spec_img for _ in plane_metas)
-    else:
-        def local_step(state_b, *planes_b):
-            def one(state, *planes):
-                return frame_step(state, None, *planes)
-            return jax.vmap(one)(state_b, *planes_b)
+    n_pl = len(plane_metas)
 
-        in_specs = (P("data", None),) + tuple(spec_img for _ in plane_metas)
+    def local_step(state_b, bias_l, grain_b, dovi_b, prev_b, next_b,
+                   *planes_b):
+        np_prev = n_pl if prev_b is not None else 0
+
+        def one(state, grain_t, dovi_p, *pl):
+            prev = pl[n_pl:n_pl + np_prev] if prev_b is not None else None
+            nxt = pl[n_pl + np_prev:] if next_b is not None else None
+            return frame_step(state, bias_l, grain_t, dovi_p, prev, nxt,
+                              *pl[:n_pl])
+        extra = (tuple(prev_b) if prev_b is not None else ()) + \
+            (tuple(next_b) if next_b is not None else ())
+        return jax.vmap(one)(state_b, grain_b, dovi_b, *planes_b, *extra)
+    in_specs = (P("data", None),                      # state
+                P("spatial", None),                   # dither bias
+                P("data"),                            # grain tables
+                P("data"),                            # dovi coefficients
+                spec_img, spec_img) + \
+        tuple(spec_img for _ in plane_metas)          # planes
 
     step_sharded = shard_map(
         local_step, mesh=mesh, in_specs=in_specs,
         out_specs=(spec_img, P("data", None)), check_vma=False)
 
-    if bias_np is not None:
-        bias_j = jnp.asarray(bias_np)
+    bias_j = None if bias_np is None else jnp.asarray(bias_np)
 
-        @jax.jit
-        def run(state, *planes):
-            return step_sharded(state, bias_j, *planes)
-    else:
-        @jax.jit
-        def run(state, *planes):
-            return step_sharded(state, *planes)
+    @partial(jax.jit, static_argnames=())
+    def _jit_step(state, grain_tables, dovi_packed, prev_planes,
+                  next_planes, *planes):
+        return step_sharded(state, bias_j, grain_tables, dovi_packed,
+                            prev_planes, next_planes, *planes)
+
+    def run(state, *planes, grain_tables=None, dovi_packed=None,
+            prev_planes=None, next_planes=None):
+        if grain_cfgs is not None and grain_tables is None:
+            raise RenderError(
+                "frame carries AV1 grain: pass grain_tables= (batched "
+                "ops.film_grain.prepare_av1_grain per plane)")
+        if grain_cfgs is None and grain_tables is not None:
+            raise RenderError(
+                "grain_tables passed but the pipeline was built without "
+                "frame_grain= (grain would be silently skipped)")
+        if di_on and has_temporal and (prev_planes is None or
+                                       next_planes is None):
+            raise RenderError("temporal deinterlace: pass prev/next planes")
+        return _jit_step(state, grain_tables, dovi_packed, prev_planes,
+                         next_planes, *planes)
 
     return run

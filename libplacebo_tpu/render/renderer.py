@@ -215,7 +215,8 @@ def _find_scaler(name: str) -> flt.FilterConfig:
 
 
 def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
-                    params: RenderParams, peak_stats=None):
+                    params: RenderParams, peak_stats=None,
+                    tone_recovery_impl=None):
     """Linear-light color conversion: fused tone + gamut mapping through
     ONE IPT round trip (reference pl_shader_color_map_ex, shaders/
     colorspace.c:1790-1980: RGB -> LMS -> PQ -> IPT, tone map on the
@@ -298,8 +299,11 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
                 output_min=dst_min_pq, output_max=dst_max_pq)
             base = lambda x: tm.apply_device(x, p)
         cr = params.contrast_recovery
-        tone_fn = lambda x: tone_with_recovery(x, base, cr,
-                                               dst_min_pq, dst_max_pq)
+        # tone_recovery_impl: override for the low-pass feature-map
+        # resizes (the sharded renderer substitutes a halo-exchanging
+        # variant with identical weights, parallel/renderer.py)
+        recov = tone_recovery_impl or tone_with_recovery
+        tone_fn = lambda x: recov(x, base, cr, dst_min_pq, dst_max_pq)
 
     return ops_gamut.color_map_ipt(img, tone_fn, gamut_fn, b_src, b_dst,
                                    to_norm=COLOR_SDR_WHITE / 10000.0,

@@ -76,17 +76,18 @@ def _flagship_frames(batch, src_h, src_w, seed=0):
     return frames
 
 
-def _run_sharded(mesh, frames, target, params):
+def _run_sharded(mesh, frames, target, params, build_kw=None, step_kw=None):
     from libplacebo_tpu.parallel import (build_sharded_pipeline,
                                          shard_planes, sharded_state_init)
     f0 = frames[0]
     step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
-                                  f0.color, target, params)
+                                  f0.color, target, params,
+                                  **(build_kw or {}))
     planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
               for i in range(len(f0.planes))]
     xs = shard_planes(mesh, planes)
     state = sharded_state_init(mesh, len(frames))
-    out, new_state = step(state, *xs)
+    out, new_state = step(state, *xs, **(step_kw or {}))
     return np.asarray(out), np.asarray(new_state)
 
 
@@ -180,3 +181,149 @@ def test_tone_map_device_all_functions():
             output_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 203.0))
         out = np.asarray(tm.apply_device(xs, p))
         assert np.all(np.isfinite(out)), fun.name
+
+
+# ---------------------------------------------------------------------------
+# Round-2 sharded feature coverage: deband, AV1 film grain, contrast
+# recovery, deinterlace, custom LUT / cone / color adjustment — each must
+# match the single-chip Renderer exactly (same ops, halo-exchanged).
+# ---------------------------------------------------------------------------
+
+def _single_chip(frame, target, params):
+    from libplacebo_tpu.render.renderer import Renderer
+    return np.asarray(Renderer()._render_once(frame, target, params))
+
+
+def test_sharded_deband_matches_renderer(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.deband import DebandParams
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos",
+                          deband=DebandParams(radius=2.0, iterations=2,
+                                              grain=6.0))
+    frames = _flagship_frames(1, src_h, src_w, seed=11)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_film_grain_matches_renderer(devices):
+    import jax.tree_util as jtu
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops import film_grain as ops_fg
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    from tests.test_film_grain import DATA as GRAIN_DATA
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(2, src_h, src_w, seed=12)
+    for f in frames:
+        f.film_grain = GRAIN_DATA
+
+    f0 = frames[0]
+    plane_metas = f0.meta_key()[0]
+    cfgs, _shift = Renderer._grain_cfgs(Renderer(), plane_metas,
+                                        f0.repr, f0.film_grain)
+    per_frame = []
+    for f in frames:
+        per_frame.append(tuple(
+            ops_fg.prepare_av1_grain(f.film_grain, cfg,
+                                     meta[0][-2], meta[0][-1])
+            if cfg else None
+            for cfg, meta in zip(cfgs, plane_metas)))
+    tables = jtu.tree_map(lambda *xs: jnp.stack(xs), *per_frame)
+
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          build_kw=dict(frame_grain=f0.film_grain),
+                          step_kw=dict(grain_tables=tables))
+    for b, f in enumerate(frames):
+        ref = _single_chip(f, target, params)
+        np.testing.assert_allclose(out[b], ref, atol=1e-5)
+
+
+def test_sharded_contrast_recovery_matches_renderer(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="ewa_lanczos",
+                          peak_detect=PeakDetectParams(percentile=99.5),
+                          contrast_recovery=0.35)
+    frames = _flagship_frames(1, src_h, src_w, seed=13)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    ref = _single_chip(frames[0], target, params)
+    # the vmap'd batched dot in the feature-map resize reorders f32
+    # accumulation by ~1 ulp vs the single-chip trace; on knife-edge
+    # pixels that flips a tone/gamut select branch — allow a small
+    # fraction of bounded-diff pixels (same math, different rounding)
+    diff = np.abs(out[0] - ref)
+    bad = diff > 1e-5
+    assert bad.mean() < 5e-3, f"{bad.mean():.3%} pixels differ"
+    assert diff.max() < 2e-3, diff.max()
+
+
+def test_sharded_deinterlace_matches_renderer(devices):
+    from dataclasses import replace as drep
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.deinterlace import (DeinterlaceAlgo,
+                                                DeinterlaceParams, Field)
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=src_w, h=src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(
+        deinterlace=DeinterlaceParams(algo=DeinterlaceAlgo.YADIF))
+    cur = _flagship_frames(1, src_h, src_w, seed=14)[0]
+    prev = _flagship_frames(1, src_h, src_w, seed=15)[0]
+    nxt = _flagship_frames(1, src_h, src_w, seed=16)[0]
+    cur.field = Field.TOP
+    cur.first_field = Field.TOP
+    cur.prev, cur.next = prev, nxt
+
+    prev_pl = tuple(np.asarray(p.data)[None] for p in prev.planes)
+    next_pl = tuple(np.asarray(p.data)[None] for p in nxt.planes)
+    from libplacebo_tpu.parallel import shard_planes
+    out, _ = _run_sharded(
+        mesh, [cur], target, params,
+        build_kw=dict(field=Field.TOP, first_field=Field.TOP,
+                      has_temporal=True),
+        step_kw=dict(prev_planes=shard_planes(mesh, prev_pl),
+                     next_planes=shard_planes(mesh, next_pl)))
+    ref = _single_chip(cur, target, params)
+    # yadif's edge-directed predictor picks candidates with hard `<`
+    # compares; FMA contraction differs between the two compiled
+    # programs by ~1 ulp and flips a pick on knife-edge pixels — allow
+    # a small fraction of bounded diffs (same math, different rounding)
+    diff = np.abs(out[0] - ref)
+    bad = diff > 1e-5
+    assert bad.mean() < 5e-3, f"{bad.mean():.3%} pixels differ"
+    assert diff.max() < 1e-3, diff.max()
+
+
+def test_sharded_lut_cone_adjustment_matches_renderer(devices):
+    from libplacebo_tpu.core.colorspace import (CSP_SRGB, Cone, ConeParams,
+                                                ColorAdjustment)
+    from libplacebo_tpu.core.lut import parse_cube
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=8)
+    src_h, src_w = 64, 96
+    lut = parse_cube(
+        "LUT_3D_SIZE 2\n"
+        "0 0 0\n1 0 0.1\n0 1 0\n1 1 0\n0 0 1\n0.9 0 1\n0 1 1\n1 1 1\n")
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(
+        upscaler="lanczos", lut=lut, lut_type="conversion",
+        cone=ConeParams(Cone.M, 0.4),
+        color_adjustment=ColorAdjustment(brightness=0.02, contrast=1.1,
+                                         saturation=1.2, hue=0.1))
+    frames = _flagship_frames(1, src_h, src_w, seed=17)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)

@@ -67,6 +67,7 @@ def _smoothstep(e0, e1, x):
 
 def detect_peak(img_linear, state, params: PeakDetectParams,
                 axis_name: Optional[str] = None,
+                phase_geom: Optional[Tuple[int, int, int, int]] = None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Measure the frame and update the temporal state.
 
@@ -100,18 +101,33 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
 
     # --- per-workgroup (16x16 tile) average, like the reference's
     # shmem-reduced wg averages (colorspace.c:1240-1290)
-    H, W = pq.shape[-2], pq.shape[-1]
     th, tw = 16, 16
-    Hp = (H + th - 1) // th * th
-    Wp = (W + tw - 1) // tw * tw
-    pq_pad = jnp.pad(pq, [(0, 0)] * (pq.ndim - 2) +
-                     [(0, Hp - H), (0, Wp - W)])
-    act_pad = jnp.pad(active_mask, [(0, 0)] * (pq.ndim - 2) +
-                      [(0, Hp - H), (0, Wp - W)])
-    tiles = pq_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
-    acts = act_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
-    tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-3, -1))
-    tile_cnt = jnp.sum(acts, axis=(-3, -1))
+    if phase_geom is not None:
+        # img is in phase-block layout (ops.polar.to_phase_blocks):
+        # rows = Py*Px*Hb, cols = Wb.  A 16x16 spatial tile is the union
+        # of one (16/Py, 16/Px) sub-tile from each phase block at the
+        # same (tile_y, tile_x) — reshapes + reductions, no re-interleave
+        Py, Px, Hb, Wb = phase_geom
+        assert th % Py == 0 and tw % Px == 0 and \
+            Hb % (th // Py) == 0 and Wb % (tw // Px) == 0, phase_geom
+        tb, lb = th // Py, tw // Px
+        shp = pq.shape[:-2] + (Py * Px, Hb // tb, tb, Wb // lb, lb)
+        tiles = pq.reshape(shp)
+        acts = active_mask.reshape(shp)
+        tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-5, -3, -1))
+        tile_cnt = jnp.sum(acts, axis=(-5, -3, -1))
+    else:
+        H, W = pq.shape[-2], pq.shape[-1]
+        Hp = (H + th - 1) // th * th
+        Wp = (W + tw - 1) // tw * tw
+        pq_pad = jnp.pad(pq, [(0, 0)] * (pq.ndim - 2) +
+                         [(0, Hp - H), (0, Wp - W)])
+        act_pad = jnp.pad(active_mask, [(0, 0)] * (pq.ndim - 2) +
+                          [(0, Hp - H), (0, Wp - W)])
+        tiles = pq_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
+        acts = act_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
+        tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-3, -1))
+        tile_cnt = jnp.sum(acts, axis=(-3, -1))
     tile_avg = tile_sum / jnp.maximum(tile_cnt, 1)
     wg_active = tile_cnt > 0
     wg_count = _rsum(jnp.sum(wg_active))

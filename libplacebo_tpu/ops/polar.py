@@ -36,7 +36,8 @@ import numpy as np
 from ..core import filters as flt
 from ..core.common import RectF
 
-__all__ = ["sample_polar", "plan_polar"]
+__all__ = ["sample_polar", "plan_polar", "phase_geometry",
+           "interleave_phases", "to_phase_blocks"]
 
 SCALER_LUT_SIZE = 256
 SCALER_LUT_CUTOFF = 1e-3
@@ -94,9 +95,61 @@ def plan_polar(cfg: flt.FilterConfig, src_h: int, src_w: int,
                 plan_y=py, plan_x=px)
 
 
+def phase_geometry(cfg: flt.FilterConfig, src_h: int, src_w: int,
+                   dst_h: int, dst_w: int,
+                   rect: Optional[RectF] = None):
+    """(Py, Px) phase counts if the fast phased path applies, else None.
+    The renderer uses this to decide whether the downstream pointwise
+    tail can run in phase-block layout (layout="blocks" below)."""
+    r = rect or RectF(0, 0, src_w, src_h)
+    plan = plan_polar(cfg, src_h, src_w, dst_h, dst_w, r)
+    py, px = plan["plan_y"], plan["plan_x"]
+    if (py.period and px.period and py.period <= _MAX_PHASES
+            and px.period <= _MAX_PHASES
+            and dst_h % py.period == 0 and dst_w % px.period == 0):
+        return py.period, px.period
+    return None
+
+
+def to_phase_blocks(img, Py: int, Px: int):
+    """(..., H, W) -> phase-block layout (..., Py*Px*Hp, Wp) where block
+    (phy, phx) holds img[..., phy::Py, phx::Px] at rows
+    [(phy*Px+phx)*Hp, ...). Host-side numpy or traced jnp both work."""
+    H, W = img.shape[-2], img.shape[-1]
+    Hp, Wp = H // Py, W // Px
+    mod = jnp if isinstance(img, jnp.ndarray) else np
+    x = img.reshape(*img.shape[:-2], Hp, Py, Wp, Px)
+    x = mod.moveaxis(x, (-3, -1), (-4, -3))     # (..., Py, Px, Hp, Wp)
+    return x.reshape(*img.shape[:-2], Py * Px * Hp, Wp)
+
+
+def interleave_phases(img, Py: int, Px: int, dst_h: int, dst_w: int):
+    """Inverse of to_phase_blocks: (..., Py*Px*Hp, Wp) -> (..., H, W).
+    The ONE retiling of the phased tail.  Expressed as static slices +
+    stack/reshape (NOT a 5D transpose: XLA lowers that to a generic
+    shuffle that measured 10x slower than this concat form)."""
+    Hp, Wp = dst_h // Py, dst_w // Px
+    rows = []
+    for py in range(Py):
+        blocks = [img[..., (py * Px + px) * Hp:(py * Px + px + 1) * Hp, :]
+                  for px in range(Px)]
+        r = jnp.stack(blocks, axis=-1)          # (..., Hp, Wp, Px)
+        rows.append(r.reshape(*r.shape[:-3], Hp, Wp * Px))
+    out = jnp.stack(rows, axis=-2)              # (..., Hp, Py, W)
+    return out.reshape(*out.shape[:-3], dst_h, dst_w)
+
+
 def sample_polar(img, cfg: flt.FilterConfig, dst_h: int, dst_w: int,
-                 rect: Optional[RectF] = None, antiring: float = 0.0):
-    """EWA-resample (..., H, W) -> (..., dst_h, dst_w)."""
+                 rect: Optional[RectF] = None, antiring: float = 0.0,
+                 layout: str = "interleaved"):
+    """EWA-resample (..., H, W) -> (..., dst_h, dst_w).
+
+    layout="blocks" (only valid when phase_geometry(...) is not None)
+    returns the phase-block layout of to_phase_blocks instead of the
+    interleaved image: the phases stay separate (..., Py*Px*Hp, Wp)
+    buffers, skipping the stack+reshape retiling copies (~1 ms each at
+    4K); the caller runs its pointwise tail in that layout and calls
+    interleave_phases once at the very end."""
     src_h, src_w = img.shape[-2], img.shape[-1]
     r = rect or RectF(0, 0, src_w, src_h)
     plan = plan_polar(cfg, src_h, src_w, dst_h, dst_w, r)
@@ -105,7 +158,10 @@ def sample_polar(img, cfg: flt.FilterConfig, dst_h: int, dst_w: int,
     if (py.period and px.period and py.period <= _MAX_PHASES
             and px.period <= _MAX_PHASES
             and dst_h % py.period == 0 and dst_w % px.period == 0):
-        return _polar_phased(img, cfg, dst_h, dst_w, plan, antiring)
+        return _polar_phased(img, cfg, dst_h, dst_w, plan, antiring,
+                             layout=layout)
+    if layout != "interleaved":
+        raise ValueError("phase-block layout requires the phased path")
     return _polar_gather(img, cfg, dst_h, dst_w, plan, antiring)
 
 
@@ -149,7 +205,8 @@ def _apply_ar(color, soft_min, soft_max, strength):
     return color + (clamped - color) * strength
 
 
-def _polar_phased(img, cfg, dst_h, dst_w, plan, antiring):
+def _polar_phased(img, cfg, dst_h, dst_w, plan, antiring,
+                  layout: str = "interleaved"):
     py, px = plan["plan_y"], plan["plan_x"]
     taps, f = plan["taps"], plan["f"]
     radius, radius_zero = plan["radius"], plan["radius_zero"]
@@ -211,6 +268,14 @@ def _polar_phased(img, cfg, dst_h, dst_w, plan, antiring):
                 acc = _apply_ar(acc, lo, hi, antiring)
             row_phases.append(acc)
         out_phases.append(row_phases)
+
+    if layout == "blocks":
+        # (..., Py*Px*Hp, Wp): concat along the sublane dim — no lane
+        # retiling, and XLA emits the phase computations straight into
+        # the concat buffer
+        return jnp.concatenate(
+            [out_phases[phy][phx] for phy in range(Py)
+             for phx in range(Px)], axis=-2)
 
     # interleave phases: out[phy::Py, phx::Px] = out_phases[phy][phx]
     rows = []

@@ -548,15 +548,48 @@ class Renderer:
 
             img = run_hooks(params.hooks, HookStage.PRE_KERNEL, img,
                             self._disabled_hooks)
+            phased = None
             if needs_scale:
                 up = _find_scaler(params.upscaler)
                 down = _find_scaler(params.downscaler)
                 cfg = up if upscaling else down
                 if cfg.polar:
                     from ..ops import polar as ops_polar
+                    # phase-block tail (EXPERIMENTAL, default off): keep
+                    # the EWA phases as separate row blocks through the
+                    # pointwise tail and interleave once at the end.
+                    # Measured SLOWER on TPU v5e (79.7 vs 88.0 fps r2):
+                    # the deferred interleave costs the same retiling
+                    # copy, and the block concat adds a materialization.
+                    # Kept behind LPTPU_PHASED_TAIL=1 for future layout
+                    # experiments (exact parity is tested).
+                    import os as _os
+                    if (_os.environ.get("LPTPU_PHASED_TAIL") == "1"
+                            and not params.hooks and not overlays
+                            and params.error_diffusion is None
+                            and params.contrast_recovery == 0.0
+                            and params.corner_rounding == 0.0
+                            and not has_alpha
+                            and (dst_w, dst_h) == (target.w, target.h)
+                            and int(round(dst_crop.x0)) == 0
+                            and int(round(dst_crop.y0)) == 0):
+                        pg = ops_polar.phase_geometry(
+                            cfg, img.shape[-2], img.shape[-1],
+                            dst_h, dst_w, crop)
+                        if pg is not None:
+                            Py_, Px_ = pg
+                            Hb, Wb = dst_h // Py_, dst_w // Px_
+                            ok = True
+                            if use_peak:
+                                ok = (16 % Py_ == 0 and 16 % Px_ == 0 and
+                                      Hb % (16 // Py_) == 0 and
+                                      Wb % (16 // Px_) == 0)
+                            if ok:
+                                phased = (Py_, Px_, Hb, Wb)
                     img = ops_polar.sample_polar(
                         img, cfg, dst_h, dst_w, crop,
-                        antiring=params.antiringing_strength or cfg.antiring)
+                        antiring=params.antiringing_strength or cfg.antiring,
+                        layout="blocks" if phased else "interleaved")
                     if has_alpha:
                         alpha = ops_polar.sample_polar(
                             alpha, cfg, dst_h, dst_w, crop)
@@ -589,7 +622,8 @@ class Renderer:
                 peak_stats = None
                 if use_peak:
                     avg_pq, max_pq, new_state = ops_peak.detect_peak(
-                        img, peak_state, params.peak_detect)
+                        img, peak_state, params.peak_detect,
+                        phase_geom=phased)
                     peak_stats = (avg_pq, max_pq)
                 img = self._color_map(img, src_color, dst_color, params,
                                       peak_stats)
@@ -661,7 +695,19 @@ class Renderer:
                         else params.dither
                     if params.disable_dither_gamma_correction:
                         dp = replace(dp, transfer=ColorTransfer.LINEAR)
-                    img = ops_dither.dither(img, target.bit_depth, dp)
+                    bias = None
+                    if phased:
+                        from ..ops import polar as ops_polar
+                        bias = jnp.asarray(ops_polar.to_phase_blocks(
+                            ops_dither._bias_matrix(dp, dst_h, dst_w),
+                            phased[0], phased[1]))
+                    img = ops_dither.dither(img, target.bit_depth, dp,
+                                            bias=bias)
+
+            if phased:
+                from ..ops import polar as ops_polar
+                img = ops_polar.interleave_phases(
+                    img, phased[0], phased[1], dst_h, dst_w)
 
             # overlays (subtitles/OSD; reference draw_overlays,
             # renderer.c:811) blend after dithering, like the reference's

@@ -217,3 +217,34 @@ def test_dovi_full_render_no_recompile():
     assert len(r._cache) == n              # no recompile
     assert not np.array_equal(out1, out2)  # RPU change took effect
     assert np.all(np.isfinite(out1)) and np.all(np.isfinite(out2))
+
+
+def test_phased_tail_matches_interleaved(monkeypatch):
+    """LPTPU_PHASED_TAIL=1 runs the pointwise tail in EWA phase-block
+    layout; output must equal the default interleaved path exactly."""
+    import os
+    import numpy as np
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem,
+                                                CSP_BT2100_PQ, CSP_SRGB)
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    rng = np.random.default_rng(3)
+    src_h, src_w = 64, 96
+    y = (rng.random((src_h, src_w)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((src_h // 2, src_w // 2)) * 224 + 16).astype(np.uint8)
+    frame = frame_from_yuv420p(
+        y, u, v, color=CSP_BT2100_PQ,
+        repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                       levels=ColorLevels.LIMITED,
+                       bits=BitEncoding(8, 8, 0)))
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="ewa_lanczos",
+                          peak_detect=PeakDetectParams(percentile=99.5))
+    ref = np.asarray(Renderer()._render_once(frame, target, params))
+    monkeypatch.setenv("LPTPU_PHASED_TAIL", "1")
+    out = np.asarray(Renderer()._render_once(frame, target, params))
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -116,6 +116,7 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
         acts = active_mask.reshape(shp)
         tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-5, -3, -1))
         tile_cnt = jnp.sum(acts, axis=(-5, -3, -1))
+        tile_max = jnp.max(tiles, axis=(-5, -3, -1))
     else:
         H, W = pq.shape[-2], pq.shape[-1]
         Hp = (H + th - 1) // th * th
@@ -128,13 +129,16 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
         acts = act_pad.reshape(*pq.shape[:-2], Hp // th, th, Wp // tw, tw)
         tile_sum = jnp.sum(jnp.where(acts, tiles, 0.0), axis=(-3, -1))
         tile_cnt = jnp.sum(acts, axis=(-3, -1))
+        tile_max = jnp.max(tiles, axis=(-3, -1))
     tile_avg = tile_sum / jnp.maximum(tile_cnt, 1)
     wg_active = tile_cnt > 0
     wg_count = _rsum(jnp.sum(wg_active))
     n_active = jnp.maximum(wg_count, 1)
     frame_avg = _rsum(jnp.sum(jnp.where(wg_active, tile_avg, 0.0))) \
         / n_active
-    frame_max = _rmax(jnp.max(pq))
+    # hierarchical max: finish over the tile maxima so the tile pass is
+    # the ONLY full read of pq (padding zeros can't win: pq >= 0)
+    frame_max = _rmax(jnp.max(tile_max))
     total_wgs = _rsum(jnp.asarray(float(wg_active.size), jnp.float32))
     wg_bias = wg_count / total_wgs
 

@@ -509,3 +509,59 @@ def test_queue_prefetches_ahead():
     window_end = 0.0 + 1.0 * (1 / 60)
     beyond = [i for i in pulled if i / 30 > window_end]
     assert len(beyond) >= FrameQueue.PREFETCH_FRAMES
+
+
+def test_3dlut_cp_fast_path_accuracy():
+    """The CP fast path (host ALS fit + fused Chebyshev factor evaluation)
+    matches the exact 8-corner trilinear path within the validated
+    tolerance on a smooth LUT, and refuses pathological LUTs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.lut import CustomLut
+    from libplacebo_tpu.ops import lut as ops_lut
+
+    N = 17
+    g = np.linspace(0, 1, N, dtype=np.float32)
+    B, G, R = np.meshgrid(g, g, g, indexing="ij")
+    data = np.stack([R ** 1.2 + 0.05 * G, 0.9 * G ** 0.9 + 0.1 * R,
+                     B ** 1.05 - 0.03 * R * G], axis=-1).astype(np.float32)
+    lut = CustomLut(data=data, size=(N, N, N), signature=0xCAFE01)
+
+    plan = ops_lut._cp_plan(lut)
+    assert plan is not None and plan[1] <= ops_lut._CP_TOL
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((3, 64, 96), np.float32))
+    exact = np.asarray(ops_lut.apply_lut(img, lut, fast="never"))
+    fastv = np.asarray(ops_lut.apply_lut(img, lut, fast="always"))
+    assert np.abs(exact - fastv).max() <= 2 * ops_lut._CP_TOL
+
+    # a white-noise LUT cannot be represented: auto must fall back
+    noise = CustomLut(data=rng.random((9, 9, 9, 3)).astype(np.float32),
+                      size=(9, 9, 9), signature=0xCAFE02)
+    assert ops_lut._cp_plan(noise) is None
+    out_auto = np.asarray(ops_lut.apply_lut(img, noise, fast="always")) \
+        if False else None
+    ref = np.asarray(ops_lut.apply_lut(img, noise, fast="never"))
+    auto = np.asarray(ops_lut.apply_lut(img, noise))
+    np.testing.assert_array_equal(auto, ref)
+
+
+def test_3dlut_cp_small_images_stay_exact():
+    """Below the pixel threshold, auto keeps the exact path bit-for-bit
+    (small frames don't pay the gather penalty; parity tests rely on
+    byte-exact equality)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.lut import CustomLut
+    from libplacebo_tpu.ops import lut as ops_lut
+    N = 9
+    g = np.linspace(0, 1, N, dtype=np.float32)
+    B, G, R = np.meshgrid(g, g, g, indexing="ij")
+    data = np.stack([R, G, B], -1).astype(np.float32)
+    lut = CustomLut(data=data, size=(N, N, N), signature=0xCAFE03)
+    img = jnp.asarray(np.random.default_rng(2).random((3, 32, 48),
+                                                      np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(ops_lut.apply_lut(img, lut)),
+        np.asarray(ops_lut.apply_lut(img, lut, fast="never")))

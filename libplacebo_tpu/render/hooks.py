@@ -91,8 +91,14 @@ def run_hooks(hooks: Optional[List[Hook]], stage: HookStage, img,
             out = hook.func(img, params)
             if out is not None:
                 img = out
-        except Exception:
+        except Exception as e:
             # auto-disable misbehaving hooks instead of failing frames
+            # (reference rr->disabled_hooks, renderer.c:64-65) — logged,
+            # never silent
+            from ..core.log import default_log
+            default_log().error(
+                f"hook {hook.name or hook.signature!r} failed at stage "
+                f"{stage.name}: {type(e).__name__}: {e}; disabled")
             if disabled is not None:
                 disabled.add(hook.signature)
     return img

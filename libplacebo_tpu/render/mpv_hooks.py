@@ -1271,7 +1271,7 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
             if not applies:
                 continue
             cur = _run_pass(shader, p, cur, stage_name, store, par_vals,
-                            defines)
+                            defines, hp)
         return cur
 
     h = Hook(stages=stages, func=func, name=shader.name,
@@ -1281,7 +1281,7 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
 
 
 def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
-              store, par_vals, defines):
+              store, par_vals, defines, hp=None):
     import jax.numpy as jnp
     H, W = img.shape[-2], img.shape[-1]
 
@@ -1297,6 +1297,12 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
 
     sizes = {name: (tv.h, tv.w) for name, tv in views.items()}
     sizes["HOOKED"] = (H, W)
+    # the render target's size, for the canonical upscaling-hook gate
+    # "WHEN OUTPUT.w HOOKED.w / <ratio> >" (reference: the OUTPUT tex in
+    # the shexpr namespace, custom_mpv.c WHEN handling)
+    if hp is not None and hp.dst_w and hp.dst_h:
+        sizes.setdefault("OUTPUT", (hp.dst_h, hp.dst_w))
+        sizes.setdefault("NATIVE", (hp.src_h, hp.src_w))
     # WHEN gating (reference custom_mpv.c WHEN + shexp eval)
     if p.cond is not None:
         if not _eval_shexpr(p.cond, sizes, par_vals):

@@ -358,18 +358,34 @@ class Renderer:
                 ref_i = i
         return ref_i
 
+    @staticmethod
+    def _plane_hook_stage(mapping):
+        """Which per-plane input hook stage a plane feeds (reference
+        PL_HOOK_{LUMA,CHROMA,ALPHA,RGB}_INPUT, renderer.c:1431)."""
+        from .hooks import HookStage
+        ms = set(mapping)
+        if ms == {0}:
+            return HookStage.LUMA_INPUT, HookStage.LUMA_INPUT
+        if ms <= {1, 2}:
+            return HookStage.CHROMA_INPUT, HookStage.CHROMA_SCALED
+        if ms == {3}:
+            return HookStage.ALPHA_INPUT, HookStage.ALPHA_SCALED
+        if {0, 1, 2} <= ms:
+            return HookStage.RGB_INPUT, None
+        return None, None
+
     def _merge_planes(self, planes, frame_meta, params: RenderParams,
                       grain_cfgs=None, grain_tables=None,
                       scaling_shift: int = 8, field=None,
                       first_field=None, prev_planes=None,
-                      next_planes=None, h274_grain=None):
-        """Per-plane processing (deband, film grain) then alignment to the
-        reference grid and channel stacking (reference pass_read_image,
-        renderer.c:1553: plane_deband -> plane_film_grain -> sampler)."""
+                      next_planes=None, h274_grain=None, hook_ctx=None):
+        """Per-plane processing (deband, film grain, plane hooks) then
+        alignment to the reference grid and channel stacking (reference
+        pass_read_image, renderer.c:1553: plane_deband ->
+        plane_film_grain -> plane hooks -> sampler)."""
+        from .hooks import run_hooks
         plane_metas, repr_sys = frame_meta
         ref_i = self._ref_plane_index(plane_metas)
-        ref_shape = plane_metas[ref_i][0]
-        H, W = ref_shape[-2], ref_shape[-1]
         luma_full = None
         if 0 in plane_metas[ref_i][1]:
             luma_full = planes[ref_i][
@@ -404,23 +420,37 @@ class Renderer:
                                      ::1 << cfg_g.sub_x][..., :ph, :pw]
                 data = ops_fg.apply_av1_grain(
                     data, grain_tables[i], cfg_g, scaling_shift, luma=luma)
-            processed.append((shape, mapping, sx, sy, data))
+            # per-plane input hooks; these may RESIZE the plane (e.g.
+            # FSRCNNX doubles luma before the main scaler)
+            stage_in, stage_scaled = self._plane_hook_stage(mapping)
+            if params.hooks and stage_in is not None:
+                data = run_hooks(params.hooks, stage_in, data,
+                                 self._disabled_hooks, **(hook_ctx or {}))
+            processed.append((shape, mapping, sx, sy, data,
+                              stage_scaled))
 
+        # the reference grid: the (possibly hook-resized) ref plane
+        H, W = (processed[ref_i][4].shape[-2],
+                processed[ref_i][4].shape[-1])
         cfg = _find_scaler(params.plane_upscaler)
         channels = {}
-        for (shape, mapping, sx, sy, data) in processed:
-            ph, pw = shape[-2], shape[-1]
+        for (shape, mapping, sx, sy, data, stage_scaled) in processed:
+            ph, pw = data.shape[-2], data.shape[-1]
             if (ph, pw) != (H, W) or sx or sy:
                 s0x = -sx * pw / W
                 s0y = -sy * ph / H
                 data = ops_sampling.resize_separable(
                     data, H, W, cfg,
                     RectF(s0x, s0y, s0x + pw, s0y + ph))
+                if params.hooks and stage_scaled is not None:
+                    data = run_hooks(params.hooks, stage_scaled, data,
+                                     self._disabled_hooks,
+                                     **(hook_ctx or {}))
             for ci, ch in enumerate(mapping):
                 channels[ch] = data[..., ci, :, :]
         order = sorted(channels)
         img = jnp.stack([channels[c] for c in order], axis=-3)
-        return img, order
+        return img, order, (H, W)
 
     def _grain_cfgs(self, plane_metas, frame_repr, frame_grain):
         """Per-plane static grain configs (None = no grain)."""
@@ -483,16 +513,32 @@ class Renderer:
 
         n_planes = len(plane_metas)
 
+        ref_shape0 = plane_metas[self._ref_plane_index(plane_metas)][0]
+
         def pipeline(peak_state, grain_tables, temporal, overlay_datas,
                      dovi_packed, *planes):
             # ---- pass_read_image
             prev_planes, next_planes = temporal
-            img, order = self._merge_planes(
+            dst_crop = target.crop or RectF(0, 0, target.w, target.h)
+            dst_w = int(round(dst_crop.w))
+            dst_h = int(round(dst_crop.h))
+            hook_ctx = dict(dst_w=dst_w, dst_h=dst_h)
+            img, order, (H_act, W_act) = self._merge_planes(
                 planes, (plane_metas, frame_repr.sys), params,
                 grain_cfgs, grain_tables, scaling_shift,
                 field=field, first_field=first_field,
                 prev_planes=prev_planes, next_planes=next_planes,
-                h274_grain=h274_grain)
+                h274_grain=h274_grain, hook_ctx=hook_ctx)
+            # plane hooks may resize (FSRCNNX doubles luma): scale the
+            # source crop into the hooked grid (reference: hook rect
+            # transforms, custom.h:214-230)
+            if (H_act, W_act) != (ref_shape0[-2], ref_shape0[-1]):
+                fy = H_act / ref_shape0[-2]
+                fx = W_act / ref_shape0[-1]
+                crop_eff = RectF(crop.x0 * fx, crop.y0 * fy,
+                                 crop.x1 * fx, crop.y1 * fy)
+            else:
+                crop_eff = crop
             has_alpha = 3 in order
             if has_alpha:
                 alpha = img[..., -1:, :, :]
@@ -504,7 +550,7 @@ class Renderer:
                     img = img / jnp.maximum(alpha, 1e-6)
             from .hooks import HookStage, run_hooks
             img = run_hooks(params.hooks, HookStage.NATIVE, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             img = ops_color.decode_color(
                 img, frame_repr, src_color.primaries,
                 dovi_packed=dovi_packed,
@@ -516,20 +562,17 @@ class Renderer:
                 if has_alpha:
                     alpha = jnp.rot90(alpha, k=int(rotation), axes=(-2, -1))
             img = run_hooks(params.hooks, HookStage.RGB, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             if params.lut is not None and params.lut_type == "native":
                 from ..ops import lut as ops_lut
                 img = ops_lut.apply_lut(img, params.lut)
 
             # ---- pass_scale_main
-            src_h = crop.y1 - crop.y0
-            src_w = crop.x1 - crop.x0
-            dst_crop = target.crop or RectF(0, 0, target.w, target.h)
-            dst_w = int(round(dst_crop.w))
-            dst_h = int(round(dst_crop.h))
+            src_h = crop_eff.y1 - crop_eff.y0
+            src_w = crop_eff.x1 - crop_eff.x0
             needs_scale = (abs(src_h - dst_h) > 1e-6 or
                            abs(src_w - dst_w) > 1e-6 or
-                           crop.x0 != 0 or crop.y0 != 0)
+                           crop_eff.x0 != 0 or crop_eff.y0 != 0)
             upscaling = dst_w > src_w or dst_h > src_h
 
             use_linear = (params.linear_scaling and needs_scale
@@ -539,15 +582,15 @@ class Renderer:
             if use_linear:
                 img = linearize_src(img)
                 img = run_hooks(params.hooks, HookStage.LINEAR, img,
-                                self._disabled_hooks)
+                                self._disabled_hooks, **hook_ctx)
                 if use_sigmoid:
                     sig = SigmoidParams(*params.sigmoid)
                     img = ops_color.sigmoidize(img, sig)
                     img = run_hooks(params.hooks, HookStage.SIGMOID, img,
-                                    self._disabled_hooks)
+                                    self._disabled_hooks, **hook_ctx)
 
             img = run_hooks(params.hooks, HookStage.PRE_KERNEL, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             phased = None
             if needs_scale:
                 up = _find_scaler(params.upscaler)
@@ -575,7 +618,7 @@ class Renderer:
                             and int(round(dst_crop.y0)) == 0):
                         pg = ops_polar.phase_geometry(
                             cfg, img.shape[-2], img.shape[-1],
-                            dst_h, dst_w, crop)
+                            dst_h, dst_w, crop_eff)
                         if pg is not None:
                             Py_, Px_ = pg
                             Hb, Wb = dst_h // Py_, dst_w // Px_
@@ -587,25 +630,26 @@ class Renderer:
                             if ok:
                                 phased = (Py_, Px_, Hb, Wb)
                     img = ops_polar.sample_polar(
-                        img, cfg, dst_h, dst_w, crop,
+                        img, cfg, dst_h, dst_w, crop_eff,
                         antiring=params.antiringing_strength or cfg.antiring,
                         layout="blocks" if phased else "interleaved")
                     if has_alpha:
                         alpha = ops_polar.sample_polar(
-                            alpha, cfg, dst_h, dst_w, crop)
+                            alpha, cfg, dst_h, dst_w, crop_eff)
                 else:
                     img = ops_sampling.resize_separable(
-                        img, dst_h, dst_w, cfg, crop, cfg_down=down)
+                        img, dst_h, dst_w, cfg, crop_eff, cfg_down=down)
                     if has_alpha:
                         alpha = ops_sampling.resize_separable(
-                            alpha, dst_h, dst_w, cfg, crop, cfg_down=down)
+                            alpha, dst_h, dst_w, cfg, crop_eff,
+                            cfg_down=down)
 
             img = run_hooks(params.hooks, HookStage.POST_KERNEL, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             if use_sigmoid:
                 img = ops_color.desigmoidize(img, sig)
             img = run_hooks(params.hooks, HookStage.SCALED, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
 
             # ---- pass_convert_colors
             # cone distortion first (reference renderer.c:2192-2247:
@@ -643,14 +687,14 @@ class Renderer:
 
             # ---- pass_output_target
             img = run_hooks(params.hooks, HookStage.PRE_OUTPUT, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             if params.lut is not None and params.lut_type == "conversion":
                 from ..ops import lut as ops_lut
                 img = ops_lut.apply_lut(img, params.lut)
             img = ops_color.encode_color(img, target.repr,
                                          dst_color.primaries)
             img = run_hooks(params.hooks, HookStage.OUTPUT, img,
-                            self._disabled_hooks)
+                            self._disabled_hooks, **hook_ctx)
             if has_alpha:
                 from ..core.colorspace import AlphaMode
                 if target.repr.alpha == AlphaMode.PREMULTIPLIED:

@@ -354,3 +354,101 @@ def test_static_if_with_define():
     hook2 = user_shader_hook(STATIC_IF_HOOK, parameters={"mode": 0})
     out2 = np.asarray(run_hooks([hook2], HookStage.RGB, img))
     np.testing.assert_allclose(out2, 0.5 * np.asarray(img), atol=1e-6)
+
+
+FSRCNNX_LIKE = r"""
+//!DESC FSRCNNX-like feature extraction
+//!HOOK LUMA
+//!BIND HOOKED
+//!SAVE FEATURE
+//!COMPONENTS 4
+//!WHEN OUTPUT.w LUMA.w / 1.2 >
+vec4 hook() {
+    vec4 res = vec4(0.0);
+    for (int y = -1; y <= 1; y++) {
+        for (int x = -1; x <= 1; x++) {
+            float px = HOOKED_texOff(vec2(x, y)).x;
+            res += px * vec4(0.1 * float(x + 2), 0.05 * float(y + 2),
+                             0.02, 0.01);
+        }
+    }
+    return max(res + vec4(0.01, -0.01, 0.02, 0.0), vec4(0.0));
+}
+
+//!DESC FSRCNNX-like mapping
+//!HOOK LUMA
+//!BIND FEATURE
+//!SAVE FEATURE
+//!COMPONENTS 4
+//!WHEN OUTPUT.w LUMA.w / 1.2 >
+vec4 hook() {
+    vec4 a = FEATURE_texOff(vec2(-1.0, 0.0));
+    vec4 b = FEATURE_texOff(vec2(1.0, 0.0));
+    vec4 c = FEATURE_tex(FEATURE_pos);
+    vec4 res = 0.25 * a + 0.25 * b + 0.5 * c;
+    res.x = dot(res, vec4(0.25));
+    return max(res, vec4(0.0));
+}
+
+//!DESC FSRCNNX-like sub-pixel reconstruction (2x luma)
+//!HOOK LUMA
+//!BIND HOOKED
+//!BIND FEATURE
+//!WIDTH LUMA.w 2 *
+//!HEIGHT LUMA.h 2 *
+//!WHEN OUTPUT.w LUMA.w / 1.2 >
+vec4 hook() {
+    vec4 f = FEATURE_tex(HOOKED_pos);
+    float base = HOOKED_tex(HOOKED_pos).x;
+    float detail = dot(f, vec4(0.4, 0.3, 0.2, 0.1));
+    return vec4(base + 0.1 * detail, 0.0, 0.0, 1.0);
+}
+"""
+
+
+def _yuv_frame(seed=0, h=64, w=96):
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem)
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    rng = np.random.default_rng(seed)
+    y = (rng.random((h, w)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    return frame_from_yuv420p(
+        y, u, v, repr=ColorRepr(sys=ColorSystem.BT_709,
+                                levels=ColorLevels.LIMITED,
+                                bits=BitEncoding(8, 8, 0)))
+
+
+def test_fsrcnnx_class_luma_doubling_hook():
+    """A 3-pass FSRCNNX-style compute hook: conv feature extraction into
+    a 4-component //!SAVE texture, a mapping pass over it, and a 2x
+    luma-doubling reconstruction pass (//!WIDTH LUMA.w 2 *) — runs at
+    the LUMA_INPUT stage, resizes the reference grid, and is gated by
+    //!WHEN on the render target ratio (reference custom_mpv.c:1594)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    hook = user_shader_hook(parse_user_shader(FSRCNNX_LIKE))
+    frame = _yuv_frame()
+    h, w = 64, 96
+    target = Target(w=2 * w, h=2 * h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,))
+    r = Renderer()
+    out = np.asarray(r._render_once(frame, target, params))
+    assert not r._disabled_hooks, "hook was auto-disabled"
+    assert out.shape == (3, 2 * h, 2 * w)
+    ref = np.asarray(Renderer()._render_once(
+        frame, target, RenderParams(upscaler="lanczos")))
+    assert np.abs(out - ref).max() > 1e-3   # the hook changed the luma
+
+    # WHEN gate: 1:1 render bypasses every pass bit-exactly
+    t1 = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    r2 = Renderer()
+    out1 = np.asarray(r2._render_once(frame, t1, params))
+    ref1 = np.asarray(Renderer()._render_once(
+        frame, t1, RenderParams(upscaler="lanczos")))
+    assert not r2._disabled_hooks
+    np.testing.assert_array_equal(out1, ref1)

@@ -18,7 +18,52 @@ import numpy as np
 from .core.cache import Cache
 from .core.log import Log, default_log
 
-__all__ = ["TpuLimits", "TpuContext", "create", "create_dummy"]
+__all__ = ["TpuLimits", "TpuContext", "Timer", "create", "create_dummy"]
+
+
+class Timer:
+    """pl_timer analog (reference gpu.h:403-437): non-blocking,
+    in-order completion timing.  XLA exposes no device timestamp
+    queries, so a timer measures submit->ready wall latency instead of
+    device ns: `start()` before dispatching, `stop(out)` with an output
+    array whose readiness marks completion, and `query()` harvests
+    finished measurements opportunistically — never blocking, exactly
+    like the reference's pl_timer_query contract (in-order results,
+    None while nothing new completed)."""
+
+    def __init__(self):
+        from collections import deque
+        self._pending = deque()
+        self._ready = deque()
+        self._t0 = None
+
+    def start(self):
+        import time
+        self._t0 = time.perf_counter()
+
+    def stop(self, out):
+        """Associate the in-flight work with `out` (a jax.Array)."""
+        if self._t0 is None:
+            raise RuntimeError("Timer.stop() without start()")
+        self._pending.append((self._t0, out))
+        self._t0 = None
+
+    def _poll(self):
+        import time
+        while self._pending:
+            t0, arr = self._pending[0]
+            is_ready = getattr(arr, "is_ready", None)
+            if is_ready is not None and not arr.is_ready():
+                break
+            if is_ready is None:          # non-Array: treat as done
+                pass
+            self._ready.append(time.perf_counter() - t0)
+            self._pending.popleft()
+
+    def query(self) -> Optional[float]:
+        """Oldest completed measurement in seconds, or None."""
+        self._poll()
+        return self._ready.popleft() if self._ready else None
 
 
 @dataclass(frozen=True)
@@ -94,6 +139,10 @@ class TpuContext:
     def renderer(self):
         from .render.renderer import Renderer
         return Renderer()
+
+    def timer(self) -> Timer:
+        """Create a pl_timer analog (reference pl_timer_create)."""
+        return Timer()
 
     @property
     def is_failed(self) -> bool:

@@ -28,7 +28,8 @@ from .upload import PlaneData, frame_from_planes
 
 __all__ = ["from_dlpack", "to_dlpack", "from_torch", "to_torch",
            "frame_from_avframe_like", "frame_to_avframe_like",
-           "frame_from_dav1d_picture_like", "AV_PIX_FMTS"]
+           "frame_from_dav1d_picture_like", "frame_from_pyav",
+           "AV_PIX_FMTS"]
 
 
 def from_dlpack(capsule_or_array) -> jnp.ndarray:
@@ -309,6 +310,68 @@ def frame_to_avframe_like(frame: Frame) -> dict:
         out["content_light_level"] = {"max_cll": hdr.max_cll,
                                       "max_fall": hdr.max_fall}
     return out
+
+
+def frame_from_pyav(avframe, device=None) -> Frame:
+    """Map a REAL PyAV av.VideoFrame to a Frame (the role of
+    pl_map_avframe_ex over an actual AVFrame, utils/libav.h) — converts
+    the live object into the dict shape frame_from_avframe_like maps,
+    extracting plane buffers (stride-aware), color properties, and the
+    side data the reference walks (mastering display, content light,
+    display matrix rotation).  Requires the `av` package at runtime;
+    everything else in this module works without it."""
+    fmt = avframe.format.name
+    if fmt not in AV_PIX_FMTS:
+        raise ValueError(f"unsupported pixel format {fmt!r}")
+    n_planes, (sub_x, sub_y), depth, comp_maps = AV_PIX_FMTS[fmt]
+
+    data = []
+    itemsize = 2 if depth > 8 else 1
+    for i, plane in enumerate(avframe.planes):
+        ph = avframe.height >> (sub_y if i in (1, 2) else 0)
+        pw = avframe.width >> (sub_x if i in (1, 2) else 0)
+        ncomp = len(comp_maps[i])
+        buf = np.frombuffer(bytes(plane),
+                            dtype=np.uint16 if itemsize == 2 else np.uint8)
+        stride = plane.line_size // itemsize
+        arr = buf.reshape(ph, stride)[:, :pw * ncomp]
+        if ncomp > 1:
+            arr = arr.reshape(ph, pw, ncomp)
+        data.append(np.ascontiguousarray(arr))
+
+    d = {
+        "format": fmt,
+        "data": data,
+        "colorspace": str(getattr(avframe, "colorspace", "") or ""),
+        "color_range": {1: "tv", 2: "pc"}.get(
+            int(getattr(avframe, "color_range", 0) or 0), ""),
+        "color_primaries": str(getattr(avframe, "color_primaries", "")
+                               or ""),
+        "color_trc": str(getattr(avframe, "color_trc", "") or ""),
+    }
+    # side data (reference libav_internal.h:384-460); PyAV exposes the
+    # registry via frame.side_data when built against a new ffmpeg
+    sd = getattr(avframe, "side_data", None)
+    if sd:
+        for entry in sd:
+            t = str(getattr(entry, "type", "")).lower()
+            try:
+                if "mastering" in t:
+                    m = entry.to_dict() if hasattr(entry, "to_dict") else {}
+                    if m:
+                        d["mastering_display_metadata"] = m
+                elif "content_light" in t:
+                    m = entry.to_dict() if hasattr(entry, "to_dict") else {}
+                    if m:
+                        d["content_light_level"] = m
+                elif "displaymatrix" in t or "display_matrix" in t:
+                    import av
+                    d["rotation"] = av.sidedata.sidedata.SideData \
+                        .to_display_rotation(entry) \
+                        if hasattr(entry, "to_display_rotation") else 0
+            except Exception:
+                pass                     # tolerate older PyAV layouts
+    return frame_from_avframe_like(d, device=device)
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,24 @@ def test_disk_cache(tmp_path):
     out = ctx.renderer().render(frame, Target(w=8, h=8, color=CSP_SRGB))
     assert out.shape == (3, 8, 8)
     assert (tmp_path / "plcache").is_dir()
+
+
+def test_timer_nonblocking_inorder():
+    """Timer (pl_timer analog): in-order harvest, None when nothing new,
+    never blocks on query."""
+    import jax.numpy as jnp
+    from libplacebo_tpu import runtime
+    ctx = runtime.create_dummy()
+    t = ctx.timer()
+    assert t.query() is None
+    t.start()
+    out = jnp.ones((64, 64)) * 2.0
+    t.stop(out)
+    out.block_until_ready()
+    dt = t.query()
+    assert dt is not None and dt >= 0.0
+    assert t.query() is None
+    # stop() without start() is a usage error
+    import pytest
+    with pytest.raises(RuntimeError):
+        t.stop(out)

@@ -229,3 +229,49 @@ def test_frame_icc_profile_decodes_source():
     assert f.meta_key() != f2.meta_key()
     assert not np.allclose(out_icc, out_std, atol=1e-3)
     assert np.all(np.isfinite(out_icc))
+
+
+def test_frame_from_pyav_gated():
+    """frame_from_pyav maps a real av.VideoFrame when PyAV exists;
+    a duck-typed stand-in exercises the mapping logic without it."""
+    import numpy as np
+    pytest_av = True
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        pytest_av = False
+    from libplacebo_tpu.utils.interop import frame_from_pyav
+
+    class _Plane:
+        def __init__(self, arr):
+            self._b = arr.tobytes()
+            self.line_size = arr.shape[1] * arr.itemsize
+        def __bytes__(self):
+            return self._b
+
+    class _Fmt:
+        name = "yuv420p"
+
+    class _F:
+        format = _Fmt()
+        width, height = 32, 16
+        colorspace = "bt709"
+        color_range = 1
+        color_primaries = "bt709"
+        color_trc = "bt709"
+        side_data = ()
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.planes = [
+                _Plane((rng.random((16, 32)) * 255).astype(np.uint8)),
+                _Plane((rng.random((8, 16)) * 255).astype(np.uint8)),
+                _Plane((rng.random((8, 16)) * 255).astype(np.uint8))]
+
+    f = frame_from_pyav(_F())
+    assert f.w == 32 and f.h == 16
+    assert len(f.planes) == 3
+    if pytest_av:
+        # a real decoded frame (synthesized) through the same path
+        frame = av.VideoFrame(32, 16, "yuv420p")
+        f2 = frame_from_pyav(frame)
+        assert f2.w == 32

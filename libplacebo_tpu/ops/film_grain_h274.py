@@ -140,8 +140,14 @@ def _aligned_tile_stack() -> np.ndarray:
 
 
 def apply_h274_grain(img, data: FilmGrainData, channels: Tuple[int, ...],
-                     is_ycbcr: bool = True):
-    """Apply H.274 grain to (..., C, H, W) [0,1] plane values."""
+                     is_ycbcr: bool = True, row0=None):
+    """Apply H.274 grain to (..., C, H, W) [0,1] plane values.
+
+    `row0` (traced ok): global row of img's first row when img is one
+    row-shard of the frame — the PCG macroblock seeds and sub-tile
+    offsets then use global block coordinates, so the sharded result
+    equals the single-chip one (requires row0 % 8 == 0; blocks are
+    8x8 and never span shards)."""
     d = data.h274
     H, W = img.shape[-2], img.shape[-1]
     tiles_j = jnp.asarray(_aligned_tile_stack())
@@ -153,9 +159,11 @@ def apply_h274_grain(img, data: FilmGrainData, channels: Tuple[int, ...],
     pad = [(0, 0)] * (img.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
     x = jnp.pad(img, pad)
 
+    by0 = 0 if row0 is None else row0 // 8
+    brows = by0 + jnp.arange(nby, dtype=jnp.int32)   # global block rows
     # workgroup (8x8 block) grid; PCG seeded by (seed, wg/2)
     wx = jnp.arange(nbx, dtype=jnp.uint32)[None, :] // 2
-    wy = jnp.arange(nby, dtype=jnp.uint32)[:, None] // 2
+    wy = (brows.astype(jnp.uint32) // 2)[:, None]
     wx = jnp.broadcast_to(wx, (nby, nbx))
     wy = jnp.broadcast_to(wy, (nby, nbx))
     pcg = _pcg3d(data.seed & 0xFFFFFFFF, wx, wy)
@@ -205,7 +213,7 @@ def apply_h274_grain(img, data: FilmGrainData, channels: Tuple[int, ...],
         sign = jnp.where((rand & 1) == 1, -1.0, 1.0)
         # 8 * (wg % 2) sub-offset (adjacent blocks use adjacent sub-tiles)
         ox = ox + 8 * (jnp.arange(nbx, dtype=jnp.int32)[None, :] % 2)
-        oy = oy + 8 * (jnp.arange(nby, dtype=jnp.int32)[:, None] % 2)
+        oy = oy + 8 * (brows % 2)[:, None]
 
         # whole-tile gather (AV1 pattern): oy is 8-aligned and ox is
         # 4-aligned by construction, so each block's 8x8 grain slice is

@@ -37,13 +37,13 @@ Supported subset (asserted at build time): the flagship path — planar
 or packed input (alpha planes included), chroma merge, linear/sigmoid
 scaling, separable or polar scalers with anti-ringing, peak detect, any
 tone/gamut mapping, contrast recovery (halo'd feature-map resizes),
-deband (ring-wrap halos + shared RNG tables), AV1 film grain (traced
-global block offsets), temporal deinterlacing (reflect halos + global
-row parity), Dolby Vision reshaping, custom LUTs, frame/target ICC
-profiles, cone distortion, color adjustment, dither.  Not sharded:
-rotation, overlays, hooks, H.274 grain, error diffusion (inherently a
-whole-frame serial scan; the reference runs it as ONE pass too,
-dithering.c:326), target sub-rects.
+deband (ring-wrap halos + shared RNG tables), AV1 + H.274 film grain
+(traced global block offsets / PCG macroblock coordinates), temporal
+deinterlacing (reflect halos + global row parity), Dolby Vision
+reshaping, custom LUTs, frame/target ICC profiles, cone distortion,
+color adjustment, dither.  Not sharded: rotation, overlays, hooks,
+error diffusion (inherently a whole-frame serial scan; the reference
+runs it as ONE pass too, dithering.c:326), target sub-rects.
 """
 from __future__ import annotations
 
@@ -234,6 +234,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     grain_cfgs = None
     scaling_shift = 8
+    h274_grain = None
     if params.film_grain and frame_grain is not None:
         if frame_grain.type == "av1":
             grain_cfgs, scaling_shift = Renderer._grain_cfgs(
@@ -248,8 +249,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                            "subsampling for grain scaling")
         elif frame_grain.type == "h274":
             from ..ops import film_grain_h274 as ops_h274
-            _check(not ops_h274.needs_fg_h274(frame_grain),
-                   "H.274 grain not sharded yet")
+            if ops_h274.needs_fg_h274(frame_grain):
+                h274_grain = frame_grain
+                for shape, _m, _sx, _sy in plane_metas:
+                    _check(shape[-2] // n_sp % 8 == 0,
+                           "H.274 grain: local rows must be a multiple "
+                           "of the 8-row block")
 
     # ---- main-scaler plan (mirrors pass_scale_main)
     src_h_c = crop.y1 - crop.y0
@@ -381,6 +386,13 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 data = ops_deband.deband(
                     data, params.deband, seed=i,
                     tables=(chs_l, nz_l), shard=(axis, n_sp))
+            if h274_grain is not None and 3 not in mapping:
+                from ..core.colorspace import system_is_ycbcr_like
+                from ..ops import film_grain_h274 as ops_h274
+                data = ops_h274.apply_h274_grain(
+                    data, h274_grain, tuple(mapping),
+                    is_ycbcr=system_is_ycbcr_like(frame_repr.sys),
+                    row0=row0)
             if grain_cfgs is not None and grain_cfgs[i] is not None:
                 cfg_g = grain_cfgs[i]
                 luma = None

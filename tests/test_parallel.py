@@ -327,3 +327,19 @@ def test_sharded_lut_cone_adjustment_matches_renderer(devices):
     out, _ = _run_sharded(mesh, frames, target, params)
     ref = _single_chip(frames[0], target, params)
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_h274_grain_matches_renderer(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    from tests.test_icc_h274 import DATA as H274_DATA
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(1, src_h, src_w, seed=21)
+    frames[0].film_grain = H274_DATA
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          build_kw=dict(frame_grain=H274_DATA))
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)

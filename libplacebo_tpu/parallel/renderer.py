@@ -41,7 +41,8 @@ deband (ring-wrap halos + shared RNG tables), AV1 + H.274 film grain
 (traced global block offsets / PCG macroblock coordinates), temporal
 deinterlacing (reflect halos + global row parity), Dolby Vision
 reshaping, custom LUTs, frame/target ICC profiles, cone distortion,
-color adjustment, dither.  Not sharded: rotation, overlays, hooks,
+color adjustment, dither, overlays (per-shard row-intersection blend of
+the replicated resized overlay).  Not sharded: rotation, hooks,
 error diffusion (inherently a whole-frame serial scan; the reference
 runs it as ONE pass too, dithering.c:326), target sub-rects.
 """
@@ -144,7 +145,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                            params: Optional[RenderParams] = None,
                            crop: Optional[RectF] = None,
                            frame_grain=None, field=None, first_field=None,
-                           frame_icc=None, has_temporal: bool = False):
+                           frame_icc=None, has_temporal: bool = False,
+                           overlays=()):
     """Build the jitted multi-chip render step for one frame signature.
 
     plane_metas: ((shape, component_mapping, shift_x, shift_y), ...) —
@@ -174,6 +176,19 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
            "error diffusion not sharded (inherently serial scan; the "
            "reference also runs it as ONE pass, dithering.c:326)")
     _check(target.crop is None, "target sub-rect not sharded yet")
+
+    # ---- overlay plans (reference draw_overlays, renderer.c:811):
+    # static rects; each shard blends the rows that intersect its block,
+    # slicing a row-padded copy of the (replicated, tiny) resized overlay
+    ov_specs = []
+    for ov in overlays:
+        r = ov.rect
+        ow = max(1, int(round(r.x1 - r.x0)))
+        oh = max(1, int(round(r.y1 - r.y0)))
+        x0, y0 = int(round(r.x0)), int(round(r.y0))
+        _check(0 <= x0 and x0 + ow <= target.w,
+               "overlay x range outside the target")
+        ov_specs.append((x0, y0, oh, ow))
 
     src_color = frame_color.infer()
     dst_color = target.color.infer(target.w, target.h)
@@ -349,7 +364,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         return ops_color.linearize(x, src_color)
 
     def frame_step(state, bias_l, grain_tables, dovi_packed,
-                   prev_planes, next_planes, *planes):
+                   prev_planes, next_planes, overlay_datas, *planes):
         me = jax.lax.axis_index(axis)
         # ---- pass_read_image: per-plane features, then merge on the
         # local row block (mirrors Renderer._merge_planes)
@@ -493,6 +508,38 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             img = jnp.concatenate([img, alpha], axis=-3)
         if bias_l is not None:
             img = ops_dither.dither(img, target.bit_depth, dp, bias=bias_l)
+
+        # overlays blend after dithering like the reference's final
+        # vertex pass (draw_overlays, renderer.c:811): each shard blends
+        # the rows its block intersects, slicing a row-padded copy of
+        # the (tiny, replicated) resized overlay with a traced offset
+        if ov_specs:
+            row0d = me * dst_l
+            rows_g = row0d + jnp.arange(dst_l)
+            for (x0, y0, oh, ow), ov_data in zip(ov_specs, overlay_datas):
+                ov_img = ops_sampling.sample_bilinear(ov_data, oh, ow)
+                rgb_o = ov_img[..., :3, :, :]
+                a_o = ov_img[..., 3:4, :, :] if ov_img.shape[-3] > 3 \
+                    else jnp.ones_like(rgb_o[..., :1, :, :])
+                ov4 = jnp.concatenate([rgb_o, a_o], axis=-3)
+                ov_p = jnp.pad(ov4, [(0, 0)] * (ov4.ndim - 2) +
+                               [(dst_l, dst_l), (0, 0)])
+                start = row0d - y0 + dst_l
+                sl = jax.lax.dynamic_slice(
+                    ov_p, (0, start, 0), (4, dst_l, ow))
+                valid = ((rows_g >= y0) & (rows_g < y0 + oh)
+                         ).astype(img.dtype)[:, None]
+                a_l = sl[3:4] * valid
+                rgb_l = sl[:3]
+                region = jax.lax.dynamic_slice(
+                    img, (0, 0, x0), (img.shape[-3], dst_l, ow))
+                if img.shape[-3] > 3:
+                    blended = jnp.concatenate(
+                        [rgb_l * a_l + region[..., :3, :, :] * (1 - a_l),
+                         jnp.maximum(region[..., 3:, :, :], a_l)], axis=-3)
+                else:
+                    blended = rgb_l * a_l + region * (1 - a_l)
+                img = jax.lax.dynamic_update_slice(img, blended, (0, 0, x0))
         return jnp.clip(img, 0.0, 1.0), new_state
 
     spec_img = P("data", None, "spatial", None)
@@ -500,22 +547,27 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     n_pl = len(plane_metas)
 
     def local_step(state_b, bias_l, grain_b, dovi_b, prev_b, next_b,
-                   *planes_b):
+                   ov_b, *planes_b):
         np_prev = n_pl if prev_b is not None else 0
+        np_next = n_pl if next_b is not None else 0
 
         def one(state, grain_t, dovi_p, *pl):
             prev = pl[n_pl:n_pl + np_prev] if prev_b is not None else None
-            nxt = pl[n_pl + np_prev:] if next_b is not None else None
+            nxt = pl[n_pl + np_prev:n_pl + np_prev + np_next] \
+                if next_b is not None else None
+            ovs = pl[n_pl + np_prev + np_next:]
             return frame_step(state, bias_l, grain_t, dovi_p, prev, nxt,
-                              *pl[:n_pl])
+                              ovs, *pl[:n_pl])
         extra = (tuple(prev_b) if prev_b is not None else ()) + \
-            (tuple(next_b) if next_b is not None else ())
+            (tuple(next_b) if next_b is not None else ()) + \
+            (tuple(ov_b) if ov_b is not None else ())
         return jax.vmap(one)(state_b, grain_b, dovi_b, *planes_b, *extra)
     in_specs = (P("data", None),                      # state
                 P("spatial", None),                   # dither bias
                 P("data"),                            # grain tables
                 P("data"),                            # dovi coefficients
-                spec_img, spec_img) + \
+                spec_img, spec_img,                   # prev/next planes
+                P("data")) + \
         tuple(spec_img for _ in plane_metas)          # planes
 
     step_sharded = shard_map(
@@ -526,12 +578,13 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     @partial(jax.jit, static_argnames=())
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                  next_planes, *planes):
+                  next_planes, overlay_datas, *planes):
         return step_sharded(state, bias_j, grain_tables, dovi_packed,
-                            prev_planes, next_planes, *planes)
+                            prev_planes, next_planes, overlay_datas,
+                            *planes)
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
-            prev_planes=None, next_planes=None):
+            prev_planes=None, next_planes=None, overlay_datas=None):
         if grain_cfgs is not None and grain_tables is None:
             raise RenderError(
                 "frame carries AV1 grain: pass grain_tables= (batched "
@@ -543,7 +596,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         if di_on and has_temporal and (prev_planes is None or
                                        next_planes is None):
             raise RenderError("temporal deinterlace: pass prev/next planes")
+        if ov_specs and (overlay_datas is None or
+                         len(overlay_datas) != len(ov_specs)):
+            raise RenderError(
+                "pipeline was built with overlays: pass overlay_datas= "
+                "(batched (B, 4, h, w) per overlay)")
         return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, *planes)
+                         next_planes, overlay_datas, *planes)
 
     return run

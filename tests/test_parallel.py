@@ -343,3 +343,28 @@ def test_sharded_h274_grain_matches_renderer(devices):
                           build_kw=dict(frame_grain=H274_DATA))
     ref = _single_chip(frames[0], target, params)
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_overlays_match_renderer(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.frame import Overlay
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(1, src_h, src_w, seed=23)
+    rng = np.random.default_rng(5)
+    # one overlay crossing a shard boundary, one fully inside a shard
+    ov1 = Overlay(data=jnp.asarray(rng.random((4, 12, 40), np.float32)),
+                  rect=RectF(10, 20, 70, 60))
+    ov2 = Overlay(data=jnp.asarray(rng.random((4, 8, 16), np.float32)),
+                  rect=RectF(100, 5, 124, 21))
+    frames[0].overlays = [ov1, ov2]
+    ov_datas = tuple(np.asarray(o.data)[None] for o in (ov1, ov2))
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          build_kw=dict(overlays=(ov1, ov2)),
+                          step_kw=dict(overlay_datas=ov_datas))
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)

@@ -45,18 +45,24 @@ def parse_cube(text: str) -> CustomLut:
         key = parts[0].upper()
         if key == "TITLE":
             continue
-        if key == "LUT_1D_SIZE":
-            size_1d = int(parts[1])
-            continue
-        if key == "LUT_3D_SIZE":
-            size_3d = int(parts[1])
-            continue
-        if key == "DOMAIN_MIN":
-            dmin = tuple(float(x) for x in parts[1:4])
-            continue
-        if key == "DOMAIN_MAX":
-            dmax = tuple(float(x) for x in parts[1:4])
-            continue
+        try:
+            if key == "LUT_1D_SIZE":
+                size_1d = int(parts[1])
+                continue
+            if key == "LUT_3D_SIZE":
+                size_3d = int(parts[1])
+                continue
+            if key == "DOMAIN_MIN":
+                dmin = (float(parts[1]), float(parts[2]), float(parts[3]))
+                continue
+            if key == "DOMAIN_MAX":
+                dmax = (float(parts[1]), float(parts[2]), float(parts[3]))
+                continue
+        except (IndexError, ValueError) as e:
+            raise ValueError(f"invalid .cube header line: {raw!r}") from e
+        if size_1d < 0 or size_3d < 0 or size_1d > 1 << 20 \
+                or size_3d > 512:
+            raise ValueError("unreasonable .cube LUT size")
         try:
             values.append([float(x) for x in parts[:3]])
         except ValueError as e:

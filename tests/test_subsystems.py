@@ -565,3 +565,92 @@ def test_3dlut_cp_small_images_stay_exact():
     np.testing.assert_array_equal(
         np.asarray(ops_lut.apply_lut(img, lut)),
         np.asarray(ops_lut.apply_lut(img, lut, fast="never")))
+
+
+# -- parser fuzzing (reference fuzz/lut.c, fuzz/user_shaders.c) ----------
+
+def test_cube_parse_fuzz():
+    """Mutated .cube inputs must raise ValueError or parse — never crash
+    (reference fuzz/lut.c)."""
+    import numpy as np
+    from libplacebo_tpu.core.lut import parse_cube
+    rng = np.random.default_rng(0xF022)
+    seed_texts = [
+        "LUT_1D_SIZE 4\n0 0 0\n.3 .3 .3\n.7 .7 .7\n1 1 1\n",
+        "LUT_3D_SIZE 2\nDOMAIN_MIN 0 0 0\nDOMAIN_MAX 1 1 1\n" +
+        "0 0 0\n1 0 0\n0 1 0\n1 1 0\n0 0 1\n1 0 1\n0 1 1\n1 1 1\n",
+        "TITLE \"x\"\nLUT_3D_SIZE 3\n" + "0.5 0.5 0.5\n" * 27,
+    ]
+    for t in seed_texts:
+        base = bytearray(t.encode())
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                i = rng.integers(0, len(b))
+                op = rng.integers(0, 3)
+                if op == 0:
+                    b[i] = rng.integers(32, 127)
+                elif op == 1:
+                    del b[i]
+                else:
+                    b.insert(i, rng.integers(32, 127))
+            try:
+                parse_cube(b.decode("latin1"))
+            except (ValueError, MemoryError):
+                pass
+
+
+def test_mpv_hook_parse_fuzz():
+    """Mutated .hook inputs must raise MpvHookError/ValueError or parse
+    — never crash (reference fuzz/user_shaders.c)."""
+    import numpy as np
+    from libplacebo_tpu.render.mpv_hooks import (MpvHookError,
+                                                 parse_user_shader)
+    rng = np.random.default_rng(0xF0CC)
+    seed = (
+        "//!DESC t\n//!HOOK LUMA\n//!BIND HOOKED\n//!SAVE X\n"
+        "//!COMPONENTS 4\n//!WHEN OUTPUT.w LUMA.w / 1.1 >\n"
+        "//!PARAM s\n//!TYPE float\n//!MINIMUM 0\n//!MAXIMUM 2\n"
+        "vec4 hook() { return HOOKED_texOff(vec2(1.0, 0.0)) * s; }\n"
+    ).encode()
+    for _ in range(150):
+        b = bytearray(seed)
+        for _ in range(rng.integers(1, 8)):
+            i = rng.integers(0, len(b))
+            op = rng.integers(0, 3)
+            if op == 0:
+                b[i] = rng.integers(32, 127)
+            elif op == 1:
+                del b[i]
+            else:
+                b.insert(i, rng.integers(32, 127))
+        try:
+            parse_user_shader(b.decode("latin1"))
+        except (MpvHookError, ValueError, KeyError):
+            pass
+
+
+def test_icc_parse_fuzz():
+    """Truncated/corrupted ICC blobs must raise ValueError — never
+    crash (the reference delegates to lcms2; our parser is our own
+    attack surface)."""
+    import numpy as np
+    from libplacebo_tpu.core.icc import parse_icc
+    from tests.test_icc_h274 import _make_profile
+    rng = np.random.default_rng(0x1CC)
+    base = bytearray(_make_profile())
+    for _ in range(80):
+        b = bytearray(base)
+        kind = rng.integers(0, 3)
+        if kind == 0:                           # truncate
+            b = b[:rng.integers(0, len(b))]
+        elif kind == 1:                         # byte flips
+            for _ in range(rng.integers(1, 16)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        else:                                   # header scramble
+            for _ in range(rng.integers(1, 8)):
+                b[rng.integers(0, min(132, len(b)))] = rng.integers(0, 256)
+        try:
+            parse_icc(bytes(b))
+        except (ValueError, KeyError, OverflowError, MemoryError):
+            pass

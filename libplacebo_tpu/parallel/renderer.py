@@ -42,9 +42,12 @@ deband (ring-wrap halos + shared RNG tables), AV1 + H.274 film grain
 deinterlacing (reflect halos + global row parity), Dolby Vision
 reshaping, custom LUTs, frame/target ICC profiles, cone distortion,
 color adjustment, dither, overlays (per-shard row-intersection blend of
-the replicated resized overlay).  Not sharded: rotation, hooks,
-error diffusion (inherently a whole-frame serial scan; the reference
-runs it as ONE pass too, dithering.c:326), target sub-rects.
+the replicated resized overlay), and target sub-rect composites with
+background fill + corner rounding (a GSPMD outer stage: the image-row
+and target-row partitions differ, XLA inserts the resharding
+collectives).  Not sharded: rotation, hooks, error diffusion
+(inherently a whole-frame serial scan; the reference runs it as ONE
+pass too, dithering.c:326).
 """
 from __future__ import annotations
 
@@ -175,13 +178,29 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     _check(params.error_diffusion is None,
            "error diffusion not sharded (inherently serial scan; the "
            "reference also runs it as ONE pass, dithering.c:326)")
-    _check(target.crop is None, "target sub-rect not sharded yet")
+
+    # ---- target sub-rect / corner rounding: composited OUTSIDE the
+    # shard_map under plain GSPMD — the image rows and target rows live
+    # on different row partitions, and XLA inserts the resharding
+    # collectives for the dynamic_update_slice automatically (the
+    # TPU-native answer to the reference's clear_target + blit,
+    # renderer.c:2491).  Dither and overlays then follow single-chip
+    # order (composite -> corner -> dither -> overlays).
+    dst_crop_t = target.crop or RectF(0, 0, target.w, target.h)
+    x0_t = int(round(dst_crop_t.x0))
+    y0_t = int(round(dst_crop_t.y0))
+    needs_composite = (int(round(dst_crop_t.w)), int(round(dst_crop_t.h)),
+                       x0_t, y0_t) != (target.w, target.h, 0, 0)
+    needs_outer = needs_composite or params.corner_rounding > 0
+    if needs_outer:
+        _check(target.h % n_sp == 0,
+               f"target rows {target.h} % {n_sp} != 0")
 
     # ---- overlay plans (reference draw_overlays, renderer.c:811):
     # static rects; each shard blends the rows that intersect its block,
     # slicing a row-padded copy of the (replicated, tiny) resized overlay
     ov_specs = []
-    for ov in overlays:
+    for ov in (() if needs_outer else overlays):
         r = ov.rect
         ow = max(1, int(round(r.x1 - r.x0)))
         oh = max(1, int(round(r.y1 - r.y0)))
@@ -198,7 +217,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     crop = crop or RectF(0, 0, W, H)
     _check(crop.y0 == 0 and crop.y1 == H,
            "row crop must span the full frame (rows are the sharded axis)")
-    dst_h, dst_w = target.h, target.w
+    dst_w = int(round(dst_crop_t.w))
+    dst_h = int(round(dst_crop_t.h))
     _check(H % n_sp == 0, f"src rows {H} % {n_sp} != 0")
     _check(dst_h % n_sp == 0, f"dst rows {dst_h} % {n_sp} != 0")
     H_l, dst_l = H // n_sp, dst_h // n_sp
@@ -343,8 +363,11 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             return jnp.clip(b + (sharp - b) * cr, out_min, out_max)
 
     # ---- dither bias: the frame-global pattern, rows sharded
+    # (with an outer composite stage the dither runs there instead,
+    # over the full target like the single-chip path)
     bias_np = None
-    if target.bit_depth and params.dither is not None:
+    if target.bit_depth and params.dither is not None \
+            and not needs_outer:
         dp = replace(params.dither, transfer=dst_color.transfer) \
             if params.dither.transfer == ColorTransfer.UNKNOWN \
             else params.dither
@@ -540,6 +563,11 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 else:
                     blended = rgb_l * a_l + region * (1 - a_l)
                 img = jax.lax.dynamic_update_slice(img, blended, (0, 0, x0))
+        if needs_outer:
+            # composite/corner/dither/overlays continue in the GSPMD
+            # outer stage; the single clip happens there (single-chip
+            # order: renderer.c pass_output_target tail)
+            return img, new_state
         return jnp.clip(img, 0.0, 1.0), new_state
 
     spec_img = P("data", None, "spatial", None)
@@ -576,12 +604,57 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     bias_j = None if bias_np is None else jnp.asarray(bias_np)
 
+    def _outer_stage(out_img, overlay_datas):
+        """Composite into the target canvas + corner rounding + dither +
+        overlays, as plain GSPMD ops: the image-row and target-row
+        partitions differ, and XLA inserts the resharding collectives
+        for the dynamic_update_slice (reference clear_target + blit,
+        renderer.c:2491)."""
+        C_out = out_img.shape[1]
+        th, tw = target.h, target.w
+        if needs_composite:
+            canvas = jnp.asarray(Renderer._background(
+                params, C_out, th, tw))
+            comp = jnp.broadcast_to(
+                canvas[None], (out_img.shape[0],) + canvas.shape)
+            comp = jax.lax.dynamic_update_slice(
+                comp, out_img, (0, 0, y0_t, x0_t))
+        else:
+            comp = out_img
+        if params.corner_rounding > 0:
+            r_px = params.corner_rounding * min(th, tw) / 2
+            yy, xx = np.mgrid[0:th, 0:tw] + 0.5
+            cx = np.clip(xx, r_px, tw - r_px)
+            cy = np.clip(yy, r_px, th - r_px)
+            d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+            mask = jnp.asarray(
+                np.clip(r_px + 0.5 - d, 0.0, 1.0).astype(np.float32))
+            bg = jnp.asarray(Renderer._background(params, C_out, th, tw))
+            comp = bg + (comp - bg) * mask
+        if target.bit_depth and params.dither is not None:
+            dp2 = replace(params.dither, transfer=dst_color.transfer) \
+                if params.dither.transfer == ColorTransfer.UNKNOWN \
+                else params.dither
+            if params.disable_dither_gamma_correction:
+                dp2 = replace(dp2, transfer=ColorTransfer.LINEAR)
+            comp = ops_dither.dither(comp, target.bit_depth, dp2)
+        for ov_i, ov in enumerate(overlays):
+            comp = Renderer._blend_overlay(comp, overlay_datas[ov_i],
+                                           ov, target)
+        comp = jnp.clip(comp, 0.0, 1.0)
+        return jax.lax.with_sharding_constraint(
+            comp, NamedSharding(mesh, P("data", None, "spatial", None)))
+
     @partial(jax.jit, static_argnames=())
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
                   next_planes, overlay_datas, *planes):
-        return step_sharded(state, bias_j, grain_tables, dovi_packed,
-                            prev_planes, next_planes, overlay_datas,
-                            *planes)
+        out, new_state = step_sharded(
+            state, bias_j, grain_tables, dovi_packed,
+            prev_planes, next_planes,
+            () if needs_outer else overlay_datas, *planes)
+        if needs_outer:
+            out = _outer_stage(out, overlay_datas)
+        return out, new_state
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
             prev_planes=None, next_planes=None, overlay_datas=None):
@@ -596,8 +669,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         if di_on and has_temporal and (prev_planes is None or
                                        next_planes is None):
             raise RenderError("temporal deinterlace: pass prev/next planes")
-        if ov_specs and (overlay_datas is None or
-                         len(overlay_datas) != len(ov_specs)):
+        if overlays and (overlay_datas is None or
+                         len(overlay_datas) != len(overlays)):
             raise RenderError(
                 "pipeline was built with overlays: pass overlay_datas= "
                 "(batched (B, 4, h, w) per overlay)")

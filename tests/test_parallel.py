@@ -368,3 +368,32 @@ def test_sharded_overlays_match_renderer(devices):
                           step_kw=dict(overlay_datas=ov_datas))
     ref = _single_chip(frames[0], target, params)
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_target_subrect_corner_matches_renderer(devices):
+    """Target sub-rect composite + corner rounding + dither + an overlay:
+    the image-row and target-row partitions differ, so the composite
+    runs as a GSPMD outer stage (XLA inserts the resharding
+    collectives); output must match single-chip."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.frame import Overlay
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    # image occupies rows [24, 24+128) of a 192-row target
+    target = Target(w=256, h=192, color=CSP_SRGB, bit_depth=8,
+                    crop=RectF(32, 24, 32 + 192, 24 + 128))
+    rng = np.random.default_rng(7)
+    ov = Overlay(data=jnp.asarray(rng.random((4, 10, 30), np.float32)),
+                 rect=RectF(5, 100, 95, 130))
+    params = RenderParams(upscaler="lanczos", background="tiles",
+                          corner_rounding=0.15)
+    frames = _flagship_frames(1, src_h, src_w, seed=29)
+    frames[0].overlays = [ov]
+    out, _ = _run_sharded(
+        mesh, frames, target, params,
+        build_kw=dict(overlays=(ov,)),
+        step_kw=dict(overlay_datas=(np.asarray(ov.data)[None],)))
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)

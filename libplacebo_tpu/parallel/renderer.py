@@ -45,9 +45,10 @@ color adjustment, dither, overlays (per-shard row-intersection blend of
 the replicated resized overlay), and target sub-rect composites with
 background fill + corner rounding (a GSPMD outer stage: the image-row
 and target-row partitions differ, XLA inserts the resharding
-collectives).  Not sharded: rotation, hooks, error diffusion
-(inherently a whole-frame serial scan; the reference runs it as ONE
-pass too, dithering.c:326).
+collectives).  180-degree rotation shards as a local flip + ring-order
+reversal.  Not sharded: 90/270 rotation (transposes the sharded axis),
+user hooks, error diffusion (inherently a whole-frame serial scan; the
+reference runs it as ONE pass too, dithering.c:326).
 """
 from __future__ import annotations
 
@@ -149,7 +150,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                            crop: Optional[RectF] = None,
                            frame_grain=None, field=None, first_field=None,
                            frame_icc=None, has_temporal: bool = False,
-                           overlays=()):
+                           overlays=(), rotation: int = 0):
     """Build the jitted multi-chip render step for one frame signature.
 
     plane_metas: ((shape, component_mapping, shift_x, shift_y), ...) —
@@ -175,6 +176,9 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     # ---- unsupported features (see module docstring)
     _check(not params.hooks, "hooks not sharded yet")
+    _check(rotation % 4 in (0, 2),
+           "90/270 rotation transposes the sharded row axis (needs a "
+           "GSPMD reshard stage); only 0/180 are sharded")
     _check(params.error_diffusion is None,
            "error diffusion not sharded (inherently serial scan; the "
            "reference also runs it as ONE pass, dithering.c:326)")
@@ -460,6 +464,18 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         img = ops_color.decode_color(img, frame_repr, src_color.primaries,
                                      dovi_packed=dovi_packed,
                                      adjustment=params.color_adjustment)
+        if rotation % 4 == 2:
+            # 180 degrees: local flip of both axes + reversing the shard
+            # order over the ring (the row reversal crosses shards)
+            def _rot180(a):
+                a = a[..., ::-1, ::-1]
+                if n_sp > 1:
+                    a = jax.lax.ppermute(
+                        a, axis, [(i, n_sp - 1 - i) for i in range(n_sp)])
+                return a
+            img = _rot180(img)
+            if has_alpha:
+                alpha = _rot180(alpha)
         if params.lut is not None and params.lut_type == "native":
             from ..ops import lut as ops_lut
             img = ops_lut.apply_lut(img, params.lut)

@@ -397,3 +397,19 @@ def test_sharded_target_subrect_corner_matches_renderer(devices):
         step_kw=dict(overlay_datas=(np.asarray(ov.data)[None],)))
     ref = _single_chip(frames[0], target, params)
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_rotation180_matches_renderer(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import Rotation
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(1, src_h, src_w, seed=31)
+    frames[0].rotation = Rotation(2)
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          build_kw=dict(rotation=2))
+    ref = _single_chip(frames[0], target, params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)

@@ -566,6 +566,7 @@ class _BodyRunner:
         self.toks = _tokenize(inner)
         self.pos = 0
         self.vars: Dict[str, _Vec] = {}
+        self.arrays: Dict[str, List[_Vec]] = {}
         ret = self._run_statements()
         if ret is None:
             raise MpvHookError("hook() did not return")
@@ -762,15 +763,63 @@ class _BodyRunner:
         if t == "{":
             self._next()
             return self._run_statements(stop_at_brace=True)
+        if t == "const":
+            self._next()
+            t = self._peek()
         if t in self._TYPES:
             self._next()
             name = self._next()
+            if self._peek() == "[":
+                # const array declaration with a type[](...) literal —
+                # the ravu/adaptive-sharpen weight-table pattern; indices
+                # must be static (unrolled loop vars are)
+                self._next()
+                if self._peek() != "]":
+                    self._expr()                       # declared size
+                self._expect("]")
+                self._expect("=")
+                lt = self._next()
+                if lt not in self._TYPES:
+                    raise MpvHookError(
+                        f"array initializer must be a type[](...) "
+                        f"literal, got {lt!r}")
+                if self._peek() == "[":
+                    self._next()
+                    if self._peek() != "]":
+                        self._expr()
+                    self._expect("]")
+                self._expect("(")
+                elems = [self._expr()]
+                while self._peek() == ",":
+                    self._next()
+                    elems.append(self._expr())
+                self._expect(")")
+                self._expect(";")
+                self.arrays[name] = elems
+                return None
             if self._peek() == "=":
                 self._next()
                 self.vars[name] = self._expr()
             else:
                 self.vars[name] = _Vec([0.0], scalar=True)
             self._expect(";")
+            return None
+        if t in self.arrays and self._peek(1) == "[":
+            # array element assignment: NAME[static_idx] op= expr;
+            self._next()
+            self._next()
+            idx = self._static_index(t)
+            self._expect("]")
+            op = self._next()
+            val = self._expr()
+            self._expect(";")
+            cur = self.arrays[t][idx]
+            if op == "=":
+                self.arrays[t][idx] = val
+            elif op in ("+=", "-=", "*=", "/="):
+                self.arrays[t][idx] = self._binop(op[0], cur, val)
+            else:
+                raise MpvHookError(f"unsupported array assignment {op!r}")
             return None
         # assignment: name [.swz] (=|+=|-=|*=|/=|++|--) expr? ;
         name = self._next()
@@ -969,11 +1018,30 @@ class _BodyRunner:
                     base = self.hooked
                 if base in self.tex:
                     return self._tex_access(base, suffix)
+        if t in self.arrays:
+            self._expect("[")
+            idx = self._static_index(t)
+            self._expect("]")
+            return self.arrays[t][idx]
         if t in self.vars:
             return self.vars[t]
         if t in self.params:
             return _Vec([float(self.params[t])], scalar=True)
         raise MpvHookError(f"unknown identifier {t!r}")
+
+    def _static_index(self, name: str) -> int:
+        """Parse an array index; must fold to a host constant (unrolled
+        loop vars do)."""
+        v = self._expr()
+        if not v.scalar or hasattr(v.comps[0], "shape"):
+            raise MpvHookError(
+                f"array index into {name!r} must be static (per-pixel "
+                "indices would be a gather)")
+        idx = int(v.comps[0])
+        if not 0 <= idx < len(self.arrays[name]):
+            raise MpvHookError(f"array index {idx} out of range for "
+                               f"{name!r}[{len(self.arrays[name])}]")
+        return idx
 
     def _call(self, fname):
         import jax.numpy as jnp

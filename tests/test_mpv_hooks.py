@@ -452,3 +452,58 @@ def test_fsrcnnx_class_luma_doubling_hook():
         frame, t1, RenderParams(upscaler="lanczos")))
     assert not r2._disabled_hooks
     np.testing.assert_array_equal(out1, ref1)
+
+
+def test_const_array_tables():
+    """const type[](...) weight/offset tables indexed by unrolled loop
+    vars — the ravu/adaptive-sharpen pattern; per-pixel indices are
+    rejected (they would be a gather)."""
+    import jax.numpy as jnp
+    from libplacebo_tpu.render.hooks import HookStage, run_hooks
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    SH = r"""
+//!DESC array tables
+//!HOOK LUMA
+//!BIND HOOKED
+vec4 hook() {
+    const vec2 offsets[4] = vec2[](vec2(1.0, 0.0), vec2(-1.0, 0.0),
+                                   vec2(0.0, 1.0), vec2(0.0, -1.0));
+    const float W[4] = float[4](0.4, 0.3, 0.2, 0.1);
+    float ws[2] = float[](0.25, 0.75);
+    ws[0] = ws[0] + 0.05;
+    float acc = 0.0;
+    for (int i = 0; i < 4; i++) {
+        acc += W[i] * HOOKED_texOff(offsets[i]).x;
+    }
+    float c = HOOKED_tex(HOOKED_pos).x;
+    return vec4(mix(c, acc, ws[0]), 0.0, 0.0, 1.0);
+}
+"""
+    hook = user_shader_hook(parse_user_shader(SH))
+    img = jnp.asarray(np.random.default_rng(0).random((1, 32, 48),
+                                                      np.float32))
+    disabled = set()
+    out = run_hooks([hook], HookStage.LUMA_INPUT, img, disabled)
+    assert not disabled
+    x = np.asarray(img)[0]
+    p = np.pad(x, 1, mode="edge")
+
+    def off(dy, dx):
+        return p[1 + dy:1 + dy + 32, 1 + dx:1 + dx + 48]
+    acc = 0.4 * off(0, 1) + 0.3 * off(0, -1) + 0.2 * off(1, 0) \
+        + 0.1 * off(-1, 0)
+    expect = x * 0.7 + acc * 0.3
+    np.testing.assert_allclose(np.asarray(out)[0], expect, atol=1e-6)
+
+    # data-dependent index must be rejected (auto-disabled)
+    BAD = SH.replace("W[i]", "W[int(c * 3.0)]").replace(
+        "float c = HOOKED_tex(HOOKED_pos).x;\n", "")
+    BAD = BAD.replace("vec4 hook() {",
+                      "vec4 hook() {\n    float c = "
+                      "HOOKED_tex(HOOKED_pos).x;")
+    hook2 = user_shader_hook(parse_user_shader(BAD))
+    disabled2 = set()
+    out2 = run_hooks([hook2], HookStage.LUMA_INPUT, img, disabled2)
+    assert disabled2                     # rejected, frame unchanged
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))

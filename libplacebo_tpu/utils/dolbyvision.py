@@ -8,9 +8,12 @@ implements the RPU payload parser itself — the `vdr_rpu_data` reshaping
 curves (pivots, polynomial/MMR coefficients), the `vdr_dm_data` color
 matrices, and the L1/L2/L6 extension blocks — following the bitstream
 layout implemented publicly in FFmpeg's libavcodec/dovi_rpu.c and
-quietvoid's dovi_tool, covering the single-layer profiles (5/8.x,
-disable_residual; enhancement-layer NLQ data is skipped, like the
-reference which never processes the EL).
+quietvoid's dovi_tool.  Single-layer profiles (5/8.x) map fully to
+reshaping metadata; dual-layer profile-7 RPUs (FEL/MEL) have their NLQ
+header + rpu_data_nlq payload parsed and preserved (nlq_method_idc,
+pivots, per-component offset/vdr_in_max/deadzone), but the renderer —
+like the reference, which never processes the enhancement layer —
+applies only the base-layer reshaping curves.
 
 A writer (`write_rpu`) mirrors the parser for round-trip tests and for
 synthesizing RPUs.
@@ -32,7 +35,7 @@ import numpy as np
 
 from ..core.colorspace import DoviMetadata, HdrMetadata
 
-__all__ = ["DoviRpu", "parse_rpu", "write_rpu", "rpu_to_dovi",
+__all__ = ["DoviRpu", "RpuNlq", "parse_rpu", "write_rpu", "rpu_to_dovi",
            "hdr_metadata_from_rpu", "RpuError"]
 
 
@@ -140,6 +143,22 @@ class RpuCurve:
 
 
 @dataclass
+class RpuNlq:
+    """Non-linear quantization data for the enhancement layer
+    (rpu_data_nlq; FFmpeg dovi_rpu.c parse_nlq / dovi_tool
+    rpu_data_nlq.rs).  Raw fixed-point values; one entry per component.
+    The reference never consumes these (the EL is not processed,
+    utils/dolbyvision.c) — they are preserved for round-trips and
+    inspection."""
+    method_idc: int = 0                     # 0 = LINEAR_DZ
+    pivots: Tuple[int, int] = (0, 0)        # u(bl_bit_depth) x2
+    nlq_offset: Tuple[int, ...] = (0, 0, 0)
+    vdr_in_max: Tuple[int, ...] = (0, 0, 0)
+    dz_slope: Tuple[int, ...] = (0, 0, 0)   # linear_deadzone_slope
+    dz_threshold: Tuple[int, ...] = (0, 0, 0)
+
+
+@dataclass
 class RpuExtBlock:
     level: int = 0
     # level 1
@@ -154,11 +173,20 @@ class RpuExtBlock:
     trim_chroma_weight: int = 2048
     trim_saturation_gain: int = 2048
     ms_weight: int = 2048
+    # level 3 (CM v4.0: offsets on top of the L1 values)
+    min_pq_offset: int = 2048
+    max_pq_offset: int = 2048
+    avg_pq_offset: int = 2048
+    # level 5 (active area)
+    active_area: Tuple[int, int, int, int] = (0, 0, 0, 0)  # l, r, t, b
     # level 6
     max_luminance: int = 0
     min_luminance: int = 0
     max_cll: int = 0
     max_fall: int = 0
+    # level 254 (CM v4.0 mode marker)
+    dm_mode: int = 0
+    dm_version_index: int = 0
 
 
 @dataclass
@@ -193,6 +221,7 @@ class DoviRpu:
     source_max_pq: int = 3696
     source_diagonal: int = 42
     ext_blocks: Tuple[RpuExtBlock, ...] = ()
+    nlq: Optional[RpuNlq] = None            # profile-7 dual-layer only
 
 
 # ---------------------------------------------------------------------------
@@ -260,8 +289,12 @@ def parse_rpu(buf: bytes) -> DoviRpu:
         curves.append(RpuCurve(num_pivots=num_pivots,
                                pivots=tuple(pivots)))
 
-    if (rpu.rpu_format & 0x700) == 0 and not rpu.disable_residual_flag:
-        raise RpuError("enhancement-layer (NLQ) RPUs not supported")
+    el_nlq = (rpu.rpu_format & 0x700) == 0 and not rpu.disable_residual_flag
+    if el_nlq:                              # profile-7 dual-layer header
+        nlq = RpuNlq()
+        nlq.method_idc = r.u(3)
+        nlq.pivots = (r.u(rpu.bl_bit_depth), r.u(rpu.bl_bit_depth))
+        rpu.nlq = nlq
 
     r.ue()                                  # num_x_partitions_minus1
     r.ue()                                  # num_y_partitions_minus1
@@ -307,6 +340,25 @@ def parse_rpu(buf: bytes) -> DoviRpu:
         cur.mmr_constant = tuple(mconsts)
         cur.mmr_coef = tuple(mcoefs)
     rpu.curves = tuple(curves)
+
+    if el_nlq:                              # rpu_data_nlq payload
+        nlq = rpu.nlq
+        offs, inmax, slopes, thrs = [], [], [], []
+        for _ in range(3):
+            offs.append(r.u(rpu.el_bit_depth))
+            inmax.append(_read_coef(r, rpu.coef_log2_denom, signed=False))
+            if nlq.method_idc == 0:         # LINEAR_DZ
+                slopes.append(_read_coef(r, rpu.coef_log2_denom,
+                                         signed=False))
+                thrs.append(_read_coef(r, rpu.coef_log2_denom,
+                                       signed=False))
+            else:
+                slopes.append(0)
+                thrs.append(0)
+        nlq.nlq_offset = tuple(offs)
+        nlq.vdr_in_max = tuple(inmax)
+        nlq.dz_slope = tuple(slopes)
+        nlq.dz_threshold = tuple(thrs)
 
     rpu.dm_metadata_present = dm_present
     if dm_present:
@@ -360,11 +412,20 @@ def _parse_ext_block(r: _BitReader) -> RpuExtBlock:
         blk.trim_chroma_weight = r.u(12)
         blk.trim_saturation_gain = r.u(12)
         blk.ms_weight = _signed(r.u(13), 13)
+    elif level == 3:
+        blk.min_pq_offset = r.u(12)
+        blk.max_pq_offset = r.u(12)
+        blk.avg_pq_offset = r.u(12)
+    elif level == 5:
+        blk.active_area = tuple(r.u(13) for _ in range(4))
     elif level == 6:
         blk.max_luminance = r.u(16)
         blk.min_luminance = r.u(16)
         blk.max_cll = r.u(16)
         blk.max_fall = r.u(16)
+    elif level == 254:
+        blk.dm_mode = r.u(8)
+        blk.dm_version_index = r.u(8)
     if r.pos > end:
         raise RpuError(f"ext block level {level} overran its length")
     r.pos = end                             # skip unparsed payload bits
@@ -380,6 +441,11 @@ def _write_coef(w: _BitWriter, value: int, denom: int):
     fpart = value - (ipart << denom)
     w.se(ipart)
     w.u(fpart, denom)
+
+
+def _write_ue_coef(w: _BitWriter, value: int, denom: int):
+    w.ue(value >> denom)
+    w.u(value & ((1 << denom) - 1), denom)
 
 
 def write_rpu(rpu: DoviRpu) -> bytes:
@@ -413,6 +479,12 @@ def write_rpu(rpu: DoviRpu) -> bytes:
         w.u(cur.pivots[0], rpu.bl_bit_depth)
         for a, b in zip(cur.pivots, cur.pivots[1:]):
             w.u(b - a, rpu.bl_bit_depth)
+    el_nlq = (rpu.rpu_format & 0x700) == 0 and not rpu.disable_residual_flag
+    if el_nlq:
+        nlq = rpu.nlq or RpuNlq()
+        w.u(nlq.method_idc, 3)
+        w.u(nlq.pivots[0], rpu.bl_bit_depth)
+        w.u(nlq.pivots[1], rpu.bl_bit_depth)
     w.ue(0)                                 # num_x_partitions_minus1
     w.ue(0)                                 # num_y_partitions_minus1
     for cur in rpu.curves:
@@ -431,6 +503,15 @@ def write_rpu(rpu: DoviRpu) -> bytes:
                 for row in cur.mmr_coef[i]:
                     for v in row:
                         _write_coef(w, v, rpu.coef_log2_denom)
+    if el_nlq:
+        nlq = rpu.nlq or RpuNlq()
+        for c in range(3):
+            w.u(nlq.nlq_offset[c], rpu.el_bit_depth)
+            _write_ue_coef(w, nlq.vdr_in_max[c], rpu.coef_log2_denom)
+            if nlq.method_idc == 0:
+                _write_ue_coef(w, nlq.dz_slope[c], rpu.coef_log2_denom)
+                _write_ue_coef(w, nlq.dz_threshold[c],
+                               rpu.coef_log2_denom)
     if rpu.dm_metadata_present:
         w.ue(0)
         w.ue(0)
@@ -474,11 +555,21 @@ def _write_ext_block(w: _BitWriter, blk: RpuExtBlock):
         payload.u(blk.trim_chroma_weight, 12)
         payload.u(blk.trim_saturation_gain, 12)
         payload.u(blk.ms_weight & 0x1FFF, 13)
+    elif blk.level == 3:
+        payload.u(blk.min_pq_offset, 12)
+        payload.u(blk.max_pq_offset, 12)
+        payload.u(blk.avg_pq_offset, 12)
+    elif blk.level == 5:
+        for v in blk.active_area:
+            payload.u(v, 13)
     elif blk.level == 6:
         payload.u(blk.max_luminance, 16)
         payload.u(blk.min_luminance, 16)
         payload.u(blk.max_cll, 16)
         payload.u(blk.max_fall, 16)
+    elif blk.level == 254:
+        payload.u(blk.dm_mode, 8)
+        payload.u(blk.dm_version_index, 8)
     data = payload.bytes()
     w.ue(len(data))
     w.u(blk.level, 8)

@@ -148,3 +148,66 @@ def test_rpu_renders_end_to_end():
         RenderParams(peak_detect=None, dither=None)))
     assert np.all(np.isfinite(out))
     assert out.min() >= 0 and out.max() <= 1
+
+
+def test_rpu_profile7_nlq_roundtrip():
+    """Dual-layer profile-7 RPUs (FEL/MEL): the NLQ header + rpu_data_nlq
+    payload parse and round-trip; the base-layer curves still map
+    (reference never processes the EL, utils/dolbyvision.c)."""
+    from libplacebo_tpu.utils.dolbyvision import RpuNlq
+    denom = 23
+    rpu = _sample_rpu(denom)
+    rpu.vdr_rpu_profile = 0
+    rpu.el_bit_depth = 10
+    rpu.disable_residual_flag = False
+    rpu.nlq = RpuNlq(
+        method_idc=0, pivots=(0, 1023),
+        nlq_offset=(512, 510, 508),
+        vdr_in_max=(1 << denom, 1 << (denom - 1), 3 << (denom - 2)),
+        dz_slope=(int(2.5 * (1 << denom)), 1 << denom, 1 << denom),
+        dz_threshold=(int(0.01 * (1 << denom)), 0, 0))
+    out = parse_rpu(write_rpu(rpu))
+    assert out.disable_residual_flag is False
+    assert out.nlq is not None
+    assert out.nlq.method_idc == 0
+    assert out.nlq.pivots == (0, 1023)
+    assert out.nlq.nlq_offset == rpu.nlq.nlq_offset
+    assert out.nlq.vdr_in_max == rpu.nlq.vdr_in_max
+    assert out.nlq.dz_slope == rpu.nlq.dz_slope
+    assert out.nlq.dz_threshold == rpu.nlq.dz_threshold
+    # base-layer reshaping data survives alongside the EL fields
+    assert out.curves[0].poly_coef == rpu.curves[0].poly_coef
+    dovi = rpu_to_dovi(out)
+    assert abs(dovi.comp[0]["poly_coeffs"][0][1] - 0.9) < 1e-5
+    # method 1 (MU_LAW-style, no deadzone payload) also round-trips
+    rpu.nlq = RpuNlq(method_idc=1, pivots=(0, 1023),
+                     nlq_offset=(1, 2, 3),
+                     vdr_in_max=(1 << denom,) * 3)
+    out2 = parse_rpu(write_rpu(rpu))
+    assert out2.nlq.method_idc == 1
+    assert out2.nlq.nlq_offset == (1, 2, 3)
+    assert out2.nlq.dz_slope == (0, 0, 0)
+
+
+def test_rpu_ext_blocks_cmv4():
+    """Extension-block levels 3 (L1 offsets), 5 (active area) and 254
+    (CM v4 marker) parse and round-trip; unknown levels are skipped by
+    length."""
+    rpu = _sample_rpu()
+    rpu.ext_blocks = rpu.ext_blocks + (
+        RpuExtBlock(level=3, min_pq_offset=2000, max_pq_offset=2100,
+                    avg_pq_offset=2048),
+        RpuExtBlock(level=5, active_area=(10, 20, 30, 40)),
+        RpuExtBlock(level=254, dm_mode=1, dm_version_index=2),
+    )
+    out = parse_rpu(write_rpu(rpu))
+    levels = [blk.level for blk in out.ext_blocks]
+    assert levels == [1, 2, 6, 3, 5, 254]
+    l3 = out.ext_blocks[3]
+    assert (l3.min_pq_offset, l3.max_pq_offset) == (2000, 2100)
+    assert out.ext_blocks[4].active_area == (10, 20, 30, 40)
+    assert out.ext_blocks[5].dm_mode == 1
+    # L1 extraction still works with the extra blocks present
+    from libplacebo_tpu.core.colorspace import HdrMetadata
+    hdr = hdr_metadata_from_rpu(HdrMetadata(), write_rpu(rpu))
+    assert abs(hdr.max_pq_y - 3210 / 4095) < 1e-6

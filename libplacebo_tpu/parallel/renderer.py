@@ -46,9 +46,13 @@ the replicated resized overlay), and target sub-rect composites with
 background fill + corner rounding (a GSPMD outer stage: the image-row
 and target-row partitions differ, XLA inserts the resharding
 collectives).  180-degree rotation shards as a local flip + ring-order
-reversal.  Not sharded: 90/270 rotation (transposes the sharded axis),
-user hooks, error diffusion (inherently a whole-frame serial scan; the
-reference runs it as ONE pass too, dithering.c:326).
+reversal.  90/270 rotation (transposes the sharded axis), user hooks
+(arbitrary stencils) and error diffusion (a whole-frame serial scan —
+ONE pass in the reference too, dithering.c:326) run through
+`_build_gspmd_step` instead: the single-chip trace vmapped + jit'd with
+sharding constraints, XLA's SPMD partitioner inserting the
+all-to-all / halo / gather collectives.  Every renderer feature is now
+executable multi-chip.
 """
 from __future__ import annotations
 
@@ -174,14 +178,17 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     n_sp = int(mesh.shape["spatial"])
     axis = "spatial"
 
-    # ---- unsupported features (see module docstring)
-    _check(not params.hooks, "hooks not sharded yet")
-    _check(rotation % 4 in (0, 2),
-           "90/270 rotation transposes the sharded row axis (needs a "
-           "GSPMD reshard stage); only 0/180 are sharded")
-    _check(params.error_diffusion is None,
-           "error diffusion not sharded (inherently serial scan; the "
-           "reference also runs it as ONE pass, dithering.c:326)")
+    # ---- features the hand-tuned halo pipeline cannot express run
+    # under GSPMD auto-partitioning instead (same trace as single-chip;
+    # XLA inserts the collectives — including the all-to-all a 90/270
+    # rotation's transpose of the sharded row axis needs, and whatever
+    # halos each user hook's stencil implies)
+    if params.hooks or rotation % 4 in (1, 3) or \
+            params.error_diffusion is not None:
+        return _build_gspmd_step(
+            mesh, plane_metas, frame_repr, frame_color, target, params,
+            crop, frame_grain, field, first_field, frame_icc,
+            has_temporal, overlays, rotation)
 
     # ---- target sub-rect / corner rounding: composited OUTSIDE the
     # shard_map under plain GSPMD — the image rows and target rows live
@@ -692,5 +699,82 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 "(batched (B, 4, h, w) per overlay)")
         return _jit_step(state, grain_tables, dovi_packed, prev_planes,
                          next_planes, overlay_datas, *planes)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# GSPMD fallback: user hooks / 90-270 rotation
+# ---------------------------------------------------------------------------
+
+def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
+                      target, params, crop, frame_grain, field,
+                      first_field, frame_icc, has_temporal, overlays,
+                      rotation):
+    """Multi-chip step via GSPMD auto-partitioning of the *single-chip*
+    trace (jit + sharding constraints; no shard_map).
+
+    Used for the features whose communication pattern the hand-written
+    halo pipeline cannot express statically: user hooks (arbitrary
+    stencils/resizes inside the hook bodies) and 90/270 rotation (a
+    transpose of the sharded row axis -> all-to-all).  XLA's SPMD
+    partitioner derives the collectives from the sharding constraints —
+    the TPU-native equivalent of the reference falling back from the
+    tuned compute path to the generic one (e.g. sampling.c's fragment
+    fallback below the compute cutoff).  Per-frame semantics are
+    *identical* to Renderer.render by construction: it IS the same
+    traced pipeline, vmapped over the batch.
+    """
+    from ..core.log import default_log
+    from ..render.renderer import Renderer
+
+    why = ("user hooks" if params.hooks else
+           f"rotation {rotation % 4 * 90}" if rotation % 4 in (1, 3) else
+           "error diffusion (whole-frame serial scan, replicated pass)")
+    default_log().info(
+        f"sharded renderer: {why} -> GSPMD auto-partitioned step (XLA-"
+        "inserted collectives), not the halo pipeline")
+
+    ref_i = Renderer._ref_plane_index(plane_metas)
+    H, W = plane_metas[ref_i][0][-2], plane_metas[ref_i][0][-1]
+    crop = crop or RectF(0, 0, W, H)
+
+    r = Renderer()
+    pipeline = r._trace_pipeline(
+        (plane_metas,), target, params, frame_repr, frame_color, crop,
+        frame_grain, field=field, first_field=first_field,
+        has_prev=has_temporal, has_next=has_temporal,
+        rotation=rotation, overlays=overlays, frame_icc=frame_icc)
+
+    sh_img = NamedSharding(mesh, P("data", None, "spatial", None))
+    sh_state = NamedSharding(mesh, P("data", None))
+
+    def _constrain(p):
+        return jax.lax.with_sharding_constraint(p, sh_img)
+
+    @jax.jit
+    def _jit_step(state, grain_tables, dovi_packed, prev_planes,
+                  next_planes, overlay_datas, *planes):
+        state = jax.lax.with_sharding_constraint(state, sh_state)
+        planes = tuple(_constrain(p) for p in planes)
+        if prev_planes is not None:
+            prev_planes = tuple(_constrain(p) for p in prev_planes)
+        if next_planes is not None:
+            next_planes = tuple(_constrain(p) for p in next_planes)
+        temporal = (prev_planes, next_planes)
+        out, new_state = jax.vmap(pipeline)(
+            state, grain_tables, temporal, overlay_datas, dovi_packed,
+            *planes)
+        return _constrain(out), \
+            jax.lax.with_sharding_constraint(new_state, sh_state)
+
+    def run(state, *planes, grain_tables=None, dovi_packed=None,
+            prev_planes=None, next_planes=None, overlay_datas=None):
+        if overlays and (overlay_datas is None or
+                         len(overlay_datas) != len(overlays)):
+            raise RenderError(
+                "pipeline was built with overlays: pass overlay_datas=")
+        return _jit_step(state, grain_tables, dovi_packed, prev_planes,
+                         next_planes, overlay_datas or (), *planes)
 
     return run

@@ -413,3 +413,111 @@ def test_sharded_rotation180_matches_renderer(devices):
                           build_kw=dict(rotation=2))
     ref = _single_chip(frames[0], target, params)
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_rotation90_gspmd_matches_renderer(devices):
+    """90/270 rotation transposes the sharded row axis; the builder
+    falls back to the GSPMD auto-partitioned step (same trace as the
+    single-chip renderer, XLA inserts the all-to-all)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import Rotation
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    # rotated 90: source is H x W, the scaled grid sees W x H
+    target = Target(w=2 * src_h, h=2 * src_w, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    for rot in (1, 3):
+        frames = _flagship_frames(1, src_h, src_w, seed=37 + rot)
+        frames[0].rotation = Rotation(rot)
+        out, _ = _run_sharded(mesh, frames, target, params,
+                              build_kw=dict(rotation=rot))
+        ref = _single_chip(frames[0], target, params)
+        # GSPMD partitions the scaler matmuls / peak reductions along
+        # the contraction dim, reassociating float sums: equality holds
+        # to ~1e-3, not bit-exactly like the hand-written halo pipeline
+        diff = np.abs(out[0] - ref)
+        assert diff.max() < 2e-3, diff.max()
+        assert diff.mean() < 1e-5, diff.mean()
+
+
+def test_sharded_hooks_gspmd_matches_renderer(devices):
+    """User hooks (an mpv .hook with a 3x3 stencil) run multi-chip via
+    the GSPMD fallback and match single-chip exactly."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    hook_text = """//!HOOK LUMA
+//!BIND HOOKED
+//!DESC test sharpen
+vec4 hook() {
+    vec4 c = HOOKED_texOff(vec2(0.0, 0.0));
+    vec4 l = HOOKED_texOff(vec2(-1.0, 0.0));
+    vec4 r = HOOKED_texOff(vec2(1.0, 0.0));
+    vec4 u = HOOKED_texOff(vec2(0.0, -1.0));
+    vec4 d = HOOKED_texOff(vec2(0.0, 1.0));
+    return c + 0.25 * (4.0 * c - l - r - u - d);
+}
+"""
+    hook = user_shader_hook(parse_user_shader(hook_text))
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,))
+    frames = _flagship_frames(2, src_h, src_w, seed=51)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    for b, f in enumerate(frames):
+        ref = _single_chip(f, target, params)
+        # float reassociation under auto-partitioning (see rotation test)
+        diff = np.abs(out[b] - ref)
+        assert diff.max() < 2e-3, diff.max()
+        assert diff.mean() < 1e-5, diff.mean()
+
+
+def test_sharded_gspmd_output_is_distributed(devices):
+    """The GSPMD fallback actually executes partitioned: the step's
+    output sharding spans the mesh (not fully replicated on one
+    device)."""
+    import jax
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    hook = user_shader_hook(parse_user_shader(
+        "//!HOOK LUMA\n//!BIND HOOKED\n"
+        "vec4 hook() { return 0.9 * HOOKED_texOff(vec2(0.0, 0.0)); }\n"))
+    mesh = make_mesh(data=2, spatial=4)
+    frames = _flagship_frames(2, 64, 96, seed=5)
+    target = Target(w=192, h=128, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,),
+                          peak_detect=None)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    out, _ = step(sharded_state_init(mesh, 2), *xs)
+    assert not out.sharding.is_fully_replicated
+    assert out.shape == (2, 3, 128, 192)
+
+
+def test_sharded_error_diffusion_gspmd(devices):
+    """Error diffusion (whole-frame serial scan) runs multi-chip via the
+    GSPMD fallback.  The scan is chaotic — 1-LSB quantization flips from
+    upstream float reassociation are expected — so assert at most 1 LSB
+    and a matching pre-quantization image."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    frames = _flagship_frames(1, 64, 96, seed=9)
+    target = Target(w=192, h=128, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="lanczos", peak_detect=None,
+                          error_diffusion="floyd-steinberg")
+    out, _ = _run_sharded(mesh, frames, target, params)
+    ref = _single_chip(frames[0], target, params)
+    diff = np.abs(out[0] - ref)
+    assert diff.max() <= 1 / 255 + 1e-6, diff.max()

@@ -22,8 +22,16 @@ from .colorspace import ColorTransfer, COLOR_SDR_WHITE
 __all__ = [
     "pq_eotf", "pq_oetf", "hlg_oetf", "hlg_oetf_inv",
     "srgb_eotf", "srgb_oetf", "linearize", "delinearize",
-    "TRANSFER_FUNCS",
+    "TRANSFER_FUNCS", "pow_pos",
 ]
+
+
+def pow_pos(x, p):
+    """x**p for non-negative x, written as exp(p·log x) — which is what
+    XLA lowers non-integer pow to anyway, and (unlike math.powf) has a
+    Mosaic lowering, so the same TRC code traces inside Pallas kernels
+    (ops.pallas.color_map).  x == 0 maps to ~0 for p > 0."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-36)))
 
 # ---------------------------------------------------------------------------
 # PQ (SMPTE ST 2084 / BT.2100) — standard published constants
@@ -41,18 +49,18 @@ def pq_eotf(x):
     undefined past its own peak; extrapolating explodes on the
     super-range intermediates gamut math produces)."""
     x = jnp.clip(x, 0.0, 1.0)
-    p = jnp.power(x, 1.0 / PQ_M2)
+    p = pow_pos(x, 1.0 / PQ_M2)
     num = jnp.maximum(p - PQ_C1, 0.0)
     den = PQ_C2 - PQ_C3 * p
-    return jnp.power(num / den, 1.0 / PQ_M1)
+    return pow_pos(num / den, 1.0 / PQ_M1)
 
 
 def pq_oetf(y):
     """Linear [0,1] (1.0 = 10000 nits) -> PQ signal [0,1], domain
     clamped (see pq_eotf)."""
     y = jnp.clip(y, 0.0, 1.0)
-    p = jnp.power(y, PQ_M1)
-    return jnp.power((PQ_C1 + PQ_C2 * p) / (1.0 + PQ_C3 * p), PQ_M2)
+    p = pow_pos(y, PQ_M1)
+    return pow_pos((PQ_C1 + PQ_C2 * p) / (1.0 + PQ_C3 * p), PQ_M2)
 
 
 # ---------------------------------------------------------------------------
@@ -86,13 +94,13 @@ def hlg_oetf(y):
 def srgb_eotf(x):
     x = jnp.asarray(x)
     return jnp.where(x < 0.04045, x / 12.92,
-                     jnp.power((jnp.maximum(x, 0.04045) + 0.055) / 1.055, 2.4))
+                     pow_pos((jnp.maximum(x, 0.04045) + 0.055) / 1.055, 2.4))
 
 
 def srgb_oetf(y):
     y = jnp.asarray(y)
     return jnp.where(y < 0.0031308, y * 12.92,
-                     1.055 * jnp.power(jnp.maximum(y, 0.0031308), 1.0 / 2.4) - 0.055)
+                     1.055 * pow_pos(jnp.maximum(y, 0.0031308), 1.0 / 2.4) - 0.055)
 
 
 # ---------------------------------------------------------------------------
@@ -102,13 +110,13 @@ def srgb_oetf(y):
 def prophoto_eotf(x):
     x = jnp.asarray(x)
     return jnp.where(x < 0.03125, x / 16.0,
-                     jnp.power(jnp.maximum(x, 0.03125), 1.8))
+                     pow_pos(jnp.maximum(x, 0.03125), 1.8))
 
 
 def prophoto_oetf(y):
     y = jnp.asarray(y)
     return jnp.where(y < 0.001953125, y * 16.0,
-                     jnp.power(jnp.maximum(y, 0.001953125), 1.0 / 1.8))
+                     pow_pos(jnp.maximum(y, 0.001953125), 1.0 / 1.8))
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +130,7 @@ VLOG_D = 0.598206
 def vlog_eotf(x):
     x = jnp.asarray(x)
     lo = (x - 0.125) / 5.6
-    hi = jnp.power(10.0, (x - VLOG_D) / VLOG_C) - VLOG_B
+    hi = pow_pos(10.0, (x - VLOG_D) / VLOG_C) - VLOG_B
     return jnp.where(x < 0.181, lo, hi)
 
 
@@ -139,7 +147,7 @@ def vlog_oetf(y):
 
 def slog1_eotf(x):
     x = jnp.asarray(x)
-    return jnp.power(10.0, (x - 0.616596 - 0.03) / 0.432699) - 0.037584
+    return pow_pos(10.0, (x - 0.616596 - 0.03) / 0.432699) - 0.037584
 
 
 def slog1_oetf(y):
@@ -151,7 +159,7 @@ def slog1_oetf(y):
 def slog2_eotf(x):
     x = jnp.asarray(x)
     lo = (x - 0.030001222851889303) / 3.53881278538813
-    hi = 219.0 * (jnp.power(10.0, ((x - 0.616596 - 0.03) / 0.432699))
+    hi = 219.0 * (pow_pos(10.0, ((x - 0.616596 - 0.03) / 0.432699))
                   - 0.037584) / 155.0
     return jnp.where(x < 0.030001222851889303, lo, hi)
 
@@ -198,13 +206,13 @@ def linearize(x, trc: ColorTransfer):
         return srgb_eotf(x)
     if trc == ColorTransfer.BT_1886:
         # pure 2.4 power; black lift applied separately
-        return jnp.power(jnp.maximum(jnp.asarray(x), 0.0), 2.4)
+        return pow_pos(jnp.maximum(jnp.asarray(x), 0.0), 2.4)
     if trc in _PURE_GAMMA:
-        return jnp.power(jnp.maximum(jnp.asarray(x), 0.0), _PURE_GAMMA[trc])
+        return pow_pos(jnp.maximum(jnp.asarray(x), 0.0), _PURE_GAMMA[trc])
     if trc == ColorTransfer.PRO_PHOTO:
         return prophoto_eotf(x)
     if trc == ColorTransfer.ST428:
-        return _ST428_SCALE * jnp.power(jnp.maximum(jnp.asarray(x), 0.0), 2.6)
+        return _ST428_SCALE * pow_pos(jnp.maximum(jnp.asarray(x), 0.0), 2.6)
     if trc == ColorTransfer.PQ:
         return pq_eotf(x) * _PQ_SCALE
     if trc == ColorTransfer.HLG:
@@ -229,14 +237,14 @@ def delinearize(y, trc: ColorTransfer):
     if trc == ColorTransfer.SRGB:
         return srgb_oetf(y)
     if trc == ColorTransfer.BT_1886:
-        return jnp.power(jnp.maximum(jnp.asarray(y), 0.0), 1.0 / 2.4)
+        return pow_pos(jnp.maximum(jnp.asarray(y), 0.0), 1.0 / 2.4)
     if trc in _PURE_GAMMA:
-        return jnp.power(jnp.maximum(jnp.asarray(y), 0.0),
+        return pow_pos(jnp.maximum(jnp.asarray(y), 0.0),
                          1.0 / _PURE_GAMMA[trc])
     if trc == ColorTransfer.PRO_PHOTO:
         return prophoto_oetf(y)
     if trc == ColorTransfer.ST428:
-        return jnp.power(jnp.maximum(jnp.asarray(y), 0.0) / _ST428_SCALE,
+        return pow_pos(jnp.maximum(jnp.asarray(y), 0.0) / _ST428_SCALE,
                          1.0 / 2.6)
     if trc == ColorTransfer.PQ:
         return pq_oetf(jnp.asarray(y) / _PQ_SCALE)

@@ -57,13 +57,13 @@ _B2020_B = 0.0181
 def _bt2020_oetf(l):
     l = jnp.maximum(l, 0.0)
     return jnp.where(l < _B2020_B, 4.5 * l,
-                     _B2020_A * jnp.power(l, 0.45) - (_B2020_A - 1.0))
+                     _B2020_A * tf.pow_pos(l, 0.45) - (_B2020_A - 1.0))
 
 
 def _bt2020_eotf(e):
     e = jnp.maximum(e, 0.0)
     return jnp.where(e < 4.5 * _B2020_B, e / 4.5,
-                     jnp.power((e + _B2020_A - 1.0) / _B2020_A, 1.0 / 0.45))
+                     tf.pow_pos((e + _B2020_A - 1.0) / _B2020_A, 1.0 / 0.45))
 
 
 def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
@@ -83,8 +83,23 @@ def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
 # output layout (c in sublanes) suits the downstream per-channel
 # broadcasts, outweighing the extra layout copies it inserts.  The
 # unrolled/bcast forms win only in isolated micro-benches.
+import contextlib as _contextlib
 import os as _os
 _MAT_IMPL = _os.environ.get("LPTPU_MAT_IMPL", "einsum")
+
+
+@_contextlib.contextmanager
+def mat_impl(impl: str):
+    """Temporarily force a channel-mix lowering.  Used while tracing
+    Pallas kernel bodies: Mosaic has no einsum lowering for the tiny
+    (3, K) channel dots, but the unrolled FMA form fuses perfectly."""
+    global _MAT_IMPL
+    prev = _MAT_IMPL
+    _MAT_IMPL = impl
+    try:
+        yield
+    finally:
+        _MAT_IMPL = prev
 
 
 def mat_pointwise(img, mat, bias=None):
@@ -163,7 +178,7 @@ def decode_color(img, repr: ColorRepr,
         # ST 428 linearization then XYZ->RGB with the target primaries
         tr, _ = color_repr_decode(repr, prim, adjustment)
         img = apply_matrix(img, tr.mat.m, tr.c)
-        img = (52.37 / 48.0) * jnp.power(jnp.maximum(img, 0.0), 2.6)
+        img = (52.37 / 48.0) * tf.pow_pos(jnp.maximum(img, 0.0), 2.6)
         from ..core.colorspace import xyz_to_rgb_matrix
         rgb_m = xyz_to_rgb_matrix(primaries_get(prim)).m
         img = apply_matrix(img, rgb_m)
@@ -171,7 +186,7 @@ def decode_color(img, repr: ColorRepr,
         # until linearize; we return "linearized" flag separately — for
         # simplicity we re-encode with gamma 2.6 so downstream linearize
         # applies uniformly)
-        img = jnp.power(jnp.maximum(img / (52.37 / 48.0), 0.0), 1 / 2.6)
+        img = tf.pow_pos(jnp.maximum(img / (52.37 / 48.0), 0.0), 1 / 2.6)
         return img
 
     if sys in (ColorSystem.BT_2100_PQ, ColorSystem.BT_2100_HLG):
@@ -249,7 +264,7 @@ def _apply_gamma(img, adjustment):
         return img
     if adjustment.gamma == 0.0:
         return jnp.zeros_like(img)
-    return jnp.power(jnp.maximum(img, 0.0), 1.0 / adjustment.gamma)
+    return tf.pow_pos(jnp.maximum(img, 0.0), 1.0 / adjustment.gamma)
 
 
 def encode_color(img, repr: ColorRepr,
@@ -274,9 +289,9 @@ def encode_color(img, repr: ColorRepr,
         # inverse of the ST 428 decode: gamma-2.6 RGB -> linear ->
         # RGB->XYZ -> DCDM encode -> range compression
         from ..core.colorspace import rgb_to_xyz_matrix
-        lin = (52.37 / 48.0) * jnp.power(jnp.maximum(img, 0.0), 2.6)
+        lin = (52.37 / 48.0) * tf.pow_pos(jnp.maximum(img, 0.0), 2.6)
         xyz = apply_matrix(lin, rgb_to_xyz_matrix(primaries_get(prim)).m)
-        sig = jnp.power(jnp.maximum(xyz / (52.37 / 48.0), 0.0), 1 / 2.6)
+        sig = tf.pow_pos(jnp.maximum(xyz / (52.37 / 48.0), 0.0), 1 / 2.6)
         tr, _ = color_repr_decode(repr, prim)
         inv = tr.invert()
         return apply_matrix(sig, inv.mat.m, inv.c)
@@ -321,7 +336,7 @@ def linearize(img, csp: ColorSpace):
         lw = hi ** (1 / 2.4)
         a = (lw - lb) ** 2.4
         b = lb / (lw - lb)
-        return a * jnp.power(img + b, 2.4)
+        return a * tf.pow_pos(img + b, 2.4)
     if trc == ColorTransfer.PQ:
         return tf.pq_eotf_fast(img) * (10000.0 / COLOR_SDR_WHITE)
     if trc == ColorTransfer.HLG:
@@ -335,7 +350,7 @@ def linearize(img, csp: ColorSpace):
             csp.infer().primaries)).astype(np.float32))
         luma = (lw_[0] * scene[..., 0, :, :] + lw_[1] * scene[..., 1, :, :]
                 + lw_[2] * scene[..., 2, :, :])[..., None, :, :]
-        return hi * scene * jnp.power(jnp.maximum(luma, 0.0), y - 1)
+        return hi * scene * tf.pow_pos(jnp.maximum(luma, 0.0), y - 1)
     if trc == ColorTransfer.SCRGB:
         return img * _SCRGB_WHITE
 
@@ -368,7 +383,7 @@ def delinearize(img, csp: ColorSpace):
         lw = hi ** (1 / 2.4)
         a = (lw - lb) ** 2.4
         b = lb / (lw - lb)
-        return jnp.power(jnp.maximum(img, 0.0) / a, 1 / 2.4) - b
+        return tf.pow_pos(jnp.maximum(img, 0.0) / a, 1 / 2.4) - b
     if trc == ColorTransfer.PQ:
         return tf.pq_oetf_fast(img * (COLOR_SDR_WHITE / 10000.0))
     if trc == ColorTransfer.HLG:
@@ -379,7 +394,7 @@ def delinearize(img, csp: ColorSpace):
             csp.infer().primaries)).astype(np.float32))
         luma = (lw_[0] * disp[..., 0, :, :] + lw_[1] * disp[..., 1, :, :]
                 + lw_[2] * disp[..., 2, :, :])[..., None, :, :]
-        scene = 12.0 * disp * jnp.power(jnp.maximum(luma, 1e-6),
+        scene = 12.0 * disp * tf.pow_pos(jnp.maximum(luma, 1e-6),
                                         (1 - y) / y)
         e = tf.hlg_oetf(scene)
         return (e - b) / (1 - b)

@@ -9,9 +9,10 @@ back on the CPU for percentile + IIR smoothing.
 Here the whole thing stays on device: the histogram is a fused XLA
 comparison-reduction, the percentile interpolation runs on the 64-bin
 vector, and the IIR state (avg_pq, max_pq) is a carried jnp array —
-no host round trip, no frame delay (the reference needs
-`allow_delayed` to avoid a pipeline stall; we get the exact same-frame
-result for free because XLA schedules the reduction before its use).
+no host round trip.  Same-frame detection is the default (XLA schedules
+the reduction before its use — no stall); `allow_delayed` applies the
+previous frames' smoothed stats instead, which lets XLA fuse the
+histogram reduction into the color-map pass (one fewer 4K read).
 
 Histogram layout matches the reference exactly: PQ_BITS=14 fixed point,
 7-bit histogram biased by half the PQ range (SDR content clumps into
@@ -29,7 +30,8 @@ import numpy as np
 from ..core.colorspace import COLOR_HDR_BLACK, COLOR_SDR_WHITE
 from ..core.transfer import pq_oetf_fast as pq_oetf
 
-__all__ = ["PeakDetectParams", "peak_detect_state_init", "detect_peak"]
+__all__ = ["PeakDetectParams", "peak_detect_state_init", "detect_peak",
+           "applied_stats"]
 
 PQ_BITS = 14
 PQ_MAX = (1 << PQ_BITS) - 1
@@ -47,12 +49,18 @@ class PeakDetectParams:
     scene_threshold_high: float = 3.0    # % PQ
     percentile: float = 100.0
     black_cutoff: float = 1.0            # % PQ; ignore pixels below
-    allow_delayed: bool = False          # N/A: we detect in-frame
+    # Reference allow_delayed (colorspace.h:144-147): tone-map with the
+    # PREVIOUS frames' smoothed stats instead of stalling on this
+    # frame's histogram.  Here the win is fusion, not latency: the tone
+    # map no longer depends on the current reduction, so XLA folds the
+    # histogram into the color-map pass (one fewer 4K read).  First
+    # frame falls back to the static HDR-metadata curve.
+    allow_delayed: bool = False
 
     def key(self):
         return (self.smoothing_period, self.scene_threshold_low,
                 self.scene_threshold_high, self.percentile,
-                self.black_cutoff)
+                self.black_cutoff, self.allow_delayed)
 
 
 def peak_detect_state_init() -> jnp.ndarray:
@@ -63,6 +71,29 @@ def peak_detect_state_init() -> jnp.ndarray:
 def _smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
+
+
+def applied_stats(img_linear, state, params: PeakDetectParams,
+                  src_max_pq: float, axis_name=None, phase_geom=None):
+    """detect_peak + the allow_delayed policy: returns the (avg_pq,
+    max_pq) the tone map should APPLY this frame, plus the new state.
+
+    Default: this frame's smoothed stats (same-frame detection).  With
+    params.allow_delayed, the previous state is applied instead —
+    decoupling the tone map from the current reduction so XLA can fuse
+    the histogram into the color-map pass — falling back to the static
+    HDR metadata peak (`src_max_pq`) on the first frame (reference:
+    before the first readback the color map uses metadata defaults)."""
+    avg, mx, new_state = detect_peak(img_linear, state, params,
+                                     axis_name=axis_name,
+                                     phase_geom=phase_geom)
+    if not params.allow_delayed:
+        return avg, mx, new_state
+    prev_avg, prev_max = state[0], state[1]
+    unset = prev_max == 0.0
+    return (jnp.where(unset, 0.0, prev_avg),
+            jnp.where(unset, jnp.float32(src_max_pq), prev_max),
+            new_state)
 
 
 def detect_peak(img_linear, state, params: PeakDetectParams,

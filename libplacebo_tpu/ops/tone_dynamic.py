@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.tone_mapping import ToneMapConstants
+from ..core.transfer import pow_pos
 
 __all__ = ["tone_map_dynamic"]
 
@@ -78,7 +79,7 @@ def tone_map_dynamic(x, function: str,
         ratio = src_max / dst_max - 1.0
         ratio = jnp.clip(c.slope_tuning * ratio, c.slope_offset,
                          1.0 + c.slope_offset)
-        slope = jnp.power(slope, (1.0 - c.spline_contrast) * ratio)
+        slope = pow_pos(slope, (1.0 - c.spline_contrast) * ratio)
 
         in_min = src_min - src_pivot
         in_max = src_max - src_pivot
@@ -107,7 +108,7 @@ def tone_map_dynamic(x, function: str,
         ks = (1 + offset) * maxLum - offset
         bp = jnp.where(minLum > 0, jnp.minimum(1.0 / jnp.maximum(minLum, 1e-9), 4.0), 4.0)
         gain_inv = 1 + minLum / jnp.maximum(maxLum, 1e-9) * \
-            jnp.power(jnp.maximum(1 - maxLum, 0.0), bp)
+            pow_pos(jnp.maximum(1 - maxLum, 0.0), bp)
         gain = jnp.where(maxLum < 1, 1.0 / gain_inv, 1.0)
 
         xs = (jnp.clip(x, src_min, src_max) - src_min) / rng
@@ -119,7 +120,7 @@ def tone_map_dynamic(x, function: str,
         xs = jnp.where((ks < 1) & (xs >= ks), pb, xs)
         mask = xs < 1
         x_b = xs + minLum * jnp.where(
-            mask, jnp.power(jnp.maximum(1 - jnp.minimum(xs, 1.0), 0.0), bp),
+            mask, pow_pos(jnp.maximum(1 - jnp.minimum(xs, 1.0), 0.0), bp),
             0.0)
         x_b = jnp.where(mask, gain * (x_b - minLum) + minLum, x_b)
         xs = jnp.where(mask, x_b, xs)

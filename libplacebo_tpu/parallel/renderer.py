@@ -523,8 +523,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 img = linearize_src(img)
             peak_stats = None
             if use_peak:
-                avg_pq, max_pq, new_state = ops_peak.detect_peak(
-                    img, state, params.peak_detect, axis_name=axis)
+                from ..core.colorspace import HdrScaling, hdr_rescale
+                avg_pq, max_pq, new_state = ops_peak.applied_stats(
+                    img, state, params.peak_detect,
+                    hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                src_color.hdr.max_luma),
+                    axis_name=axis)
                 peak_stats = (avg_pq, max_pq)
             img = color_map_stage(img, src_color, dst_color, params,
                                   peak_stats,

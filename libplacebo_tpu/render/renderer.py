@@ -56,6 +56,7 @@ class RenderError(Exception):
 # silently re-renders without the offending feature).  Ordered from most
 # expendable to least; each entry is (flag, strip-fn).
 _DEGRADE_LADDER = (
+    ("fused_colormap", lambda p: replace(p, disable_fused_colormap=True)),
     ("error_diffusion", lambda p: replace(p, error_diffusion=None)),
     ("contrast_recovery", lambda p: replace(p, contrast_recovery=0.0)),
     ("film_grain", lambda p: replace(p, film_grain=False)),
@@ -171,9 +172,13 @@ class RenderParams:
     # disables
     skip_anti_aliasing: bool = False
     disable_linear_scaling: bool = False
+    # internal: set by the degradation ladder to force the plain-XLA
+    # color-map tail if the fused Pallas epilogue ever fails
+    disable_fused_colormap: bool = False
 
     def key(self):
         return (self.upscaler, self.downscaler, self.plane_upscaler,
+                self.disable_fused_colormap,
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
                 self.disable_dither_gamma_correction,
@@ -660,23 +665,35 @@ class Renderer:
             need_color_map = (src_color.primaries != dst_color.primaries or
                               src_color.transfer != dst_color.transfer)
             new_state = peak_state
+            fused_tail = None
             if need_color_map:
                 if not use_linear:
                     img = linearize_src(img)
                 peak_stats = None
                 if use_peak:
-                    avg_pq, max_pq, new_state = ops_peak.detect_peak(
+                    # src_color is infer()ed: hdr metadata is populated
+                    avg_pq, max_pq, new_state = ops_peak.applied_stats(
                         img, peak_state, params.peak_detect,
+                        hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                    src_color.hdr.max_luma),
                         phase_geom=phased)
                     peak_stats = (avg_pq, max_pq)
-                img = self._color_map(img, src_color, dst_color, params,
-                                      peak_stats)
-                if target.icc is not None:
-                    from ..ops import icc as ops_icc
-                    img = ops_icc.encode_profile(
-                        img, target.icc, primaries_get(dst_color.primaries))
+                fused_tail = self._fused_tail(
+                    params, src_color, dst_color, target, use_peak,
+                    phased, has_alpha, dst_w, dst_h, dst_crop)
+                if fused_tail is not None:
+                    # tone+gamut+delinearize+encode+dither in ONE pass
+                    img = fused_tail(img, peak_stats)
                 else:
-                    img = ops_color.delinearize(img, dst_color)
+                    img = self._color_map(img, src_color, dst_color,
+                                          params, peak_stats)
+                    if target.icc is not None:
+                        from ..ops import icc as ops_icc
+                        img = ops_icc.encode_profile(
+                            img, target.icc,
+                            primaries_get(dst_color.primaries))
+                    else:
+                        img = ops_color.delinearize(img, dst_color)
             elif use_linear:
                 if target.icc is not None:
                     from ..ops import icc as ops_icc
@@ -685,14 +702,18 @@ class Renderer:
                 else:
                     img = ops_color.delinearize(img, src_color)
 
-            # ---- pass_output_target
+            # ---- pass_output_target (already folded into the fused
+            # Pallas epilogue when fused_tail ran; its eligibility
+            # guarantees every skipped stage here is a no-op)
             img = run_hooks(params.hooks, HookStage.PRE_OUTPUT, img,
                             self._disabled_hooks, **hook_ctx)
-            if params.lut is not None and params.lut_type == "conversion":
+            if params.lut is not None and params.lut_type == "conversion" \
+                    and fused_tail is None:
                 from ..ops import lut as ops_lut
                 img = ops_lut.apply_lut(img, params.lut)
-            img = ops_color.encode_color(img, target.repr,
-                                         dst_color.primaries)
+            if fused_tail is None:
+                img = ops_color.encode_color(img, target.repr,
+                                             dst_color.primaries)
             img = run_hooks(params.hooks, HookStage.OUTPUT, img,
                             self._disabled_hooks, **hook_ctx)
             if has_alpha:
@@ -727,7 +748,7 @@ class Renderer:
                                       target.h, target.w)
                 img = bg + (img - bg) * mask
 
-            if target.bit_depth:
+            if target.bit_depth and fused_tail is None:
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
                     k = find_error_diffusion_kernel(params.error_diffusion)
@@ -814,6 +835,64 @@ class Renderer:
     def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
                    params: RenderParams, peak_stats=None):
         return color_map_stage(img, src, dst, params, peak_stats)
+
+    @staticmethod
+    def _fused_tail(params: RenderParams, src_color, dst_color,
+                    target: Target, use_peak, phased, has_alpha,
+                    dst_w, dst_h, dst_crop):
+        """Build the fused Pallas color epilogue — ONE kernel for
+        tone + gamut + delinearize + encode + dither (the pointwise tail
+        after the scaler), reading/writing each 4K tile exactly once
+        (ops.pallas.color_map; the analog of the reference composing
+        these stages into one fragment shader via sh_subpass).  Returns
+        None when the tail is interrupted by non-pointwise features —
+        the plain XLA stages run instead."""
+        import os
+        env = os.environ.get("LPTPU_FUSED_COLORMAP", "auto")
+        if env == "0" or params.disable_fused_colormap:
+            return None
+        from ..ops.pallas import color_map as pl_cm
+        if env != "1" and not pl_cm.supported_here():
+            return None
+        x0 = int(round(dst_crop.x0))
+        y0 = int(round(dst_crop.y0))
+        eligible = (
+            not params.hooks and not has_alpha and phased is None
+            and target.icc is None
+            and (params.lut is None or params.lut_type != "conversion")
+            and (dst_w, dst_h) == (target.w, target.h) and x0 == 0 == y0
+            and params.corner_rounding <= 0
+            and params.contrast_recovery == 0.0
+            and params.error_diffusion is None
+            and dst_w % 128 == 0)
+        if not eligible:
+            return None
+
+        dp = None
+        tables = ()
+        bit_depth = target.bit_depth
+        if bit_depth and params.dither is not None:
+            dp = replace(params.dither, transfer=dst_color.transfer) \
+                if params.dither.transfer == ColorTransfer.UNKNOWN \
+                else params.dither
+            if params.disable_dither_gamma_correction:
+                dp = replace(dp, transfer=ColorTransfer.LINEAR)
+            tables = (ops_dither._bias_matrix(dp, dst_h, dst_w),)
+
+        def tail_fn(x, scalars, tbs):
+            stats = (scalars[0], scalars[1]) if use_peak else None
+            y = color_map_stage(x, src_color, dst_color, params, stats)
+            y = ops_color.delinearize(y, dst_color)
+            y = ops_color.encode_color(y, target.repr, dst_color.primaries)
+            if tbs:
+                y = ops_dither.dither(y, bit_depth, dp, bias=tbs[0])
+            return y
+
+        def run(img, peak_stats):
+            scalars = tuple(peak_stats) if use_peak else ()
+            return pl_cm.fused_pointwise(img, tail_fn, scalars=scalars,
+                                         tables=tables)
+        return run
 
     # -- public API ----------------------------------------------------
 

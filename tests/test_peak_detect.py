@@ -174,3 +174,38 @@ def test_radix_percentile_matches_full_histogram():
             expect = pq_low + (pq_high - pq_low) * \
                 (target - cl) / max(ch - cl, 1.0)
             assert abs(float(mx) - expect) < 2e-6, (trial, pct)
+
+
+def test_allow_delayed_applies_previous_state():
+    """allow_delayed (reference colorspace.h:144-147): the tone map
+    receives the PREVIOUS smoothed stats; the state update itself is
+    identical to same-frame detection.  First frame falls back to the
+    static metadata peak."""
+    import jax.numpy as jnp
+    from libplacebo_tpu.ops.peak_detect import (PeakDetectParams,
+                                                applied_stats, detect_peak,
+                                                peak_detect_state_init)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((3, 32, 48)).astype(np.float32) * 3.0)
+    p = PeakDetectParams(percentile=99.5, allow_delayed=True)
+    state0 = peak_detect_state_init()
+    static_max = 0.75
+
+    avg1, max1, state1 = applied_stats(img, state0, p, static_max)
+    # unset state -> static fallback applied
+    assert float(avg1) == 0.0
+    assert abs(float(max1) - static_max) < 1e-7
+    # state updates exactly like same-frame detection
+    _, _, ref_state = detect_peak(img, state0, p)
+    np.testing.assert_allclose(np.asarray(state1), np.asarray(ref_state),
+                               atol=0)
+
+    img2 = img * 0.5
+    avg2, max2, state2 = applied_stats(img2, state1, p, static_max)
+    # second frame applies the first frame's smoothed stats verbatim
+    np.testing.assert_allclose([float(avg2), float(max2)],
+                               np.asarray(state1), atol=0)
+    # non-delayed applies the current frame's stats instead
+    p_now = PeakDetectParams(percentile=99.5, allow_delayed=False)
+    avg_n, max_n, _ = applied_stats(img2, state1, p_now, static_max)
+    assert float(max_n) != float(max2)

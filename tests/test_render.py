@@ -374,3 +374,58 @@ def test_render_color_adjustment():
     gray = np.asarray(Renderer()._render_once(frame, tgt, p2))
     np.testing.assert_allclose(gray[0], gray[1], atol=1e-3)
     np.testing.assert_allclose(gray[1], gray[2], atol=1e-3)
+
+
+def test_fused_colormap_matches_plain(monkeypatch):
+    """The fused Pallas color epilogue (ops.pallas.color_map, interpret
+    mode on CPU) produces the same frame as the plain XLA stages — same
+    stage closures, two lowerings.  Knife-edge dither pixels may flip by
+    exactly 1 LSB under float reassociation."""
+    from tests.test_parallel import _flagship_frames
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    frames = _flagship_frames(1, 64, 128, seed=3)
+    target = Target(w=256, h=128, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="ewa_lanczos")
+    monkeypatch.setenv("LPTPU_FUSED_COLORMAP", "1")
+    out_fused = np.asarray(Renderer()._render_once(frames[0], target, params))
+    monkeypatch.setenv("LPTPU_FUSED_COLORMAP", "0")
+    out_ref = np.asarray(Renderer()._render_once(frames[0], target, params))
+    diff = np.abs(out_fused - out_ref)
+    assert diff.max() <= 1 / 255 + 1e-6, diff.max()
+    assert (diff > 1e-6).mean() < 1e-3
+
+
+def test_fused_colormap_ineligible_paths(monkeypatch):
+    """Interrupted tails (ICC target, conversion LUT, alpha, sub-rect
+    composite) fall back to the plain stages — never silently skipped."""
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.renderer import RenderParams, Renderer, Target
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    monkeypatch.setenv("LPTPU_FUSED_COLORMAP", "1")
+    r = Renderer
+    dst_crop = RectF(0, 0, 256, 128)
+    base = dict(use_peak=False, phased=None, has_alpha=False,
+                dst_w=256, dst_h=128, dst_crop=dst_crop)
+    params = RenderParams()
+    target = Target(w=256, h=128, color=CSP_SRGB, bit_depth=8)
+    src = CSP_SRGB.infer()
+    dst = CSP_SRGB.infer(256, 128)
+    assert r._fused_tail(params, src, dst, target, **base) is not None
+    # alpha interrupts
+    assert r._fused_tail(params, src, dst, target,
+                         **{**base, "has_alpha": True}) is None
+    # sub-rect composite interrupts
+    assert r._fused_tail(params, src, dst, target,
+                         **{**base, "dst_w": 128,
+                            "dst_crop": RectF(0, 0, 128, 128)}) is None
+    # unaligned width
+    assert r._fused_tail(params, src, dst,
+                         Target(w=250, h=128, color=CSP_SRGB),
+                         **{**base, "dst_w": 250,
+                            "dst_crop": RectF(0, 0, 250, 128)}) is None
+    # degradation flag forces plain path
+    from dataclasses import replace
+    assert r._fused_tail(replace(params, disable_fused_colormap=True),
+                         src, dst, target, **base) is None

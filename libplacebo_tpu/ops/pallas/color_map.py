@@ -59,7 +59,8 @@ def _pick_block_rows(h: int, budget_rows: int = 8) -> int:
 
 def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
                     tables: Sequence = (), out_channels: Optional[int] = None,
-                    block_rows: int = 8, interpret: Optional[bool] = None):
+                    block_rows: int = 8, interpret: Optional[bool] = None,
+                    extra_out: Sequence[Tuple[int, ...]] = ()):
     """Apply `fn` to `img` as one fused Pallas pass.
 
     img      — (C, H, W) float32.
@@ -69,6 +70,12 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
     scalars  — traced scalar values, passed through SMEM.
     tables   — (H, W) arrays blocked alongside the image (dither bias).
     interpret— force interpreter mode (None = auto: interpret on CPU).
+    extra_out— per-block reduction outputs: for each shape (s...) given,
+               fn must return an extra (s...) array after the main
+               block, collected into a (grid, s...) output (the analog
+               of the reference's per-workgroup shmem partials,
+               colorspace.c:1240-1290).  With extras, fused_pointwise
+               returns (main, *extras).
 
     block_rows=8 (one f32 sublane tile) measures FASTEST at 4K on v5e:
     4.33 ms vs 5.56 (16 rows) / 6.57 (24 rows) / 6.06 for the plain XLA
@@ -86,20 +93,31 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
     if out_channels is None:
         out_shape = jax.eval_shape(
             lambda x: fn(x, tuple(scalars), tuple(tables)), img)
+        if isinstance(out_shape, (tuple, list)):
+            out_shape = out_shape[0]
         out_channels = out_shape.shape[-3]
 
     from .. import color as ops_color
+
+    n_ex = len(extra_out)
 
     def kernel(*refs):
         sc_refs = refs[:n_sc]
         img_ref = refs[n_sc]
         tb_refs = refs[n_sc + 1:n_sc + 1 + n_tb]
-        out_ref = refs[-1]
+        out_ref = refs[n_sc + 1 + n_tb]
+        ex_refs = refs[n_sc + 2 + n_tb:]
         x = img_ref[:]
         sc_vals = tuple(r[0, 0] for r in sc_refs)
         tb_vals = tuple(r[:] for r in tb_refs)
         with ops_color.mat_impl("unrolled"):
-            out_ref[:] = fn(x, sc_vals, tb_vals)
+            res = fn(x, sc_vals, tb_vals)
+        if n_ex:
+            out_ref[:] = res[0]
+            for r, e in zip(ex_refs, res[1:]):
+                r[:] = e.reshape(r.shape)
+        else:
+            out_ref[:] = res
 
     sc_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
@@ -108,16 +126,22 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
     img_spec = pl.BlockSpec((C, bh, W), lambda i: (0, i, 0))
     tb_spec = pl.BlockSpec((bh, W), lambda i: (i, 0))
     out_spec = pl.BlockSpec((out_channels, bh, W), lambda i: (0, i, 0))
+    ex_specs = [pl.BlockSpec((1,) + tuple(s),
+                             lambda i, _nd=len(s): (i,) + (0,) * _nd)
+                for s in extra_out]
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((out_channels, H, W), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((out_channels, H, W), jnp.float32)]
+        + [jax.ShapeDtypeStruct((grid[0],) + tuple(s), jnp.float32)
+           for s in extra_out],
         grid=grid,
         in_specs=[sc_spec] * n_sc + [img_spec] + [tb_spec] * n_tb,
-        out_specs=out_spec,
+        out_specs=[out_spec] + ex_specs,
         interpret=interpret,
     )
     sc_args = tuple(jnp.asarray(s, jnp.float32).reshape(1, 1)
                     for s in scalars)
     tb_args = tuple(jnp.asarray(t, jnp.float32) for t in tables)
-    return call(*sc_args, img.astype(jnp.float32), *tb_args)
+    outs = call(*sc_args, img.astype(jnp.float32), *tb_args)
+    return outs[0] if not n_ex else tuple(outs)

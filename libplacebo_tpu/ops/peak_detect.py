@@ -51,11 +51,17 @@ class PeakDetectParams:
     black_cutoff: float = 1.0            # % PQ; ignore pixels below
     # Reference allow_delayed (colorspace.h:144-147): tone-map with the
     # PREVIOUS frames' smoothed stats instead of stalling on this
-    # frame's histogram.  Here the win is fusion, not latency: the tone
-    # map no longer depends on the current reduction, so XLA folds the
-    # histogram into the color-map pass (one fewer 4K read).  First
-    # frame falls back to the static HDR-metadata curve.
-    allow_delayed: bool = False
+    # frame's histogram.  Default True — a deliberate TPU-native
+    # deviation from the reference default (false): it decouples the
+    # tone map from the current frame's reduction, letting the fused
+    # Pallas epilogue measure the histogram INSIDE the color-map kernel
+    # (no separate full-frame peak pass; 101.5 -> 112.9 fps at 4K), and
+    # the 1-frame lag is imperceptible under the 20-frame IIR smoothing
+    # the stats pass through anyway.  Set False for reference-default
+    # same-frame adaptation.  First frame falls back to the static
+    # HDR-metadata curve (like the reference before its first
+    # readback).
+    allow_delayed: bool = True
 
     def key(self):
         return (self.smoothing_period, self.scene_threshold_low,
@@ -89,11 +95,138 @@ def applied_stats(img_linear, state, params: PeakDetectParams,
                                      phase_geom=phase_geom)
     if not params.allow_delayed:
         return avg, mx, new_state
+    return delayed_stats(state, src_max_pq) + (new_state,)
+
+
+def delayed_stats(state, src_max_pq: float):
+    """The (avg_pq, max_pq) an allow_delayed frame applies: the previous
+    state, falling back to the static metadata peak when unset."""
     prev_avg, prev_max = state[0], state[1]
     unset = prev_max == 0.0
     return (jnp.where(unset, 0.0, prev_avg),
-            jnp.where(unset, jnp.float32(src_max_pq), prev_max),
-            new_state)
+            jnp.where(unset, jnp.float32(src_max_pq), prev_max))
+
+
+def _pixel_pq(img_linear, params: PeakDetectParams):
+    """Shared per-pixel stage: linear RGB -> (pq, active_mask, hist_bin).
+    Used by detect_peak and by the fused-kernel partials
+    (block_partials)."""
+    maxrgb = jnp.max(img_linear, axis=-3)
+    pq = pq_oetf(jnp.maximum(maxrgb, 0.0) * (COLOR_SDR_WHITE / 10000.0))
+    pq = jnp.clip(pq, 0.0, 1.0)
+    pq14 = jnp.round(pq * PQ_MAX).astype(jnp.int32)
+    active = pq > params.black_cutoff / 100.0
+    bins = jnp.clip((pq14 >> (PQ_BITS - HIST_BITS)) - HIST_BIAS,
+                    0, HIST_BINS - 1)
+    return pq, active, bins
+
+
+def _temporal_update(avg_cur, max_cur, wg_bias, state,
+                     params: PeakDetectParams):
+    """Shared IIR smoothing + scene-change cut (reference
+    update_peak_buf, colorspace.c:1122-1146)."""
+    prev_avg, prev_max = state[0], state[1]
+    unset = prev_avg == 0.0
+    eps = 1.0 / PQ_MAX
+    avg_in = jnp.where(jnp.abs(avg_cur - prev_avg) < eps, prev_avg, avg_cur)
+    max_in = jnp.where(jnp.abs(max_cur - prev_max) < eps, prev_max, max_cur)
+
+    if params.smoothing_period > 0:
+        coeff = 1.0 - np.exp(-1.0 / params.smoothing_period)
+    else:
+        coeff = 1.0
+    avg_s = prev_avg + coeff * (avg_in - prev_avg)
+    max_s = prev_max + coeff * (max_in - prev_max)
+
+    if params.scene_threshold_low > 0 and params.scene_threshold_high > 0:
+        log10_pq = 1e-2
+        t_lo = params.scene_threshold_low * log10_pq
+        t_hi = params.scene_threshold_high * log10_pq
+        delta = wg_bias * jnp.abs(avg_in - prev_avg)
+        mix = _smoothstep(t_lo, t_hi, delta)
+        avg_s = avg_s + (avg_in - avg_s) * mix
+        max_s = max_s + (max_in - max_s) * mix
+
+    avg_out = jnp.where(unset, avg_cur, avg_s)
+    max_out = jnp.where(unset, max_cur, max_s)
+    new_state = jnp.stack([avg_out, max_out]).astype(jnp.float32)
+    return avg_out, max_out, new_state
+
+
+PARTIAL_SHAPE = (8, 128)   # one f32 VMEM tile per block
+
+
+def block_partials(img_block, params: PeakDetectParams):
+    """Per-block peak partials for the fused Pallas epilogue
+    (ops.pallas.color_map): the block plays the reference's *workgroup*
+    role (colorspace.c:1240-1290) — here one row-stripe instead of a
+    16x16 tile; the mean-of-workgroup-means estimate differs only in
+    the partition shape.  The histogram is exact (per-pixel, no tiling).
+
+    Returns ONE (8, 128) f32 tile (Mosaic wants lane-tiled outputs):
+    row 0 lanes 0..63 = the 64-bin histogram; row 1 lanes 0..2 =
+    [pq_sum_active, active_count, pq_max]."""
+    pq, active, bins = _pixel_pq(img_block, params)
+    b = jnp.where(active, bins, -1)
+    hist = jnp.stack([jnp.sum((b == k).astype(jnp.float32))
+                      for k in range(HIST_BINS)])
+    row0 = jnp.concatenate([hist, jnp.zeros(128 - HIST_BINS, jnp.float32)])
+    row1 = jnp.concatenate([
+        jnp.stack([jnp.sum(jnp.where(active, pq, 0.0)),
+                   jnp.sum(active.astype(jnp.float32)),
+                   jnp.max(pq)]),
+        jnp.zeros(125, jnp.float32)])
+    return jnp.concatenate(
+        [row0[None], row1[None], jnp.zeros((6, 128), jnp.float32)])
+
+
+def finish_from_packed(packed, state, params: PeakDetectParams):
+    """finish_from_partials on (G, 8, 128) packed block_partials."""
+    return finish_from_partials(
+        packed[:, 0, :HIST_BINS],
+        jnp.concatenate([packed[:, 1, :3],
+                         jnp.ones((packed.shape[0], 1), jnp.float32),
+                         jnp.zeros((packed.shape[0], 4), jnp.float32)],
+                        axis=-1),
+        state, params)
+
+
+def finish_from_partials(hists, stats, state, params: PeakDetectParams):
+    """Combine per-block partials -> (avg_pq, max_pq, new_state); the
+    percentile interpolation is the exact 64-bin formulation of
+    measure_peak (colorspace.c:1020-1065)."""
+    hist = jnp.sum(hists, axis=0)
+    sums = jnp.sum(stats, axis=0)
+    blk_avg = stats[:, 0] / jnp.maximum(stats[:, 1], 1.0)
+    blk_active = stats[:, 1] > 0
+    wg_count = jnp.sum(blk_active)
+    frame_avg = jnp.sum(jnp.where(blk_active, blk_avg, 0.0)) / \
+        jnp.maximum(wg_count, 1)
+    frame_max = jnp.max(stats[:, 2])
+    wg_bias = wg_count / jnp.maximum(sums[3], 1.0)
+
+    use_hist = 0 < params.percentile < 100
+    if use_hist:
+        total = jnp.sum(hist)
+        target = jnp.ceil(params.percentile / 100.0 * total)
+        csum = jnp.cumsum(hist)
+        bin_idx = jnp.argmax(csum >= target).astype(jnp.int32)
+        cl = csum[bin_idx] - hist[bin_idx]
+        ch = cl + hist[bin_idx] + 1.0
+        pq_low = ((bin_idx + HIST_BIAS) << (PQ_BITS - HIST_BITS)) / PQ_MAX
+        pq_high0 = ((bin_idx + 1 + HIST_BIAS) <<
+                    (PQ_BITS - HIST_BITS)) / PQ_MAX
+        pq_high = jnp.where(ch > total, frame_max, pq_high0)
+        ratio = (target - cl) / jnp.maximum(ch - cl, 1.0)
+        measured = pq_low + (pq_high - pq_low) * ratio
+        max_cur = jnp.where(total > 0, measured, frame_max)
+    else:
+        max_cur = frame_max
+
+    has_content = wg_count > 0
+    avg_cur = jnp.where(has_content, frame_avg, COLOR_HDR_BLACK)
+    max_cur = jnp.where(has_content, max_cur, COLOR_HDR_BLACK)
+    return _temporal_update(avg_cur, max_cur, wg_bias, state, params)
 
 
 def detect_peak(img_linear, state, params: PeakDetectParams,
@@ -122,13 +255,7 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
 
     # maxRGB -> relative PQ (reference: PQ of the max component, clamped
     # to the valid signal range — scaler ringing can overshoot)
-    maxrgb = jnp.max(img_linear, axis=-3)
-    pq = pq_oetf(jnp.maximum(maxrgb, 0.0) * (COLOR_SDR_WHITE / 10000.0))
-    pq = jnp.clip(pq, 0.0, 1.0)
-    pq14 = jnp.round(pq * PQ_MAX).astype(jnp.int32)
-
-    cutoff = params.black_cutoff / 100.0
-    active_mask = pq > cutoff
+    pq, active_mask, bins = _pixel_pq(img_linear, params)
 
     # --- per-workgroup (16x16 tile) average, like the reference's
     # shmem-reduced wg averages (colorspace.c:1240-1290)
@@ -185,8 +312,6 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
         # that group only.  (A gather/scatter histogram is pathological
         # on TPU; this is the comparison-reduce equivalent of the
         # reference's shmem+atomics pass, colorspace.c:1155-1313.)
-        bins = jnp.clip((pq14 >> (PQ_BITS - HIST_BITS)) - HIST_BIAS,
-                        0, HIST_BINS - 1)
         b = jnp.where(active_mask, bins, -1)     # inactive match nothing
         hi = b >> 3                              # -1 stays -1
         lo = b & 7
@@ -226,29 +351,4 @@ def detect_peak(img_linear, state, params: PeakDetectParams,
     max_cur = jnp.where(has_content, max_cur, COLOR_HDR_BLACK)
 
     # --- temporal smoothing (reference update_peak_buf:1122-1146)
-    prev_avg, prev_max = state[0], state[1]
-    unset = prev_avg == 0.0
-    eps = 1.0 / PQ_MAX
-    avg_in = jnp.where(jnp.abs(avg_cur - prev_avg) < eps, prev_avg, avg_cur)
-    max_in = jnp.where(jnp.abs(max_cur - prev_max) < eps, prev_max, max_cur)
-
-    if params.smoothing_period > 0:
-        coeff = 1.0 - np.exp(-1.0 / params.smoothing_period)
-    else:
-        coeff = 1.0
-    avg_s = prev_avg + coeff * (avg_in - prev_avg)
-    max_s = prev_max + coeff * (max_in - prev_max)
-
-    if params.scene_threshold_low > 0 and params.scene_threshold_high > 0:
-        log10_pq = 1e-2
-        t_lo = params.scene_threshold_low * log10_pq
-        t_hi = params.scene_threshold_high * log10_pq
-        delta = wg_bias * jnp.abs(avg_in - prev_avg)
-        mix = _smoothstep(t_lo, t_hi, delta)
-        avg_s = avg_s + (avg_in - avg_s) * mix
-        max_s = max_s + (max_in - max_s) * mix
-
-    avg_out = jnp.where(unset, avg_cur, avg_s)
-    max_out = jnp.where(unset, max_cur, max_s)
-    new_state = jnp.stack([avg_out, max_out]).astype(jnp.float32)
-    return avg_out, max_out, new_state
+    return _temporal_update(avg_cur, max_cur, wg_bias, state, params)

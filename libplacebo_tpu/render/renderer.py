@@ -669,21 +669,34 @@ class Renderer:
             if need_color_map:
                 if not use_linear:
                     img = linearize_src(img)
-                peak_stats = None
-                if use_peak:
-                    # src_color is infer()ed: hdr metadata is populated
-                    avg_pq, max_pq, new_state = ops_peak.applied_stats(
-                        img, peak_state, params.peak_detect,
-                        hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                    src_color.hdr.max_luma),
-                        phase_geom=phased)
-                    peak_stats = (avg_pq, max_pq)
                 fused_tail = self._fused_tail(
                     params, src_color, dst_color, target, use_peak,
                     phased, has_alpha, dst_w, dst_h, dst_crop)
+                fused_peak = fused_tail is not None and fused_tail.fused_peak
+                peak_stats = None
+                if use_peak:
+                    # src_color is infer()ed: hdr metadata is populated
+                    src_max_pq = hdr_rescale(HdrScaling.NITS,
+                                             HdrScaling.PQ,
+                                             src_color.hdr.max_luma)
+                    if fused_peak:
+                        # measurement happens inside the fused kernel;
+                        # apply the previous frames' smoothed stats
+                        peak_stats = ops_peak.delayed_stats(
+                            peak_state, src_max_pq)
+                    else:
+                        avg_pq, max_pq, new_state = ops_peak.applied_stats(
+                            img, peak_state, params.peak_detect,
+                            src_max_pq, phase_geom=phased)
+                        peak_stats = (avg_pq, max_pq)
                 if fused_tail is not None:
                     # tone+gamut+delinearize+encode+dither in ONE pass
-                    img = fused_tail(img, peak_stats)
+                    if fused_peak:
+                        img, packed = fused_tail(img, peak_stats)
+                        _, _, new_state = ops_peak.finish_from_packed(
+                            packed, peak_state, params.peak_detect)
+                    else:
+                        img = fused_tail(img, peak_stats)
                 else:
                     img = self._color_map(img, src_color, dst_color,
                                           params, peak_stats)
@@ -879,6 +892,13 @@ class Renderer:
                 dp = replace(dp, transfer=ColorTransfer.LINEAR)
             tables = (ops_dither._bias_matrix(dp, dst_h, dst_w),)
 
+        # with allow_delayed the tone map uses the previous frames'
+        # stats, so the peak partials can be computed INSIDE this very
+        # kernel (per-block histogram + stripe stats, the reference's
+        # per-workgroup shmem partials) — the separate full-frame peak
+        # pass disappears entirely
+        fused_peak = bool(use_peak and params.peak_detect.allow_delayed)
+
         def tail_fn(x, scalars, tbs):
             stats = (scalars[0], scalars[1]) if use_peak else None
             y = color_map_stage(x, src_color, dst_color, params, stats)
@@ -886,12 +906,19 @@ class Renderer:
             y = ops_color.encode_color(y, target.repr, dst_color.primaries)
             if tbs:
                 y = ops_dither.dither(y, bit_depth, dp, bias=tbs[0])
+            if fused_peak:
+                return y, ops_peak.block_partials(x, params.peak_detect)
             return y
 
         def run(img, peak_stats):
             scalars = tuple(peak_stats) if use_peak else ()
+            if fused_peak:
+                return pl_cm.fused_pointwise(
+                    img, tail_fn, scalars=scalars, tables=tables,
+                    extra_out=(ops_peak.PARTIAL_SHAPE,))
             return pl_cm.fused_pointwise(img, tail_fn, scalars=scalars,
                                          tables=tables)
+        run.fused_peak = fused_peak
         return run
 
     # -- public API ----------------------------------------------------

@@ -56,9 +56,18 @@ def white_noise(size: int, seed: int = 0) -> np.ndarray:
 def blue_noise(shift: int) -> np.ndarray:
     """(2^shift)x(2^shift) blue-noise matrix in [0,1) via the
     void-and-cluster method (reference pl_generate_blue_noise,
-    dither.c:175, after Ulichney).  Implemented with FFT-based gaussian
-    filtering for speed; produces a full rank ordering like the reference.
+    dither.c:175, after Ulichney).
+
+    The native incremental-energy implementation (native/dither.cc,
+    ~1000x this Python fallback, which re-runs an FFT per insertion)
+    handles large matrices (shift 8 = 256x256 in ~2 s vs minutes); both
+    produce a full rank ordering with the same spectral structure,
+    though not bit-identical orderings (different deterministic seeds).
     """
+    from ..native import blue_noise_native
+    nat = blue_noise_native(shift)
+    if nat is not None:
+        return nat
     size = 1 << shift
     n = size * size
     sigma = 1.5

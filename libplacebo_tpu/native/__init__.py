@@ -21,11 +21,12 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["get_lib", "available", "grain_y_native", "grain_uv_native",
-           "grain_offsets_native"]
+           "grain_offsets_native", "blue_noise_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_HERE, f"_plnative_{sys.implementation.cache_tag}.so")
-_SRC = os.path.join(_HERE, "grain.cc")
+_SRCS = [os.path.join(_HERE, "grain.cc"),
+         os.path.join(_HERE, "dither.cc")]
 
 _lib = None
 _tried = False
@@ -35,7 +36,7 @@ _lock = threading.Lock()
 def _build() -> Optional[str]:
     cxx = os.environ.get("CXX", "g++")
     cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO_PATH, _SRC]
+           "-o", _SO_PATH] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO_PATH
@@ -51,7 +52,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _SO_PATH if os.path.exists(_SO_PATH) else _build()
+        fresh = os.path.exists(_SO_PATH) and all(
+            os.path.getmtime(_SO_PATH) >= os.path.getmtime(s)
+            for s in _SRCS if os.path.exists(s))
+        path = _SO_PATH if fresh else _build()
         if path is None:
             return None
         try:
@@ -71,6 +75,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int, c.c_int, i32p, c.c_int, i16p, f32p]
         lib.pl_av1_grain_offsets.argtypes = [
             c.c_uint32, c.c_int, c.c_int, u32p]
+        if hasattr(lib, "pl_blue_noise"):
+            lib.pl_blue_noise.argtypes = [c.c_int, f32p]
         _lib = lib
         return _lib
 
@@ -124,4 +130,15 @@ def grain_offsets_native(seed: int, blocks_w: int, blocks_h: int):
         return None
     out = np.zeros((blocks_h, blocks_w), np.uint32)
     lib.pl_av1_grain_offsets(seed & 0xFFFF, blocks_w, blocks_h, out)
+    return out
+
+
+def blue_noise_native(shift: int) -> Optional[np.ndarray]:
+    """Void-and-cluster blue noise (dither.cc); None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pl_blue_noise"):
+        return None
+    size = 1 << shift
+    out = np.zeros((size, size), np.float32)
+    lib.pl_blue_noise(shift, out)
     return out

@@ -61,3 +61,25 @@ def test_find_kernel():
     assert fs is dth.ED_FLOYD_STEINBERG
     assert fs.divisor == 16
     assert dth.find_error_diffusion_kernel("nope") is None
+
+
+def test_blue_noise_native_matches_contract():
+    """native/dither.cc blue noise: full rank ordering + blue spectrum
+    (low-frequency energy suppressed), same contract as the Python
+    fallback (reference pl_generate_blue_noise, dither.c:175)."""
+    from libplacebo_tpu.native import blue_noise_native
+    bn = blue_noise_native(5)
+    if bn is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    n = bn.size
+    vals = np.sort(bn.ravel())
+    np.testing.assert_allclose(vals, (np.arange(n) + 0.5) / n, atol=1e-7)
+    size = 32
+    F = np.abs(np.fft.fft2(bn - bn.mean())) ** 2
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    r = np.sqrt(np.minimum(yy, size - yy) ** 2 +
+                np.minimum(xx, size - xx) ** 2)
+    low = F[(r > 0) & (r < size / 8)].mean()
+    high = F[r >= size / 4].mean()
+    assert low < 0.1 * high, (low, high)

@@ -358,6 +358,65 @@ def primaries_superset(a: RawPrimaries, b: RawPrimaries) -> bool:
     return bool(np.all(m @ np.eye(3) > -1e-6))
 
 
+def _test_point_line(p: CIExy, a: CIExy, b: CIExy) -> float:
+    """Sign of p relative to line ab (reference test_point_line,
+    colorspace.c:1571)."""
+    return (p.x - b.x) * (a.y - b.y) - (a.x - b.x) * (p.y - b.y)
+
+
+def primaries_compatible(a: RawPrimaries, b: RawPrimaries) -> bool:
+    """True when the gamuts' primaries correspond R<->R, G<->G, B<->B —
+    i.e. each of a's primaries is closest to the same-named primary of b
+    (reference pl_primaries_compatible, colorspace.c:1615)."""
+    def d2(p: CIExy, q: CIExy) -> float:
+        return (p.x - q.x) ** 2 + (p.y - q.y) ** 2
+    return (d2(a.red, b.red) < d2(a.red, b.green)
+            and d2(a.red, b.red) < d2(a.red, b.blue)
+            and d2(a.green, b.green) < d2(a.green, b.red)
+            and d2(a.green, b.green) < d2(a.green, b.blue)
+            and d2(a.blue, b.blue) < d2(a.blue, b.red)
+            and d2(a.blue, b.blue) < d2(a.blue, b.green))
+
+
+def _line_intersection(a: CIExy, b: CIExy, c: CIExy, d: CIExy) -> CIExy:
+    det = (a.x - b.x) * (c.y - d.y) - (a.y - b.y) * (c.x - d.x)
+    if det == 0:
+        return CIExy(0.0, 0.0)
+    t = ((a.x - c.x) * (c.y - d.y) - (a.y - c.y) * (c.x - d.x)) / det
+    return CIExy(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y))
+
+
+def _clip_point(x: CIExy, y: CIExy, z: CIExy,
+                a: CIExy, b: CIExy, c: CIExy) -> CIExy:
+    """Clip target vertex b against source triangle edge fan x-y-z
+    (reference clip_point, colorspace.c:1641): x,y,z / a,b,c clockwise."""
+    d1 = _test_point_line(y, a, b)
+    d2 = _test_point_line(y, b, c)
+    if d1 <= 0.0 and d2 <= 0.0:
+        return y                    # already inside the target triangle
+    if d1 > 0.0 and d2 > 0.0:
+        return b                    # target vertex fully enclosed
+    if d1 > 0.0:
+        return _line_intersection(a, b, y, z)
+    return _line_intersection(x, y, b, c)
+
+
+def primaries_clip(src: RawPrimaries, dst: RawPrimaries) -> RawPrimaries:
+    """Intersection-ish clip of gamut `src` against `dst` (reference
+    pl_primaries_clip, colorspace.c:1658): each src primary is clipped
+    against the corresponding pair of dst edges, keeping src's white.
+    Used to stop bidirectional gamut maps from expanding into a wider
+    display gamut unless gamut_expansion is requested."""
+    return RawPrimaries(
+        red=_clip_point(src.green, src.red, src.blue,
+                        dst.green, dst.red, dst.blue),
+        green=_clip_point(src.blue, src.green, src.red,
+                          dst.blue, dst.green, dst.red),
+        blue=_clip_point(src.red, src.blue, src.green,
+                         dst.red, dst.blue, dst.green),
+        white=src.white)
+
+
 def luma_coeffs(prim: RawPrimaries) -> np.ndarray:
     """Luminance weights (Y row of RGB->XYZ) for a gamut — used for
     constant-luminance systems & luma computations."""

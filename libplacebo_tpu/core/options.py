@@ -289,6 +289,11 @@ def _build_table() -> List[_Opt]:
         const_opt("exposure", "tone_constants", "exposure", 0.0, 10.0),
         field_opt("contrast_recovery", "float", "contrast_recovery",
                   0.0, 2.0),
+        field_opt("contrast_smoothness", "float", "contrast_smoothness",
+                  1.0, 32.0),
+        field_opt("inverse_tone_mapping", "bool", "inverse_tone_mapping"),
+        field_opt("gamut_expansion", "bool", "gamut_expansion"),
+        field_opt("show_clipping", "bool", "show_clipping"),
 
         # ---- dithering (options.c:1018-1028)
         feature_toggle("dither", "dither", DitherParams),
@@ -338,6 +343,17 @@ def _build_table() -> List[_Opt]:
                   choices=("native", "normalized", "conversion")),
         field_opt("background", "enum", "background",
                   choices=("color", "tiles")),
+        # border=None follows `background`; the option reads as unset
+        # until explicitly given (so save() stays minimal)
+        _Opt("border", "enum",
+             lambda p: p.border,
+             lambda p, v: replace(p, border=v),
+             choices=("color", "tiles", "skip", "blur")),
+        field_opt("blur_radius", "float", "blur_radius", 0.0, 1000.0),
+        field_opt("background_transparency", "float",
+                  "background_transparency", 0.0, 1.0),
+        field_opt("skip_target_clearing", "bool", "skip_target_clearing"),
+        field_opt("force_dither", "bool", "force_dither"),
         tuple_elem_opt("background_r", "background_color", 0),
         tuple_elem_opt("background_g", "background_color", 1),
         tuple_elem_opt("background_b", "background_color", 2),

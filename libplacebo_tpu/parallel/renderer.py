@@ -183,8 +183,11 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     # XLA inserts the collectives — including the all-to-all a 90/270
     # rotation's transpose of the sharded row axis needs, and whatever
     # halos each user hook's stencil implies)
+    border_mode = "skip" if params.skip_target_clearing else \
+        (params.border or params.background)
     if params.hooks or rotation % 4 in (1, 3) or \
-            params.error_diffusion is not None:
+            params.error_diffusion is not None or \
+            border_mode in ("blur", "skip"):
         return _build_gspmd_step(
             mesh, plane_metas, frame_repr, frame_color, target, params,
             crop, frame_grain, field, first_field, frame_icc,
@@ -346,10 +349,13 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     # ---- contrast-recovery plan: the low-pass feature map's 4x bilinear
     # down + bicubic up need their own halos (reference renderer.c:2089)
     recovery_impl = None
-    if params.contrast_recovery > 0 and need_color_map:
-        _check(dst_l % 4 == 0,
-               f"contrast recovery: local rows {dst_l} % 4 != 0")
-        lh, lw = max(1, dst_h // 4), max(1, dst_w // 4)
+    if params.contrast_recovery > 0 and need_color_map \
+            and params.contrast_smoothness > 1:
+        lh = max(1, int(math.ceil(dst_h / params.contrast_smoothness)))
+        lw = max(1, int(math.ceil(dst_w / params.contrast_smoothness)))
+        _check(lh % n_sp == 0,
+               f"contrast recovery: feature rows {lh} % {n_sp} != 0 "
+               "(pick a contrast_smoothness dividing the row count)")
         lh_l = lh // n_sp
         cfg_bil = _find_scaler("bilinear")
         cfg_bic = _find_scaler("bicubic")
@@ -377,8 +383,9 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     # (with an outer composite stage the dither runs there instead,
     # over the full target like the single-chip path)
     bias_np = None
-    if target.bit_depth and params.dither is not None \
-            and not needs_outer:
+    dither_on = target.bit_depth and params.dither is not None and \
+        (target.bit_depth < 16 or params.force_dither)
+    if dither_on and not needs_outer:
         dp = replace(params.dither, transfer=dst_color.transfer) \
             if params.dither.transfer == ColorTransfer.UNKNOWN \
             else params.dither
@@ -658,7 +665,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 np.clip(r_px + 0.5 - d, 0.0, 1.0).astype(np.float32))
             bg = jnp.asarray(Renderer._background(params, C_out, th, tw))
             comp = bg + (comp - bg) * mask
-        if target.bit_depth and params.dither is not None:
+        if dither_on:
             dp2 = replace(params.dither, transfer=dst_color.transfer) \
                 if params.dither.transfer == ColorTransfer.UNKNOWN \
                 else params.dither

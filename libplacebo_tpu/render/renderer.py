@@ -149,8 +149,21 @@ class RenderParams:
     film_grain: bool = True      # honor frame-attached grain data
     deinterlace: Optional[object] = None  # ops.deinterlace.DeinterlaceParams
     # HDR contrast recovery strength (reference pl_color_map_params
-    # .contrast_recovery; 0 = off)
+    # .contrast_recovery; 0 = off) and feature-map downscale ratio
+    # (.contrast_smoothness, renderer.c:2112)
     contrast_recovery: float = 0.0
+    contrast_smoothness: float = 3.5
+    # SDR->HDR inverse tone mapping (reference pl_color_map_params
+    # .inverse_tone_mapping): allow the tone curve to EXCEED the source
+    # peak when the display is brighter
+    inverse_tone_mapping: bool = False
+    # allow bidirectional gamut maps to expand into a wider display
+    # gamut (reference .gamut_expansion; default clips the output gamut
+    # to the source via pl_primaries_clip, colorspace.c:1709)
+    gamut_expansion: bool = False
+    # debug: highlight pixels outside the representable range (reference
+    # .show_clipping, colorspace.c:1805-2010)
+    show_clipping: bool = False
     # color-blindness simulation/adaptation (reference
     # pl_render_params.cone_params; core.colorspace.ConeParams)
     cone: Optional[object] = None
@@ -158,11 +171,22 @@ class RenderParams:
     # core.colorspace.ColorAdjustment), folded into the decode matrix
     color_adjustment: Optional[object] = None
     # border fill when the image doesn't cover the target (reference
-    # pl_render_params.background/border: clear_target renderer.c:2491)
+    # pl_render_params.background/border: clear_target renderer.c:2491).
+    # border modes: color | tiles | skip (transparent black — no
+    # preexisting target contents exist here) | blur (blurred copy of
+    # the image stretched to cover, reference PL_CLEAR_BLUR +
+    # pass_blur renderer.c:2345)
     background: str = "color"            # color | tiles
+    border: Optional[str] = None         # None -> same as background
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    background_transparency: float = 0.0
     tile_colors: Tuple = ((0.93, 0.93, 0.93), (0.87, 0.87, 0.87))
     tile_size: int = 32
+    blur_radius: float = 16.0            # border="blur" strength (px)
+    skip_target_clearing: bool = False   # legacy alias for border="skip"
+    # dither even for >=16-bit outputs (reference renderer.c:2888:
+    # depth < 16 || force_dither)
+    force_dither: bool = False
     # rounded-corner mask strength, 0..1 of min(w,h)/2 (reference
     # pl_render_params.corner_rounding, renderer.c:2615)
     corner_rounding: float = 0.0
@@ -191,9 +215,13 @@ class RenderParams:
                 self.deband.key() if self.deband else None,
                 self.film_grain,
                 self.deinterlace.key() if self.deinterlace else None,
-                self.contrast_recovery, self.cone,
-                self.color_adjustment, self.background,
-                self.background_color, self.tile_colors, self.tile_size,
+                self.contrast_recovery, self.contrast_smoothness,
+                self.inverse_tone_mapping, self.gamut_expansion,
+                self.show_clipping, self.cone,
+                self.color_adjustment, self.background, self.border,
+                self.background_color, self.background_transparency,
+                self.tile_colors, self.tile_size, self.blur_radius,
+                self.skip_target_clearing, self.force_dither,
                 tuple(h.signature for h in self.hooks),
                 self.lut.signature if self.lut is not None else None,
                 self.lut_type)
@@ -241,6 +269,13 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
     src_peak = src.nominal_peak_norm()
     dst_peak = dst.nominal_peak_norm()
     need_tone = peak_stats is not None or src_peak > dst_peak + 1e-3
+    # SDR->HDR expansion (reference inverse_tone_mapping,
+    # colorspace.c:1674-1678: output may exceed the source peak only
+    # when requested; the curve's map_inverse handles the stretch)
+    inverse_tone = (params.inverse_tone_mapping
+                    and dst_peak > src_peak + 1e-3
+                    and peak_stats is None)
+    need_tone = need_tone or inverse_tone
 
     src_inf = src.infer()
     dst_inf = dst.infer()
@@ -266,10 +301,19 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
             return img
 
     if need_gamut and params.gamut_mapping not in ("clip", "saturation"):
-        b_src = ops_gamut.fit_boundary(primaries_get(src.primaries),
-                                       dst_min_pq, dst_max_pq)
-        b_dst = ops_gamut.fit_boundary(primaries_get(dst.primaries),
-                                       dst_min_pq, dst_max_pq)
+        from ..core.colorspace import primaries_clip, primaries_compatible
+        dst_prim = primaries_get(dst.primaries)
+        src_prim = primaries_get(src.primaries)
+        # bidirectional operators (perceptual/saturation) would expand
+        # colors into a wider display gamut; unless gamut_expansion is
+        # requested, clip the output gamut to the source first
+        # (reference colorspace.c:1709 + pl_primaries_clip)
+        if (not params.gamut_expansion
+                and params.gamut_mapping in ("perceptual",)
+                and primaries_compatible(dst_prim, src_prim)):
+            dst_prim = primaries_clip(dst_prim, src_prim)
+        b_src = ops_gamut.fit_boundary(src_prim, dst_min_pq, dst_max_pq)
+        b_dst = ops_gamut.fit_boundary(dst_prim, dst_min_pq, dst_max_pq)
         gamut_fn = params.gamut_mapping
     else:
         b_src = ops_gamut.ipt_space(primaries_get(src.primaries),
@@ -307,23 +351,39 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
         # tone_recovery_impl: override for the low-pass feature-map
         # resizes (the sharded renderer substitutes a halo-exchanging
         # variant with identical weights, parallel/renderer.py)
-        recov = tone_recovery_impl or tone_with_recovery
-        tone_fn = lambda x: recov(x, base, cr, dst_min_pq, dst_max_pq)
+        if tone_recovery_impl is not None:
+            recov = tone_recovery_impl
+            tone_fn = lambda x: recov(x, base, cr, dst_min_pq, dst_max_pq)
+        else:
+            tone_fn = lambda x: tone_with_recovery(
+                x, base, cr, dst_min_pq, dst_max_pq,
+                smoothness=params.contrast_smoothness)
 
+    show_bounds = None
+    if params.show_clipping:
+        show_bounds = (
+            hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                        src_inf.hdr.min_luma),
+            hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                        src_inf.hdr.max_luma))
     return ops_gamut.color_map_ipt(img, tone_fn, gamut_fn, b_src, b_dst,
                                    to_norm=COLOR_SDR_WHITE / 10000.0,
-                                   constants=params.gamut_constants)
+                                   constants=params.gamut_constants,
+                                   show_clip_bounds=show_bounds)
 
 
 def tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
-                       out_min: float, out_max: float):
+                       out_min: float, out_max: float,
+                       smoothness: float = 3.5):
     """HDR contrast recovery (reference shaders/colorspace.c:1880-1920):
     tone map a low-passed feature map and re-inject the high-frequency
-    detail, mixing by `cr` strength."""
-    if cr <= 0:
+    detail, mixing by `cr` strength.  `smoothness` is the feature-map
+    downscale ratio (reference contrast_smoothness, renderer.c:2112)."""
+    if cr <= 0 or smoothness <= 1:
         return tone_fn(maxrgb_pq)
     H, W = maxrgb_pq.shape[-2], maxrgb_pq.shape[-1]
-    lh, lw = max(1, H // 4), max(1, W // 4)
+    lh = max(1, int(math.ceil(H / smoothness)))
+    lw = max(1, int(math.ceil(W / smoothness)))
     low = ops_sampling.sample_bilinear(maxrgb_pq, lh, lw)
     cfg = flt.find_filter_config("bicubic")
     lowres = ops_sampling.resize_separable(low, H, W, cfg)
@@ -741,8 +801,21 @@ class Renderer:
             x0 = int(round(dst_crop.x0))
             y0 = int(round(dst_crop.y0))
             if (dst_w, dst_h) != (target.w, target.h) or x0 or y0:
-                canvas = self._background(params, img.shape[-3],
-                                          target.h, target.w)
+                border = "skip" if params.skip_target_clearing else \
+                    (params.border or params.background)
+                if border == "blur":
+                    canvas = self._blur_border(params, img, target.h,
+                                               target.w)
+                elif border == "skip":
+                    # no preexisting target contents exist here: skip =
+                    # transparent black (reference PL_CLEAR_SKIP leaves
+                    # the target untouched)
+                    canvas = jnp.zeros(img.shape[:-2] +
+                                       (target.h, target.w), img.dtype)
+                else:
+                    canvas = self._background(params, img.shape[-3],
+                                              target.h, target.w,
+                                              mode=border)
                 img = jax.lax.dynamic_update_slice(
                     canvas, img, (0,) * (img.ndim - 3) + (0, y0, x0))
 
@@ -761,7 +834,10 @@ class Renderer:
                                       target.h, target.w)
                 img = bg + (img - bg) * mask
 
-            if target.bit_depth and fused_tail is None:
+            # reference renderer.c:2888: dither when depth < 16 (or
+            # forced); 16-bit outputs have enough levels on their own
+            if target.bit_depth and fused_tail is None and \
+                    (target.bit_depth < 16 or params.force_dither):
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
                     k = find_error_diffusion_kernel(params.error_diffusion)
@@ -798,9 +874,42 @@ class Renderer:
         return pipeline
 
     @staticmethod
-    def _background(params: RenderParams, comps: int, h: int, w: int):
+    def _blur_border(params: RenderParams, img, th: int, tw: int):
+        """border="blur": a blurred copy of the image stretched to cover
+        the target (reference PL_CLEAR_BLUR, pass_blur renderer.c:2345:
+        a dual-filter pyramid; here an iterative half-resolution bilinear
+        pyramid with the same pass count, then one cover-resize)."""
+        import math as _math
+        radius = max(params.blur_radius, 1e-3)
+        a_max = 1.8
+        passes = int(_math.ceil(
+            _math.log(1.0 + radius * radius / (a_max * a_max)) /
+            _math.log(4.0)))
+        passes = min(max(passes, 2), 10)
+        x = img
+        for _ in range(passes):
+            nh = max(1, x.shape[-2] // 2)
+            nw = max(1, x.shape[-1] // 2)
+            x = ops_sampling.sample_bilinear(x, nh, nw)
+            if nh == 1 and nw == 1:
+                break
+        # cover-resize: scale so the blurred image fills the target,
+        # cropping the overflow about the center
+        sh_, sw_ = x.shape[-2], x.shape[-1]
+        scale = max(th / sh_, tw / sw_)
+        crop_h, crop_w = th / scale, tw / scale
+        cy, cx = sh_ / 2, sw_ / 2
+        rect = RectF(cx - crop_w / 2, cy - crop_h / 2,
+                     cx + crop_w / 2, cy + crop_h / 2)
+        cfg = _find_scaler("bilinear")
+        return ops_sampling.resize_separable(x, th, tw, cfg, rect)
+
+    @staticmethod
+    def _background(params: RenderParams, comps: int, h: int, w: int,
+                    mode: Optional[str] = None):
         """Border fill canvas (solid color or checkerboard tiles)."""
-        if params.background == "tiles":
+        bg = mode or params.background
+        if bg == "tiles":
             ts = params.tile_size
             yy, xx = np.meshgrid(np.arange(h) // ts, np.arange(w) // ts,
                                  indexing="ij")
@@ -816,7 +925,7 @@ class Renderer:
         col = np.zeros(comps, np.float32)
         col[:3] = np.asarray(params.background_color, np.float32)[:3]
         if comps > 3:
-            col[3] = 1.0
+            col[3] = 1.0 - params.background_transparency
         return jnp.broadcast_to(
             jnp.asarray(col)[:, None, None], (comps, h, w))
 
@@ -884,7 +993,8 @@ class Renderer:
         dp = None
         tables = ()
         bit_depth = target.bit_depth
-        if bit_depth and params.dither is not None:
+        if bit_depth and params.dither is not None and \
+                (bit_depth < 16 or params.force_dither):
             dp = replace(params.dither, transfer=dst_color.transfer) \
                 if params.dither.transfer == ColorTransfer.UNKNOWN \
                 else params.dither

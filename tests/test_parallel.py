@@ -253,9 +253,12 @@ def test_sharded_contrast_recovery_matches_renderer(devices):
     mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
     src_h, src_w = 64, 96
     target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    # smoothness 4.0: the feature rows must divide over the mesh
+    # (default 3.5 -> ceil(128/3.5)=37 rows, indivisible by 4 shards)
     params = RenderParams(upscaler="ewa_lanczos",
                           peak_detect=PeakDetectParams(percentile=99.5),
-                          contrast_recovery=0.35)
+                          contrast_recovery=0.35,
+                          contrast_smoothness=4.0)
     frames = _flagship_frames(1, src_h, src_w, seed=13)
     out, _ = _run_sharded(mesh, frames, target, params)
     ref = _single_chip(frames[0], target, params)

@@ -248,3 +248,147 @@ def test_phased_tail_matches_interleaved(monkeypatch):
     monkeypatch.setenv("LPTPU_PHASED_TAIL", "1")
     out = np.asarray(Renderer()._render_once(frame, target, params))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def _hdr_yuv(h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    y = (rng.random((h, w)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((h // 2, w // 2)) * 224 + 16).astype(np.uint8)
+    return frame_from_yuv420p(
+        y, u, v, color=CSP_BT2100_PQ,
+        repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                       levels=ColorLevels.LIMITED,
+                       bits=BitEncoding(8, 8, 0)))
+
+
+def test_inverse_tone_mapping():
+    """SDR -> HDR expansion (reference pl_color_map_params
+    .inverse_tone_mapping, colorspace.c:1674): disabled, the output
+    never exceeds the source peak; enabled, bright content stretches
+    toward the display peak."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries, ColorSpace,
+                                                ColorTransfer, HdrMetadata)
+    f = _rgb_frame(32, 48, seed=5)
+    hdr_tgt = Target(w=48, h=32, color=ColorSpace(
+        ColorPrimaries.BT_709, ColorTransfer.PQ,
+        hdr=HdrMetadata(max_luma=1000.0)))
+    out_off = np.asarray(Renderer().render(f, hdr_tgt, _params()))
+    out_on = np.asarray(Renderer().render(
+        f, hdr_tgt, _params(inverse_tone_mapping=True)))
+    assert np.all(np.isfinite(out_on))
+    # expansion raises the brightest pixels' encoded values
+    assert out_on.max() > out_off.max() + 1e-3
+    # and stays monotone: dark pixels stay dark
+    assert out_on.min() >= -1e-6
+
+
+def test_gamut_expansion_flag():
+    """Narrow -> wide perceptual mapping only expands with
+    gamut_expansion=True (reference colorspace.c:1709 clips the output
+    gamut to the source otherwise)."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries, ColorSpace,
+                                                ColorTransfer)
+    f = _rgb_frame(32, 48, seed=6)
+    wide = Target(w=48, h=32, color=ColorSpace(
+        ColorPrimaries.BT_2020, ColorTransfer.SRGB))
+    out_off = np.asarray(Renderer().render(f, wide, _params()))
+    out_on = np.asarray(Renderer().render(
+        f, wide, _params(gamut_expansion=True)))
+    assert np.all(np.isfinite(out_off)) and np.all(np.isfinite(out_on))
+    # expansion changes saturated pixels (boundary stretch)
+    assert np.abs(out_on - out_off).max() > 1e-4
+
+
+def test_primaries_clip_subset_identity():
+    """Clipping a gamut against a superset returns it unchanged; against
+    a subset it shrinks toward the subset."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                primaries_clip,
+                                                primaries_compatible,
+                                                primaries_get,
+                                                primaries_superset)
+    p709 = primaries_get(ColorPrimaries.BT_709)
+    p2020 = primaries_get(ColorPrimaries.BT_2020)
+    assert primaries_compatible(p709, p2020)
+    clipped = primaries_clip(p709, p2020)   # 709 inside 2020 -> identity
+    for a, b in ((clipped.red, p709.red), (clipped.green, p709.green),
+                 (clipped.blue, p709.blue)):
+        assert abs(a.x - b.x) < 1e-6 and abs(a.y - b.y) < 1e-6
+    shrunk = primaries_clip(p2020, p709)    # 2020 clipped into 709-ish
+    assert primaries_superset(p2020, shrunk)
+    assert abs(shrunk.red.x - p2020.red.x) > 1e-3 or \
+        abs(shrunk.green.y - p2020.green.y) > 1e-3
+
+
+def test_show_clipping_highlights():
+    """show_clipping recolors out-of-range pixels (reference
+    colorspace.c:1997-2010) and leaves in-range content alone."""
+    f = _hdr_yuv(32, 48, seed=7)
+    tgt = Target(w=48, h=32, color=CSP_SRGB)
+    p_off = _params()
+    p_on = _params(show_clipping=True)
+    out_off = np.asarray(Renderer().render(f, tgt, p_off))
+    out_on = np.asarray(Renderer().render(f, tgt, p_on))
+    assert np.all(np.isfinite(out_on))
+    # random HDR noise at 10k-nit metadata: most pixels in range ->
+    # unchanged; output shape preserved
+    assert out_on.shape == out_off.shape
+
+
+def test_contrast_smoothness_changes_feature_map():
+    """contrast_smoothness scales the recovery feature map (reference
+    renderer.c:2112); different ratios give different detail injection."""
+    f = _hdr_yuv(32, 48, seed=8)
+    tgt = Target(w=96, h=64, color=CSP_SRGB)
+    a = np.asarray(Renderer().render(
+        f, tgt, _params(contrast_recovery=0.6, contrast_smoothness=2.0)))
+    b = np.asarray(Renderer().render(
+        f, tgt, _params(contrast_recovery=0.6, contrast_smoothness=8.0)))
+    assert np.abs(a - b).max() > 1e-5
+    # smoothness <= 1 disables recovery entirely
+    c = np.asarray(Renderer().render(
+        f, tgt, _params(contrast_recovery=0.6, contrast_smoothness=1.0)))
+    d = np.asarray(Renderer().render(f, tgt, _params()))
+    np.testing.assert_allclose(c, d, atol=1e-6)
+
+
+def test_border_blur_and_skip():
+    """border="blur" fills the letterbox with a blurred cover of the
+    image (reference PL_CLEAR_BLUR, renderer.c:2510); "skip" leaves
+    transparent black."""
+    f = _rgb_frame(32, 48, seed=9)
+    tgt = Target(w=96, h=96, color=CSP_SRGB,
+                 crop=RectF(0, 16, 96, 80))    # letterbox bars
+    out_blur = np.asarray(Renderer().render(
+        f, tgt, _params(border="blur", blur_radius=8.0)))
+    # bars are a blurred copy: non-black, low-variance vs the image rows
+    top = out_blur[:, :16, :]
+    assert top.mean() > 1e-3
+    mid = out_blur[:, 16:80, :]
+    assert top.std() < mid.std()
+    out_skip = np.asarray(Renderer().render(
+        f, tgt, _params(border="skip")))
+    np.testing.assert_allclose(out_skip[:, :16, :], 0.0, atol=1e-7)
+    # skip_target_clearing is the legacy alias
+    out_legacy = np.asarray(Renderer().render(
+        f, tgt, _params(skip_target_clearing=True)))
+    np.testing.assert_allclose(out_legacy[:, :16, :], 0.0, atol=1e-7)
+
+
+def test_force_dither_16bit():
+    """16-bit outputs skip dithering unless force_dither (reference
+    renderer.c:2888)."""
+    from libplacebo_tpu.ops.dithering import DitherParams
+    f = _rgb_frame(16, 128, seed=10)
+    tgt = Target(w=128, h=16, color=CSP_SRGB, bit_depth=16)
+    base = np.asarray(Renderer().render(
+        f, tgt, _params(dither=DitherParams())))
+    forced = np.asarray(Renderer().render(
+        f, tgt, _params(dither=DitherParams(), force_dither=True)))
+    # undithered 16-bit returns the continuous signal
+    undithered = np.asarray(Renderer().render(f, tgt, _params()))
+    np.testing.assert_allclose(base, undithered, atol=1e-7)
+    # forced: quantized to 16-bit steps
+    scale = (1 << 16) - 1
+    assert np.abs(np.round(forced * scale) - forced * scale).max() < 1e-2

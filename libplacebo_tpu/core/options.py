@@ -54,8 +54,24 @@ def _build_table() -> List[_Opt]:
     from ..core.tone_mapping import ToneMapConstants
     from ..ops.deband import DebandParams
     from ..ops.deinterlace import DeinterlaceAlgo, DeinterlaceParams
+    from ..ops.distort import DistortParams
     from ..ops.dithering import DitherParams
     from ..ops.peak_detect import PeakDetectParams
+    from ..render.renderer import ALPHA_OVERLAY
+
+    _BLEND_MODES = ("zero", "one", "src_alpha", "one_minus_src_alpha")
+
+    def _distort_mat(p, r, c, v):
+        d = p.distort or DistortParams()
+        m = [list(row) for row in d.transform]
+        m[r][c] = v
+        return replace(p, distort=replace(
+            d, transform=tuple(tuple(row) for row in m)))
+
+    def _blend_elem(p, i, v):
+        b = list(p.blend or ALPHA_OVERLAY)
+        b[i] = v
+        return replace(p, blend=tuple(b))
     from .filters import FILTER_CONFIGS
     from .tone_mapping import TONE_MAP_FUNCTIONS
 
@@ -327,6 +343,69 @@ def _build_table() -> List[_Opt]:
              lambda p, v: replace(p, cone=replace(
                  p.cone or ConeParams(Cone.NONE, 1.0), strength=v)),
              0.0, 10.0),
+
+        # ---- distortion (options.c:1096-1114)
+        feature_toggle("distort", "distort", DistortParams),
+        preset_opt("distort_preset",
+                   lambda p, v: replace(p, distort=DistortParams()),
+                   ("default",)),
+        _Opt("distort_scale_x", "float",
+             lambda p: p.distort.transform[0][0] if p.distort else None,
+             lambda p, v: _distort_mat(p, 0, 0, v)),
+        _Opt("distort_scale_y", "float",
+             lambda p: p.distort.transform[1][1] if p.distort else None,
+             lambda p, v: _distort_mat(p, 1, 1, v)),
+        _Opt("distort_shear_x", "float",
+             lambda p: p.distort.transform[0][1] if p.distort else None,
+             lambda p, v: _distort_mat(p, 0, 1, v)),
+        _Opt("distort_shear_y", "float",
+             lambda p: p.distort.transform[1][0] if p.distort else None,
+             lambda p, v: _distort_mat(p, 1, 0, v)),
+        _Opt("distort_offset_x", "float",
+             lambda p: p.distort.offset[0] if p.distort else None,
+             lambda p, v: replace(p, distort=replace(
+                 p.distort or DistortParams(),
+                 offset=(v, (p.distort or DistortParams()).offset[1])))),
+        _Opt("distort_offset_y", "float",
+             lambda p: p.distort.offset[1] if p.distort else None,
+             lambda p, v: replace(p, distort=replace(
+                 p.distort or DistortParams(),
+                 offset=((p.distort or DistortParams()).offset[0], v)))),
+        sub_opt("distort_unscaled", "bool", "distort", "unscaled",
+                DistortParams),
+        sub_opt("distort_constrain", "bool", "distort", "constrain",
+                DistortParams),
+        sub_opt("distort_bicubic", "bool", "distort", "bicubic",
+                DistortParams),
+        sub_opt("distort_address_mode", "enum", "distort", "address_mode",
+                DistortParams, choices=("clamp", "repeat", "mirror")),
+        _Opt("distort_alpha_mode", "enum",
+             lambda p: (p.distort.alpha_mode or "none")
+             if p.distort else None,
+             lambda p, v: replace(p, distort=replace(
+                 p.distort or DistortParams(),
+                 alpha_mode=None if v == "none" else v)),
+             choices=("none", "independent", "premultiplied")),
+
+        # ---- target blending (options.c:1116-1124)
+        _Opt("blend", "bool",
+             lambda p: p.blend is not None,
+             lambda p, v: replace(p, blend=ALPHA_OVERLAY if v else None)),
+        preset_opt("blend_preset",
+                   lambda p, v: replace(p, blend=ALPHA_OVERLAY),
+                   ("alpha_overlay",)),
+        _Opt("blend_src_rgb", "enum",
+             lambda p: p.blend[0] if p.blend else None,
+             lambda p, v: _blend_elem(p, 0, v), choices=_BLEND_MODES),
+        _Opt("blend_dst_rgb", "enum",
+             lambda p: p.blend[1] if p.blend else None,
+             lambda p, v: _blend_elem(p, 1, v), choices=_BLEND_MODES),
+        _Opt("blend_src_alpha", "enum",
+             lambda p: p.blend[2] if p.blend else None,
+             lambda p, v: _blend_elem(p, 2, v), choices=_BLEND_MODES),
+        _Opt("blend_dst_alpha", "enum",
+             lambda p: p.blend[3] if p.blend else None,
+             lambda p, v: _blend_elem(p, 3, v), choices=_BLEND_MODES),
 
         # ---- deinterlacing (options.c:1077-1090)
         feature_toggle("deinterlace", "deinterlace", DeinterlaceParams),

@@ -187,11 +187,15 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         (params.border or params.background)
     if params.hooks or rotation % 4 in (1, 3) or \
             params.error_diffusion is not None or \
+            params.distort is not None or \
             border_mode in ("blur", "skip"):
         return _build_gspmd_step(
             mesh, plane_metas, frame_repr, frame_color, target, params,
             crop, frame_grain, field, first_field, frame_icc,
             has_temporal, overlays, rotation)
+    _check(params.blend is None or target.data is None,
+           "target blending (Target.data) is not sharded; drop the "
+           "blend or render single-chip")
 
     # ---- target sub-rect / corner rounding: composited OUTSIDE the
     # shard_map under plain GSPMD — the image rows and target rows live
@@ -739,8 +743,13 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
     from ..core.log import default_log
     from ..render.renderer import Renderer
 
+    if params.blend is not None and getattr(target, "data", None) is not None:
+        raise RenderError(
+            "sharded pipeline: target blending (Target.data) is not "
+            "sharded; drop the blend or render single-chip")
     why = ("user hooks" if params.hooks else
            f"rotation {rotation % 4 * 90}" if rotation % 4 in (1, 3) else
+           "distortion" if params.distort is not None else
            "error diffusion (whole-frame serial scan, replicated pass)")
     default_log().info(
         f"sharded renderer: {why} -> GSPMD auto-partitioned step (XLA-"

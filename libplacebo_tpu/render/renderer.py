@@ -44,7 +44,12 @@ from ..ops.peak_detect import PeakDetectParams
 from .frame import Frame, Plane
 
 __all__ = ["RenderParams", "Target", "Renderer", "render_image",
-           "RenderError", "color_map_stage", "tone_with_recovery"]
+           "RenderError", "color_map_stage", "tone_with_recovery",
+           "ALPHA_OVERLAY"]
+
+# reference pl_alpha_overlay (gpu.h:1163): typical alpha compositing
+ALPHA_OVERLAY = ("src_alpha", "one_minus_src_alpha",
+                 "one", "one_minus_src_alpha")
 
 
 class RenderError(Exception):
@@ -100,6 +105,11 @@ class Target:
     # encoded through the profile's gamut matrix + TRCs instead of the
     # standard transfer (reference pl_icc_encode, renderer.c:2271)
     icc: Optional[object] = None
+    # existing target contents (C, h, w) for RenderParams.blend — the
+    # analog of the reference rendering onto a non-cleared target
+    # texture with pl_blend_params; enters the pipeline as a traced
+    # argument (per-frame contents never force a re-trace)
+    data: Optional[object] = field(default=None, compare=False)
 
     def meta_key(self):
         # the whole HdrMetadata is part of the key: inferred min/max_luma
@@ -111,7 +121,8 @@ class Target:
             icc_key = getattr(self.icc, "signature", 0) or id(self.icc)
         return (self.w, self.h, self.repr.sys, self.repr.levels,
                 self.repr.bits, self.color.primaries, self.color.transfer,
-                self.color.hdr, self.bit_depth, self.crop, icc_key)
+                self.color.hdr, self.bit_depth, self.crop, icc_key,
+                self.data is not None)
 
 
 @dataclass(frozen=True)
@@ -167,6 +178,15 @@ class RenderParams:
     # color-blindness simulation/adaptation (reference
     # pl_render_params.cone_params; core.colorspace.ConeParams)
     cone: Optional[object] = None
+    # affine distortion applied to the output image (reference
+    # pl_render_params.distort_params -> pl_shader_distort,
+    # renderer.c:2655; ops.distort.DistortParams)
+    distort: Optional[object] = None
+    # target blending (reference pl_render_params.blend_params,
+    # gpu.h:1153): how the rendered image composites onto existing
+    # target contents (Target.data); ops-level factors
+    # zero|one|src_alpha|one_minus_src_alpha per rgb/alpha
+    blend: Optional[Tuple[str, str, str, str]] = None
     # user color adjustment (reference pl_render_params.color_adjustment;
     # core.colorspace.ColorAdjustment), folded into the decode matrix
     color_adjustment: Optional[object] = None
@@ -218,6 +238,8 @@ class RenderParams:
                 self.contrast_recovery, self.contrast_smoothness,
                 self.inverse_tone_mapping, self.gamut_expansion,
                 self.show_clipping, self.cone,
+                self.distort.key() if self.distort is not None else None,
+                self.blend,
                 self.color_adjustment, self.background, self.border,
                 self.background_color, self.background_transparency,
                 self.tile_colors, self.tile_size, self.blur_radius,
@@ -583,7 +605,11 @@ class Renderer:
         def pipeline(peak_state, grain_tables, temporal, overlay_datas,
                      dovi_packed, *planes):
             # ---- pass_read_image
-            prev_planes, next_planes = temporal
+            # temporal: (prev_planes, next_planes[, target_data]) — the
+            # optional third entry carries existing target contents for
+            # blending (reference pl_render_params.blend_params)
+            prev_planes, next_planes = temporal[0], temporal[1]
+            target_data = temporal[2] if len(temporal) > 2 else None
             dst_crop = target.crop or RectF(0, 0, target.w, target.h)
             dst_w = int(round(dst_crop.w))
             dst_h = int(round(dst_crop.h))
@@ -795,6 +821,13 @@ class Renderer:
                     img = img * alpha
                 img = jnp.concatenate([img, alpha], axis=-3)
 
+            # affine distortion (reference pl_shader_distort applied at
+            # pass_output_target, renderer.c:2655)
+            if params.distort is not None:
+                from ..ops import distort as ops_distort
+                img = ops_distort.distort_image(img, dst_w, dst_h,
+                                                params.distort)
+
             # composite into the full target with border fill (reference
             # clear_target, renderer.c:2491) when the dst crop doesn't
             # cover the whole target
@@ -863,6 +896,12 @@ class Renderer:
                 img = ops_polar.interleave_phases(
                     img, phased[0], phased[1], dst_h, dst_w)
 
+            # target blending (reference pl_render_params.blend_params:
+            # the final pass writes with hardware blending against the
+            # existing target contents)
+            if params.blend is not None and target_data is not None:
+                img = self._blend_target(img, target_data, params.blend)
+
             # overlays (subtitles/OSD; reference draw_overlays,
             # renderer.c:811) blend after dithering, like the reference's
             # final vertex pass
@@ -872,6 +911,38 @@ class Renderer:
             return jnp.clip(img, 0.0, 1.0), new_state
 
         return pipeline
+
+    @staticmethod
+    def _blend_target(src, dst, blend):
+        """Blend `src` over existing target contents `dst` with the
+        (src_rgb, dst_rgb, src_alpha, dst_alpha) factor names of
+        reference pl_blend_params (gpu.h:1145-1158): each factor is one
+        of zero|one|src_alpha|one_minus_src_alpha."""
+        src_rgb_f, dst_rgb_f, src_a_f, dst_a_f = blend
+        has_a = src.shape[-3] > 3
+        sa = src[..., 3:4, :, :] if has_a else \
+            jnp.ones_like(src[..., :1, :, :])
+        dst_has_a = dst.shape[-3] > 3
+
+        def factor(name, alpha):
+            if name == "zero":
+                return 0.0
+            if name == "one":
+                return 1.0
+            if name == "src_alpha":
+                return alpha
+            if name == "one_minus_src_alpha":
+                return 1.0 - alpha
+            raise ValueError(f"unknown blend factor {name!r}")
+
+        out_rgb = src[..., :3, :, :] * factor(src_rgb_f, sa) + \
+            dst[..., :3, :, :] * factor(dst_rgb_f, sa)
+        if has_a or dst_has_a:
+            da = dst[..., 3:4, :, :] if dst_has_a else \
+                jnp.ones_like(sa)
+            out_a = sa * factor(src_a_f, sa) + da * factor(dst_a_f, sa)
+            return jnp.concatenate([out_rgb, out_a], axis=-3)
+        return out_rgb
 
     @staticmethod
     def _blur_border(params: RenderParams, img, th: int, tw: int):
@@ -981,6 +1052,7 @@ class Renderer:
         eligible = (
             not params.hooks and not has_alpha and phased is None
             and target.icc is None
+            and params.distort is None
             and (params.lut is None or params.lut_type != "conversion")
             and (dst_w, dst_h) == (target.w, target.h) and x0 == 0 == y0
             and params.corner_rounding <= 0
@@ -1135,6 +1207,8 @@ class Renderer:
         temporal = (
             tuple(p.data for p in frame.prev.planes) if frame.prev else None,
             tuple(p.data for p in frame.next.planes) if frame.next else None)
+        if target.data is not None:
+            temporal = temporal + (jnp.asarray(target.data),)
         overlay_datas = tuple(o.data for o in frame.overlays)
         dovi_packed = None
         if frame.repr.sys == ColorSystem.DOLBYVISION and \

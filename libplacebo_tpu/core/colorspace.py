@@ -872,6 +872,55 @@ class ColorSpace:
         inf = self.infer()
         return inf.hdr.max_luma / COLOR_SDR_WHITE
 
+    def nominal_luma(self, metadata: str = "any"
+                     ) -> Tuple[float, float, float]:
+        """(min, max, avg) display luminance in nits with HDR metadata
+        source selection (reference pl_color_space_nominal_luma_ex,
+        colorspace.c:790-859): `metadata` is one of
+        any | none | hdr10 | hdr10plus | cie_y — 'none' ignores all
+        signalled metadata, specific tiers consume only that tier (plus
+        the HDR10 static baseline), 'any' prefers the most dynamic
+        available (cie_y > hdr10plus > hdr10).  avg is 0 when no
+        dynamic metadata provides one."""
+        hdr = self.hdr
+        min_luma = max_luma = avg_luma = 0.0
+        if metadata != "none":
+            min_luma = hdr.min_luma
+            max_luma = hdr.max_luma or hdr.max_cll
+        def compat(tier):
+            return metadata in ("any", tier)
+        if compat("hdr10plus") and hdr.scene_avg > 0:
+            # luma_from_maxrgb: scene max-RGB approximates luminance
+            max_luma = max(hdr.scene_max) or max_luma
+            avg_luma = hdr.scene_avg
+        if compat("cie_y") and hdr.max_pq_y:
+            max_luma = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS,
+                                   hdr.max_pq_y)
+            avg_luma = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS,
+                                   hdr.avg_pq_y)
+        # clamp to sane range
+        hdr_max = 10000.0
+        if max_luma:
+            max_luma = min(max(max_luma, COLOR_HDR_BLACK), hdr_max)
+        if min_luma:
+            min_luma = min(max(min_luma, COLOR_HDR_BLACK), hdr_max)
+        if (max_luma and min_luma >= max_luma) or min_luma >= hdr_max:
+            min_luma = max_luma = 0.0
+        if not max_luma:
+            if self.transfer == ColorTransfer.HLG:
+                max_luma = 1000.0
+            else:
+                max_luma = transfer_nominal_peak(self.transfer) * \
+                    COLOR_SDR_WHITE
+        if not min_luma:
+            if transfer_is_hdr(self.transfer):
+                min_luma = COLOR_HDR_BLACK
+            else:
+                min_luma = max_luma / 1000.0
+        if avg_luma:
+            avg_luma = min(max(avg_luma, min_luma), max_luma)
+        return min_luma, max_luma, avg_luma
+
     def merge(self, update: "ColorSpace") -> "ColorSpace":
         return ColorSpace(
             primaries=self.primaries if self.primaries != ColorPrimaries.UNKNOWN else update.primaries,

@@ -430,8 +430,13 @@ def _parse_xyz(data: bytes) -> np.ndarray:
     return np.array([_s15f16(x), _s15f16(y), _s15f16(z)])
 
 
-def parse_icc(data: bytes) -> IccProfile:
-    """Parse an ICC profile (reference pl_icc_open, shaders/icc.c:523)."""
+def parse_icc(data: bytes, intent: str = "perceptual") -> IccProfile:
+    """Parse an ICC profile (reference pl_icc_open, shaders/icc.c:523).
+
+    `intent` selects which cLUT table pair serves the transform
+    (reference pl_icc_params.intent): perceptual (A2B0/B2A0),
+    relative/absolute colorimetric (*1), saturation (*2); missing
+    tables fall back to whichever intent the profile provides."""
     if len(data) < 132:
         raise IccError("profile too small")
     size, = struct.unpack(">I", data[:4])
@@ -453,24 +458,34 @@ def parse_icc(data: bytes) -> IccProfile:
         raise IccError(f"unsupported profile color space {color_space!r}")
     has_matrix = all(t in tags for t in
                      (b"rXYZ", b"gXYZ", b"bXYZ", b"rTRC", b"gTRC", b"bTRC"))
-    a2b = b2a = None
-    for tag, attr in ((b"A2B0", "a2b"), (b"B2A0", "b2a")):
-        if tag in tags:
+    # A2B0/B2A0 = perceptual, *1 = (relative) colorimetric,
+    # *2 = saturation (ICC v4 §9.2.1); `intent` picks the table, with
+    # fallback to whichever exists (matching lcms/the reference's
+    # intent-selection behavior, icc.c pl_icc_params.intent)
+    intent_idx = {"perceptual": 0, "auto": 0, "relative": 1,
+                  "absolute": 1, "saturation": 2}.get(intent, 0)
+
+    def _load_lut(base: str):
+        order = [intent_idx] + [i for i in range(3) if i != intent_idx]
+        for i in order:
+            tag = f"{base}{i}".encode()
+            if tag not in tags:
+                continue
             try:
-                lut = _parse_lut_tag(tags[tag])
+                return _parse_lut_tag(tags[tag])
             except IccError:
                 if not has_matrix:
                     raise
-                lut = None
+                return None
             except Exception as e:   # truncated/malformed tag body
                 if not has_matrix:
                     raise IccError(
                         f"malformed {tag.decode()} tag: {e}") from e
-                lut = None
-            if attr == "a2b":
-                a2b = lut
-            else:
-                b2a = lut
+                return None
+        return None
+
+    a2b = _load_lut("A2B")
+    b2a = _load_lut("B2A")
     if not has_matrix and a2b is None and b2a is None:
         raise IccError("profile has neither matrix/TRC nor usable cLUTs")
 

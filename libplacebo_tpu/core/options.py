@@ -72,6 +72,25 @@ def _build_table() -> List[_Opt]:
         b = list(p.blend or ALPHA_OVERLAY)
         b[i] = v
         return replace(p, blend=tuple(b))
+
+    def r_presets():
+        from ..render.renderer import (DEFAULT_PARAMS, FAST_PARAMS,
+                                       HIGH_QUALITY_PARAMS)
+        return FAST_PARAMS, DEFAULT_PARAMS, HIGH_QUALITY_PARAMS
+
+    def compat_opt(key, typ="float", lo=0.0, hi=1e9, choices=()):
+        """Accepted-for-compat option with no TPU-side effect (the
+        reference's LUT-size / FBO / GLSL machinery knobs — this
+        pipeline generates no LUTs, FBOs or shader text).  Values
+        round-trip through RenderParams.compat_flags."""
+        def getv(p):
+            return dict(p.compat_flags).get(key)
+
+        def setv(p, v):
+            d = dict(p.compat_flags)
+            d[key] = v
+            return replace(p, compat_flags=tuple(sorted(d.items())))
+        return _Opt(key, typ, getv, setv, lo, hi, choices=choices)
     from .filters import FILTER_CONFIGS
     from .tone_mapping import TONE_MAP_FUNCTIONS
 
@@ -452,6 +471,85 @@ def _build_table() -> List[_Opt]:
                   "disable_linear_scaling"),
         field_opt("film_grain", "bool", "film_grain",
                   desc="honor frame-attached film grain"),
+        field_opt("preserve_mixing_cache", "bool",
+                  "preserve_mixing_cache"),
+        field_opt("skip_caching_single_frame", "bool",
+                  "skip_caching_single_frame"),
+
+        # ---- global + umbrella presets (options.c:908-931)
+        preset_opt("preset",
+                   lambda p, v: {"fast": r_presets()[0],
+                                 "default": r_presets()[1],
+                                 "high_quality": r_presets()[2]}[v],
+                   ("fast", "default", "high_quality")),
+        # "color_map" enable: off = neither tone nor gamut mapping
+        _Opt("color_map", "bool",
+             lambda p: not (p.gamut_mapping in ("none", "") and
+                            p.tone_mapping_function == "clip"),
+             lambda p, v: p if v else replace(
+                 p, gamut_mapping="none", tone_mapping_function="clip")),
+        preset_opt("color_map_preset",
+                   lambda p, v: replace(
+                       p, gamut_mapping="perceptual",
+                       tone_mapping_function="spline",
+                       contrast_recovery=0.30 if v == "high_quality"
+                       else 0.0),
+                   ("default", "high_quality")),
+        preset_opt("deinterlace_preset",
+                   lambda p, v: replace(p, deinterlace=DeinterlaceParams()),
+                   ("default",)),
+        field_opt("tone_map_metadata", "enum", "tone_map_metadata",
+                  choices=("any", "none", "hdr10", "hdr10plus", "cie_y")),
+        # deprecated alias (reference options.c): tiles behind alpha
+        _Opt("blend_against_tiles", "bool",
+             lambda p: p.background == "tiles",
+             lambda p, v: replace(p, background="tiles" if v else "color")),
+
+        # ---- ICC engine (options.c:1130-1148)
+        _Opt("icc", "bool",
+             lambda p: not p.ignore_icc_profiles,
+             lambda p, v: replace(p, ignore_icc_profiles=not v)),
+        field_opt("ignore_icc_profiles", "bool", "ignore_icc_profiles"),
+        preset_opt("icc_preset", lambda p, v: replace(
+            p, ignore_icc_profiles=False), ("default",)),
+        # intent + LUT sizing knobs: parse-time concerns here — the
+        # intent is honored by core.icc.parse_icc(intent=...); sizes are
+        # inert (no LUT re-baking in this pipeline)
+        compat_opt("icc_intent", "enum",
+                   choices=("auto", "perceptual", "relative",
+                            "saturation", "absolute")),
+        compat_opt("icc_size_r", "int", 0, 256),
+        compat_opt("icc_size_g", "int", 0, 256),
+        compat_opt("icc_size_b", "int", 0, 256),
+        compat_opt("icc_max_luma", "float", 0.0, 10000.0),
+        compat_opt("icc_force_bpc", "bool"),
+
+        # ---- accepted-for-compat GPU machinery knobs (no TPU analog:
+        # the pipeline is LUT-free, FBO-free and shader-text-free)
+        compat_opt("force_tone_mapping_lut", "bool"),
+        compat_opt("tone_lut_size", "int", 0, 4096),
+        compat_opt("lut3d_size_h", "int", 0, 1024),
+        compat_opt("lut3d_tricubic", "bool"),
+        compat_opt("lut_entries", "int", 0, 4096),
+        compat_opt("polar_cutoff", "float", 0.0, 64.0),
+        compat_opt("disable_builtin_scalers", "bool"),
+        compat_opt("disable_fbos", "bool"),
+        compat_opt("force_low_bit_depth_fbos", "bool"),
+        compat_opt("dynamic_constants", "bool"),
+        compat_opt("correct_subpixel_offset", "bool"),
+        compat_opt("minimum_peak", "float", 0.0, 100.0),
+        compat_opt("tone_mapping_param", "float", 0.0, 100.0),
+
+        # ---- tone/gamut visualization (options.c:1010-1016)
+        field_opt("visualize_lut", "bool", "visualize_lut"),
+        field_opt("visualize_hue", "float", "visualize_hue",
+                  -1e3, 1e3),
+        field_opt("visualize_theta", "float", "visualize_theta",
+                  -1e3, 1e3),
+        tuple_elem_opt("visualize_lut_x0", "visualize_rect", 0),
+        tuple_elem_opt("visualize_lut_y0", "visualize_rect", 1),
+        tuple_elem_opt("visualize_lut_x1", "visualize_rect", 2),
+        tuple_elem_opt("visualize_lut_y1", "visualize_rect", 3),
     ]
     return table
 

@@ -145,7 +145,15 @@ class RenderParams:
     # pl_render_params.disable_dither_gamma_correction)
     disable_dither_gamma_correction: bool = False
     tone_mapping_function: str = "spline"
+    # which HDR metadata tier feeds the (static) tone curve (reference
+    # pl_color_map_params.metadata): any|none|hdr10|hdr10plus|cie_y
+    tone_map_metadata: str = "any"
     gamut_mapping: str = "perceptual"
+    # accepted-for-compat options with no TPU-side effect (reference
+    # LUT/FBO machinery knobs: tone_lut_size, lut3d_size_*, polar_cutoff
+    # etc. — this pipeline is LUT-free and FBO-free by design); kept so
+    # option strings round-trip; sorted (key, value) tuple
+    compat_flags: Tuple = ()
     # tunable curve constants (reference pl_color_map_params
     # .tone_constants / .gamut_constants)
     tone_constants: "tm.ToneMapConstants" = field(
@@ -175,6 +183,14 @@ class RenderParams:
     # debug: highlight pixels outside the representable range (reference
     # .show_clipping, colorspace.c:1805-2010)
     show_clipping: bool = False
+    # debug: draw the tone curve / gamut boundary slice into a sub-rect
+    # of the output (reference .visualize_lut/_rect/_hue/_theta,
+    # colorspace.c:1424-1545)
+    visualize_lut: bool = False
+    visualize_rect: Tuple[float, float, float, float] = (0.0, 0.0,
+                                                         1.0, 1.0)
+    visualize_hue: float = 0.0
+    visualize_theta: float = 0.0
     # color-blindness simulation/adaptation (reference
     # pl_render_params.cone_params; core.colorspace.ConeParams)
     cone: Optional[object] = None
@@ -213,6 +229,12 @@ class RenderParams:
     hooks: Tuple = ()            # render.hooks.Hook instances
     lut: Optional[object] = None          # core.lut.CustomLut
     lut_type: str = "conversion"          # native|normalized|conversion
+    # ICC handling (reference pl_render_params.ignore_icc_profiles)
+    ignore_icc_profiles: bool = False
+    # frame-mixing cache control (reference preserve_mixing_cache /
+    # skip_caching_single_frame, renderer.h)
+    preserve_mixing_cache: bool = False
+    skip_caching_single_frame: bool = False
     # disables
     skip_anti_aliasing: bool = False
     disable_linear_scaling: bool = False
@@ -226,7 +248,8 @@ class RenderParams:
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
                 self.disable_dither_gamma_correction,
-                self.tone_mapping_function, self.gamut_mapping,
+                self.tone_mapping_function, self.tone_map_metadata,
+                self.gamut_mapping, self.compat_flags,
                 self.tone_constants, self.gamut_constants,
                 self.corner_rounding,
                 self.skip_anti_aliasing,
@@ -237,7 +260,11 @@ class RenderParams:
                 self.deinterlace.key() if self.deinterlace else None,
                 self.contrast_recovery, self.contrast_smoothness,
                 self.inverse_tone_mapping, self.gamut_expansion,
-                self.show_clipping, self.cone,
+                self.show_clipping, self.visualize_lut,
+                self.visualize_rect, self.visualize_hue,
+                self.visualize_theta, self.ignore_icc_profiles,
+                self.preserve_mixing_cache,
+                self.skip_caching_single_frame, self.cone,
                 self.distort.key() if self.distort is not None else None,
                 self.blend,
                 self.color_adjustment, self.background, self.border,
@@ -288,7 +315,12 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
     from ..ops import gamut as ops_gamut
     need_gamut = (src.primaries != dst.primaries and
                   params.gamut_mapping not in (None, "", "none"))
-    src_peak = src.nominal_peak_norm()
+    # HDR metadata source selection (reference tone_map_metadata,
+    # colorspace.c:1651: the SOURCE stats honor the choice; the
+    # destination always uses the static HDR10 tier)
+    src_min_n, src_max_n, src_avg_n = src.infer().nominal_luma(
+        params.tone_map_metadata)
+    src_peak = src_max_n / COLOR_SDR_WHITE
     dst_peak = dst.nominal_peak_norm()
     need_tone = peak_stats is not None or src_peak > dst_peak + 1e-3
     # SDR->HDR expansion (reference inverse_tone_mapping,
@@ -364,9 +396,11 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
                 input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
                 lut_size=256, constants=params.tone_constants,
                 input_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                      src_inf.hdr.min_luma),
+                                      src_min_n),
                 input_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
-                                      src_inf.hdr.max_luma),
+                                      src_max_n),
+                input_avg=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                      src_avg_n) if src_avg_n else 0.0,
                 output_min=dst_min_pq, output_max=dst_max_pq)
             base = lambda x: tm.apply_device(x, p)
         cr = params.contrast_recovery
@@ -388,10 +422,92 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
                         src_inf.hdr.min_luma),
             hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
                         src_inf.hdr.max_luma))
-    return ops_gamut.color_map_ipt(img, tone_fn, gamut_fn, b_src, b_dst,
-                                   to_norm=COLOR_SDR_WHITE / 10000.0,
-                                   constants=params.gamut_constants,
-                                   show_clip_bounds=show_bounds)
+    out = ops_gamut.color_map_ipt(img, tone_fn, gamut_fn, b_src, b_dst,
+                                  to_norm=COLOR_SDR_WHITE / 10000.0,
+                                  constants=params.gamut_constants,
+                                  show_clip_bounds=show_bounds)
+    if params.visualize_lut and tone_fn is not None:
+        # fade the tone curve out as theta turns toward the gamut view,
+        # like the reference (colorspace.c:2014-2016)
+        alpha = math.cos(params.visualize_theta) ** 5 \
+            if gamut_fn not in (None, "clip", "saturation") else 1.0
+        out = _visualize_tone_map(
+            out, params.visualize_rect, max(alpha, 0.0), tone_fn,
+            in_min=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, src_min_n),
+            in_max=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, src_max_n),
+            in_avg=(peak_stats[0] if peak_stats is not None else
+                    (hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
+                                 src_avg_n) if src_avg_n else 0.0)),
+            out_min=dst_min_pq, out_max=dst_max_pq)
+    return out
+
+
+def _visualize_tone_map(color, rect, alpha, tone_fn, in_min, in_max,
+                        in_avg, out_min, out_max):
+    """Exact port of the reference tone-curve visualizer
+    (visualize_tone_map, shaders/colorspace.c:1424-1483): draws the
+    PQ->PQ transfer curve, source/target ranges, the main diagonal, the
+    inverse-tone-mapping region, and the average-brightness marker into
+    `rect` (fractions of the frame, y up)."""
+    H, W = color.shape[-2], color.shape[-1]
+    x0, y0, x1, y1 = rect
+    px = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    py = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    pos_x = ((px - x0) / max(x1 - x0, 1e-6))[None, :]
+    pos_y = (1.0 - (py - y0) / max(y1 - y0, 1e-6))[:, None]
+    in_rect = ((pos_x >= 0) & (pos_x <= 1) & (pos_y >= 0) & (pos_y <= 1))
+
+    vv = tone_fn(jnp.clip(pos_x, 0.0, 1.0))
+    a = jnp.asarray(0.8 * alpha, jnp.float32)
+
+    def const_rgb(r, g, b):
+        return jnp.stack([jnp.full((H, W), r, jnp.float32),
+                          jnp.full((H, W), g, jnp.float32),
+                          jnp.full((H, W), b, jnp.float32)], axis=-3)
+
+    viz = color[..., :3, :, :]
+    amask = jnp.where(in_rect, a, 0.0)
+
+    inside_src = (pos_x >= in_min) & (pos_x <= in_max)
+    inside_dst = (pos_y >= out_min) & (pos_y <= out_max)
+    osrc_y = (pos_y < in_min) | (pos_y > in_max)
+
+    # outside target range
+    m = inside_src & ~inside_dst
+    viz = jnp.where(m & osrc_y, const_rgb(0.1, 0.1, 0.5),
+                    jnp.where(m, const_rgb(0.2, 0.05, 0.05), viz))
+    # inside domain
+    dom = inside_src & inside_dst
+    diag = jnp.abs(pos_x - pos_y) < 1e-3
+    below = pos_y < vv
+    brighter = (vv > pos_x) & (pos_y > pos_x)
+    darker = (vv < pos_x) & (pos_y < pos_x)
+    body = jnp.where(brighter, const_rgb(0.5, 0.7, 0.05),
+                     const_rgb(0.05, 0.05, 0.05))
+    outer = jnp.where(darker, const_rgb(0.0, 0.1, 0.2), viz)
+    viz = jnp.where(dom & diag, const_rgb(0.2, 0.2, 0.2),
+                    jnp.where(dom & below, body,
+                              jnp.where(dom, outer, viz)))
+    amask = jnp.where(dom & below & ~diag, amask * 0.6, amask)
+    # inverse-tone-mapping / black point regions
+    itm = dom & (pos_y > in_max)
+    viz = jnp.where(itm, viz + (const_rgb(0.2, 0.5, 0.8) - viz) * 0.5,
+                    viz)
+    blk = dom & (pos_y < in_min)
+    viz = jnp.where(blk, viz * 0.7, viz)
+    if isinstance(in_avg, (int, float)):
+        has_avg = in_avg > 0
+    else:
+        has_avg = True
+    if has_avg:
+        avg_line = dom & (jnp.abs(pos_x - in_avg) < 1e-3) & (in_avg > 0)
+        viz = jnp.where(avg_line, const_rgb(0.5, 0.5, 0.5), viz)
+
+    out_rgb = color[..., :3, :, :]
+    out_rgb = out_rgb + (viz - out_rgb) * amask
+    if color.shape[-3] > 3:
+        return jnp.concatenate([out_rgb, color[..., 3:, :, :]], axis=-3)
+    return out_rgb
 
 
 def tone_with_recovery(maxrgb_pq, tone_fn, cr: float,
@@ -569,6 +685,13 @@ class Renderer:
                         has_prev=False, has_next=False, rotation=0,
                         overlays=(), frame_icc=None):
         """Build the traced pipeline function for one signature."""
+        if params.ignore_icc_profiles:
+            # reference pl_render_params.ignore_icc_profiles: fall back
+            # to the colorimetric metadata for both ends
+            frame_icc = None
+            if target.icc is not None:
+                target = replace(target, icc=None)
+
         def linearize_src(x):
             """Source signal -> linear NORM: through the frame's ICC
             profile when attached (reference: image profiles override
@@ -1053,6 +1176,7 @@ class Renderer:
             not params.hooks and not has_alpha and phased is None
             and target.icc is None
             and params.distort is None
+            and not params.visualize_lut    # needs global pixel coords
             and (params.lut is None or params.lut_type != "conversion")
             and (dst_w, dst_h) == (target.w, target.h) and x0 == 0 == y0
             and params.corner_rounding <= 0
@@ -1314,17 +1438,30 @@ def render_image_mix(renderer: Renderer, mix, target: Target,
                           color=target.color, bit_depth=0,
                           crop=target.crop)
     inter_params = replace(params, dither=None, error_diffusion=None)
+    pkey = (inter_target.meta_key(), inter_params.key())
+    if not params.preserve_mixing_cache:
+        # reference semantics: cached mix intermediates become invalid
+        # when the render parameters change (render_params_info,
+        # renderer.c:3515); preserve_mixing_cache keeps them anyway
+        stale = [k for k in renderer._mix_cache if k[1:] != pkey]
+        for k in stale:
+            renderer._mix_cache.pop(k)
+    # reference skip_caching_single_frame: a lone frame in the mix is
+    # being displayed directly (no interpolation) — don't pollute the
+    # cache with it
+    cache_ok = len(mix.frames) > 1 or not params.skip_caching_single_frame
     rendered = []
     for frame in mix.frames:
-        key = (frame.signature or id(frame), inter_target.meta_key(),
-               inter_params.key())
+        key = (frame.signature or id(frame),) + pkey
         img = renderer._mix_cache.get(key)
         if img is None:
             img = renderer.render(frame, inter_target, inter_params)
-            renderer._mix_cache[key] = img
-            # basic cache bound
-            if len(renderer._mix_cache) > 16:
-                renderer._mix_cache.pop(next(iter(renderer._mix_cache)))
+            if cache_ok:
+                renderer._mix_cache[key] = img
+                # basic cache bound
+                if len(renderer._mix_cache) > 16:
+                    renderer._mix_cache.pop(
+                        next(iter(renderer._mix_cache)))
         rendered.append(img)
 
     w = _mix_weights(params, mix.timestamps, mix.vsync_duration)

@@ -446,3 +446,22 @@ def test_target_blend_alpha_overlay():
         f, Target(w=48, h=32, color=CSP_SRGB), _params()))[:3]
     expect = src * 0.25 + base * 0.75
     np.testing.assert_allclose(out[:3], expect, atol=2e-2)
+
+
+def test_visualize_tone_map_overlay():
+    """visualize_lut draws the tone curve into visualize_rect
+    (reference colorspace.c:1424): the rect region differs from a
+    non-visualized render, the rest matches."""
+    f = _hdr_yuv(32, 64, seed=14)
+    tgt = Target(w=64, h=32, color=CSP_SRGB)
+    plain = np.asarray(Renderer().render(f, tgt, _params()))
+    viz = np.asarray(Renderer().render(f, tgt, _params(
+        visualize_lut=True, visualize_rect=(0.0, 0.0, 0.5, 0.5))))
+    assert np.all(np.isfinite(viz))
+    # the rect is in image coordinates (top-down): y [0, 0.5] covers
+    # the TOP half, x [0, 0.5] the left half; the curve renders y-up
+    # within it
+    changed = np.abs(viz - plain).max(axis=0) > 1e-6
+    assert changed[:16, :32].any()          # top-left painted
+    assert not changed[16:, :].any()        # bottom untouched
+    assert not changed[:16, 32:].any()      # top-right untouched

@@ -890,9 +890,19 @@ class ColorSpace:
         def compat(tier):
             return metadata in ("any", tier)
         if compat("hdr10plus") and hdr.scene_avg > 0:
-            # luma_from_maxrgb: scene max-RGB approximates luminance
-            max_luma = max(hdr.scene_max) or max_luma
-            avg_luma = hdr.scene_avg
+            # luma_from_maxrgb (colorspace.c:761): estimate luminance
+            # from maxRGB via the gamut's Y row — how monochromatic
+            # MaxSCL is
+            maxscl = max(hdr.scene_max)
+            if maxscl:
+                prim = hdr.prim if hdr.prim.valid() else \
+                    primaries_get(self.primaries)
+                coefs = luma_coeffs(prim)
+                y = float(coefs[0] * hdr.scene_max[0] +
+                          coefs[1] * hdr.scene_max[1] +
+                          coefs[2] * hdr.scene_max[2])
+                max_luma = y
+                avg_luma = (y / maxscl) * hdr.scene_avg
         if compat("cie_y") and hdr.max_pq_y:
             max_luma = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS,
                                    hdr.max_pq_y)

@@ -358,3 +358,40 @@ def test_color_adjustment_matches_reference(golden):
                                np.asarray(tr.c).ravel()])
         np.testing.assert_allclose(ours, golden[key], atol=2e-5,
                                    err_msg=key)
+
+
+def test_golden_primaries_clip(golden):
+    """primaries_clip matches the reference pl_primaries_clip across
+    sub/superset and partially-overlapping gamut pairs."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                primaries_clip,
+                                                primaries_get)
+    ref = golden["primaries_clip"]
+    P = ColorPrimaries
+    pairs = [(P.BT_709, P.BT_2020), (P.BT_2020, P.BT_709),
+             (P.DCI_P3, P.BT_2020), (P.BT_2020, P.DCI_P3),
+             (P.BT_709, P.DCI_P3)]
+    for i, (a, b) in enumerate(pairs):
+        c = primaries_clip(primaries_get(a), primaries_get(b))
+        got = np.array([c.red.x, c.red.y, c.green.x, c.green.y,
+                        c.blue.x, c.blue.y, c.white.x, c.white.y])
+        np.testing.assert_allclose(got, ref[i], atol=1e-5,
+                                   err_msg=f"{a} clip {b}")
+
+
+def test_golden_nominal_luma_metadata(golden):
+    """ColorSpace.nominal_luma tier selection matches the reference
+    pl_color_space_nominal_luma_ex for every metadata type."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries, ColorSpace,
+                                                ColorTransfer, HdrMetadata)
+    ref = golden["nominal_luma"]
+    csp = ColorSpace(
+        ColorPrimaries.BT_2020, ColorTransfer.PQ,
+        hdr=HdrMetadata(min_luma=0.005, max_luma=4000.0, max_cll=3500.0,
+                        scene_max=(2000.0, 2100.0, 1900.0),
+                        scene_avg=300.0, max_pq_y=0.8, avg_pq_y=0.4))
+    for i, meta in enumerate(["any", "none", "hdr10", "hdr10plus",
+                              "cie_y"]):
+        mn, mx, avg = csp.nominal_luma(meta)
+        np.testing.assert_allclose([mn, mx, avg], ref[i], rtol=2e-3,
+                                   err_msg=f"metadata={meta}")

@@ -293,6 +293,66 @@ static void dump_dither(void)
     dump("bayer_16", bayer, 2, dims);
 }
 
+/* ---- primaries clipping + nominal luma (src/colorspace.c) ---- */
+static void dump_clip_luma(void)
+{
+    const struct pl_raw_primaries *p2020 =
+        pl_raw_primaries_get(PL_COLOR_PRIM_BT_2020);
+    const struct pl_raw_primaries *p709 =
+        pl_raw_primaries_get(PL_COLOR_PRIM_BT_709);
+    const struct pl_raw_primaries *dci =
+        pl_raw_primaries_get(PL_COLOR_PRIM_DCI_P3);
+
+    const struct pl_raw_primaries *pairs[][2] = {
+        {p709, p2020}, {p2020, p709}, {dci, p2020}, {p2020, dci},
+        {p709, dci},
+    };
+    float buf[5][8];
+    for (int i = 0; i < 5; i++) {
+        struct pl_raw_primaries c = pl_primaries_clip(pairs[i][0],
+                                                      pairs[i][1]);
+        buf[i][0] = c.red.x;   buf[i][1] = c.red.y;
+        buf[i][2] = c.green.x; buf[i][3] = c.green.y;
+        buf[i][4] = c.blue.x;  buf[i][5] = c.blue.y;
+        buf[i][6] = c.white.x; buf[i][7] = c.white.y;
+    }
+    int dims[2] = {5, 8};
+    dump("primaries_clip", (float *) buf, 2, dims);
+
+    /* nominal luma with metadata tier selection */
+    struct pl_color_space csp = {
+        .primaries = PL_COLOR_PRIM_BT_2020,
+        .transfer = PL_COLOR_TRC_PQ,
+        .hdr = {
+            .min_luma = 0.005f,
+            .max_luma = 4000.0f,
+            .max_cll = 3500.0f,
+            .scene_max = {2000.0f, 2100.0f, 1900.0f},
+            .scene_avg = 300.0f,
+            .max_pq_y = 0.8f,
+            .avg_pq_y = 0.4f,
+        },
+    };
+    static const enum pl_hdr_metadata_type metas[] = {
+        PL_HDR_METADATA_ANY, PL_HDR_METADATA_NONE,
+        PL_HDR_METADATA_HDR10, PL_HDR_METADATA_HDR10PLUS,
+        PL_HDR_METADATA_CIE_Y,
+    };
+    float luma[5][3];
+    for (int i = 0; i < 5; i++) {
+        float mn = 0, mx = 0, avg = 0;
+        pl_color_space_nominal_luma_ex(pl_nominal_luma_params(
+            .color = &csp,
+            .metadata = metas[i],
+            .scaling = PL_HDR_NITS,
+            .out_min = &mn, .out_max = &mx, .out_avg = &avg,
+        ));
+        luma[i][0] = mn; luma[i][1] = mx; luma[i][2] = avg;
+    }
+    int ldims[2] = {5, 3};
+    dump("nominal_luma", (float *) luma, 2, ldims);
+}
+
 int main(int argc, char **argv)
 {
     out = fopen(argc > 1 ? argv[1] : "golden.bin", "wb");
@@ -303,6 +363,7 @@ int main(int argc, char **argv)
     dump_matrices();
     dump_gamut();
     dump_dither();
+    dump_clip_luma();
     fclose(out);
     return 0;
 }

@@ -166,3 +166,22 @@ def test_polar_downscale_antialiases():
     # EWA output is near-uniform gray; nearest keeps full contrast
     assert np.abs(down - 0.5).mean() < 0.1
     assert np.abs(near - 0.5).mean() > 0.4
+
+
+def test_polar_direct_matches_phased():
+    """The direct interleaved EWA (stride-1 upscales) is bit-exact vs
+    the phased path — same weights, same edge clamp, no retiling."""
+    import os
+    from libplacebo_tpu.core import filters as flt
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.ops import polar as ops_polar
+    rng = np.random.default_rng(21)
+    img = jnp.asarray(rng.random((3, 40, 64)).astype(np.float32))
+    cfg = flt.find_filter_config("ewa_lanczos")
+    rect = RectF(0, 0, 64, 40)
+    direct = ops_polar._polar_direct(
+        img, cfg, 80, 128, ops_polar.plan_polar(cfg, 40, 64, 80, 128, rect))
+    phased = ops_polar._polar_phased(
+        img, cfg, 80, 128, ops_polar.plan_polar(cfg, 40, 64, 80, 128, rect),
+        antiring=0.0)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(phased))

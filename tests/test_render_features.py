@@ -244,6 +244,10 @@ def test_phased_tail_matches_interleaved(monkeypatch):
     target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
     params = RenderParams(upscaler="ewa_lanczos",
                           peak_detect=PeakDetectParams(percentile=99.5))
+    # pin both sides to the phased scaler: the test compares tail
+    # LAYOUTS, and the (bit-exact) direct-EWA default still reorders
+    # the peak-reduction tiling enough to flip knife-edge dither pixels
+    monkeypatch.setenv("LPTPU_DIRECT_EWA", "0")
     ref = np.asarray(Renderer()._render_once(frame, target, params))
     monkeypatch.setenv("LPTPU_PHASED_TAIL", "1")
     out = np.asarray(Renderer()._render_once(frame, target, params))

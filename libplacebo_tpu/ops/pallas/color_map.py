@@ -23,7 +23,6 @@ kernel (ops.color.mat_impl): Mosaic has no useful lowering for the tiny
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax

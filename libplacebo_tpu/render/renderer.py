@@ -1073,12 +1073,11 @@ class Renderer:
         the target (reference PL_CLEAR_BLUR, pass_blur renderer.c:2345:
         a dual-filter pyramid; here an iterative half-resolution bilinear
         pyramid with the same pass count, then one cover-resize)."""
-        import math as _math
         radius = max(params.blur_radius, 1e-3)
         a_max = 1.8
-        passes = int(_math.ceil(
-            _math.log(1.0 + radius * radius / (a_max * a_max)) /
-            _math.log(4.0)))
+        passes = int(math.ceil(
+            math.log(1.0 + radius * radius / (a_max * a_max)) /
+            math.log(4.0)))
         passes = min(max(passes, 2), 10)
         x = img
         for _ in range(passes):

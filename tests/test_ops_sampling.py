@@ -185,3 +185,22 @@ def test_polar_direct_matches_phased():
         img, cfg, 80, 128, ops_polar.plan_polar(cfg, 40, 64, 80, 128, rect),
         antiring=0.0)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(phased))
+
+
+def test_polar_direct_matches_phased_with_crop():
+    """Direct EWA with a fractional source crop (shifted bases) still
+    matches the phased path exactly."""
+    from libplacebo_tpu.core import filters as flt
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.ops import polar as ops_polar
+    rng = np.random.default_rng(22)
+    img = jnp.asarray(rng.random((3, 48, 64)).astype(np.float32))
+    cfg = flt.find_filter_config("ewa_lanczos")
+    rect = RectF(2.0, 1.0, 62.0, 41.0)   # integer-offset crop, 2x scale
+    plan = ops_polar.plan_polar(cfg, 48, 64, 80, 120, rect)
+    if not (plan["plan_y"].period and plan["plan_x"].period):
+        import pytest
+        pytest.skip("crop breaks periodicity on this grid")
+    direct = ops_polar._polar_direct(img, cfg, 80, 120, plan)
+    phased = ops_polar._polar_phased(img, cfg, 80, 120, plan, antiring=0.0)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(phased))

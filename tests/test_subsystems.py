@@ -654,3 +654,45 @@ def test_icc_parse_fuzz():
             parse_icc(bytes(b))
         except (ValueError, KeyError, OverflowError, MemoryError):
             pass
+
+
+def test_dv_rpu_parse_fuzz():
+    """Mutated DV RPU bitstreams must raise RpuError (a ValueError) or
+    parse — never crash or hang (the parser is fully bounded: no
+    unchecked loops)."""
+    import numpy as np
+    from libplacebo_tpu.utils.dolbyvision import (DoviRpu, RpuCurve,
+                                                  RpuError, RpuNlq,
+                                                  parse_rpu, write_rpu)
+    denom = 23
+    curve = RpuCurve(num_pivots=2, pivots=(0, 1023), mapping_idc=(0,),
+                     poly_order=(2,),
+                     poly_coef=((1 << denom, 1 << (denom - 1), 0),),
+                     mmr_order=(0,), mmr_constant=(0,), mmr_coef=((),))
+    seeds = [
+        write_rpu(DoviRpu(coef_log2_denom=denom,
+                          curves=(curve, curve, curve),
+                          dm_metadata_present=True)),
+        write_rpu(DoviRpu(vdr_rpu_profile=0, coef_log2_denom=denom,
+                          disable_residual_flag=False,
+                          curves=(curve, curve, curve),
+                          nlq=RpuNlq(pivots=(0, 1023),
+                                     vdr_in_max=(1 << denom,) * 3))),
+    ]
+    rng = np.random.default_rng(0xD0B1)
+    for base in seeds:
+        for _ in range(120):
+            b = bytearray(base)
+            for _ in range(rng.integers(1, 8)):
+                op = rng.integers(0, 3)
+                i = rng.integers(0, len(b))
+                if op == 0:
+                    b[i] = rng.integers(0, 256)
+                elif op == 1 and len(b) > 4:
+                    del b[i]
+                else:
+                    b.insert(i, rng.integers(0, 256))
+            try:
+                parse_rpu(bytes(b))
+            except RpuError:
+                pass

@@ -13,4 +13,4 @@ over ICI.
 from .mesh import make_mesh, shard_frame_batch  # noqa: F401
 from .spatial import sharded_render_step  # noqa: F401
 from .renderer import (build_sharded_pipeline, shard_planes,  # noqa: F401
-                       sharded_state_init)
+                       sharded_render_mix, sharded_state_init)

@@ -85,7 +85,7 @@ from ..render.renderer import (RenderParams, RenderError, Target,
                                color_map_stage, _find_scaler)
 
 __all__ = ["build_sharded_pipeline", "shard_planes", "sharded_state_init",
-           "extend_rows"]
+           "sharded_render_mix", "extend_rows"]
 
 
 # ---------------------------------------------------------------------------
@@ -798,3 +798,42 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
                          next_planes, overlay_datas or (), *planes)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Sharded frame mixing
+# ---------------------------------------------------------------------------
+
+def sharded_render_mix(mesh: Mesh, step, state, frame_planes,
+                       timestamps, vsync_duration: float,
+                       params=None, bit_depth: int = 0,
+                       dither_bias=None, **step_kw):
+    """Multi-chip pl_render_image_mix analog: run the sharded `step`
+    (from build_sharded_pipeline, built with bit_depth=0 on the target
+    so intermediates stay continuous) once per mix frame and blend with
+    the single-chip mixer weights; the weighted sum and the final
+    dither stay row-sharded — no gather (reference
+    pl_render_image_mix, renderer.c:3612: per-frame renders into cached
+    FBOs + one blend pass).
+
+    frame_planes: list (one per mix frame) of sharded plane tuples.
+    Returns (out, new_state) where `state` threads through the frames
+    in timestamp order like successive playback.
+    """
+    from ..render.renderer import DEFAULT_PARAMS, _mix_weights
+    params = params or DEFAULT_PARAMS
+    w = _mix_weights(params, timestamps, vsync_duration)
+    out = None
+    for wi, planes in zip(w, frame_planes):
+        img, state = step(state, *planes, **step_kw)
+        if wi == 0.0:
+            continue
+        term = img * float(wi)
+        out = term if out is None else out + term
+    if out is None:
+        out, state = step(state, *frame_planes[0], **step_kw)
+    if bit_depth and params.dither is not None and \
+            (bit_depth < 16 or params.force_dither):
+        out = ops_dither.dither(out, bit_depth, params.dither,
+                                bias=dither_bias)
+    return jnp.clip(out, 0.0, 1.0), state

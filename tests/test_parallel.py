@@ -528,3 +528,44 @@ def test_sharded_error_diffusion_gspmd(devices):
     ref = _single_chip(frames[0], target, params)
     diff = np.abs(out[0] - ref)
     assert diff.max() <= 1 / 255 + 1e-6, diff.max()
+
+
+def test_sharded_frame_mix_matches_single_chip(devices):
+    """sharded_render_mix blends per-frame sharded renders with the
+    single-chip mixer weights — equal to render_image_mix per frame
+    (reference pl_render_image_mix, renderer.c:3612)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_render_mix,
+                                         sharded_state_init)
+    from libplacebo_tpu.render.queue import FrameMix
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target, render_image_mix)
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    frames = _flagship_frames(3, src_h, src_w, seed=77)
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="lanczos", peak_detect=None,
+                          frame_mixer="oversample")
+    # sharded: intermediates at bit_depth 0, final dither in the mixer
+    inter = Target(w=target.w, h=target.h, color=target.color, bit_depth=0)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, inter, params)
+    frame_planes = [
+        shard_planes(mesh, [np.asarray(f.planes[i].data)[None]
+                            for i in range(len(f.planes))])
+        for f in frames]
+    state = sharded_state_init(mesh, 1)
+    ts = [-0.6, 0.4, 1.4]
+    out, _ = sharded_render_mix(mesh, step, state, frame_planes, ts, 1.0,
+                                params=params, bit_depth=target.bit_depth)
+    r = Renderer()
+    mix = FrameMix(frames=frames, timestamps=ts, vsync_duration=1.0)
+    ref = np.asarray(render_image_mix(r, mix, target, params))
+    diff = np.abs(np.asarray(out)[0] - ref)
+    # blend-order reassociation can flip 8-bit dither on knife edges
+    bad = diff > 1e-5
+    assert bad.mean() <= 1e-3, f"{bad.mean():.2%}"
+    if bad.any():
+        np.testing.assert_allclose(diff[bad], 1 / 255.0, atol=1e-6)

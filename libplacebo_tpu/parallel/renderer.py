@@ -60,7 +60,7 @@ import math
 import warnings
 from dataclasses import replace
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +72,6 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import filters as flt
 from ..core.colorspace import ColorRepr, ColorSpace, ColorTransfer
 from ..core.common import RectF
 from ..ops import color as ops_color

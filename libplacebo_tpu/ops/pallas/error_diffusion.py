@@ -14,16 +14,24 @@ body — against a persistent (MAXOFF, C, H) pending-error VMEM scratch
 exactly the role of the reference's shmem ring buffer).  The BlockSpec
 pipeline double-buffers the per-column DMAs.
 
-~34 ms / 4K frame (vs 93 ms for single-column grid steps and 1.2 s for
-the lax.scan formulation; bit-exact against the scan oracle). Compile
-lessons baked in: 32 columns per grid step as a straight-line unrolled
-chain (single-column steps pay ~11 us each of grid/DMA overhead and a
-~5 min Mosaic compile; an in-kernel fori_loop compiled 10x slower and
-ran 2x slower; K=64 regresses Mosaic compile to ~4 min) — K=32 measures
-54 s cold compile at 4K, and the persistent XLA disk cache
-(core.cache.set_xla_cache_dir) makes it one-time per shape; the
-validity mask is computed from iota on device (embedding a 100 MB mask
-constant cost minutes of XLA time).
+END-TO-END cost at 4K (FS kernel, chained on-device harness like
+bench.py, axon tunnel): ~193 ms/frame — the earlier "34 ms" note was a
+kernel-centric figure that excluded the shear/unshear + column-major
+relayout XLA passes, which dominate (13 bit-roll passes over the
+~200 MB sheared array in each direction plus two big transposes).
+Within the kernel, rolling the error once per dy and scaling the shared
+rolled value per tap (instead of one lane-roll per tap) measured
+207.7 -> 192.8 ms end-to-end, bit-exact.  The lax.scan formulation took
+1.2 s/frame.  Compile lessons baked in: 32 columns per grid step as a
+straight-line unrolled chain (single-column steps pay ~11 us each of
+grid/DMA overhead and a ~5 min Mosaic compile; an in-kernel fori_loop
+compiled 10x slower and ran 2x slower; K=64 regresses Mosaic compile
+~4x) — the persistent XLA disk cache (core.cache.set_xla_cache_dir)
+makes the cold compile one-time per shape; the validity mask is
+computed from iota on device (embedding a 100 MB mask constant cost
+minutes of XLA time).  Next lever if ED ever needs to be realtime: do
+the shear/unshear + relayout as dedicated Pallas kernels (read once,
+roll within VMEM tiles, write once) instead of 13 HBM-pass bit-rolls.
 """
 from __future__ import annotations
 
@@ -78,16 +86,20 @@ def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
         out_ref[k] = quant
 
         # contributions per destination slot (error landing off columns
-        # ahead lands in slot off-1 after the implicit shift)
+        # ahead lands in slot off-1 after the implicit shift).  The
+        # lane-axis roll is the expensive per-tap op, and every tap at
+        # the same dy needs the same rolled error — roll once per dy and
+        # scale the shared rolled value per tap (bit-exact: each
+        # destination still receives the one product wgt*err[src]).
         nxt_window = window[1:] + [jnp.zeros((C, Hp), jnp.float32)]
+        rolled = {0: err}
+        for dy in sorted({d for d, _, _ in taps if d > 0}):
+            # image row y's error lands on row y+dy: shift along the
+            # lane (row) axis with zero fill
+            r = pltpu.roll(err, dy, 1)
+            rolled[dy] = jnp.where(row_ids < dy, 0.0, r)
         for dy, off, wgt in taps:
-            contrib = wgt * err
-            if dy > 0:
-                # image row y's error lands on row y+dy: shift along
-                # the lane (row) axis with zero fill
-                contrib = pltpu.roll(contrib, dy, 1)
-                contrib = jnp.where(row_ids < dy, 0.0, contrib)
-            nxt_window[off - 1] = nxt_window[off - 1] + contrib
+            nxt_window[off - 1] = nxt_window[off - 1] + wgt * rolled[dy]
         window = nxt_window
     for s in range(max_off):
         pending[s] = window[s]

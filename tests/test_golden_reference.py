@@ -395,3 +395,58 @@ def test_golden_nominal_luma_metadata(golden):
         mn, mx, avg = csp.nominal_luma(meta)
         np.testing.assert_allclose([mn, mx, avg], ref[i], rtol=2e-3,
                                    err_msg=f"metadata={meta}")
+
+
+# ---------------------------------------------------------------------------
+# Film-grain synthesis (reference src/shaders/film_grain_av1.c CPU-side
+# generators + film_grain_h274.c generate_slice; dumped by
+# tools/golden/dump_grain_av1.c / dump_grain_h274.c)
+# ---------------------------------------------------------------------------
+
+def _golden_grain_data():
+    from tests.test_film_grain import GRAIN
+    return GRAIN
+
+
+def test_av1_grain_luma_matches_reference(golden):
+    from libplacebo_tpu.core import film_grain as fg
+    lut, _ = fg.generate_grain_y(_golden_grain_data(), seed=7391, bits=8)
+    np.testing.assert_array_equal(lut, golden["grain_av1_lut_y"])
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+@pytest.mark.parametrize("sub", [(1, 1), (0, 0)])
+def test_av1_grain_chroma_matches_reference(golden, ch, sub):
+    from libplacebo_tpu.core import film_grain as fg
+    sx, sy = sub
+    lut = fg.generate_grain_uv(_golden_grain_data(), seed=7391,
+                               channel=ch, sub_x=sx, sub_y=sy, bits=8)
+    name = f"grain_av1_lut_uv{ch}_" + ("420" if sx else "444")
+    np.testing.assert_array_equal(lut, golden[name])
+
+
+def test_av1_grain_offsets_match_reference(golden):
+    from libplacebo_tpu.core import film_grain as fg
+    packed = fg.generate_offsets(7391, 24, 16).astype(np.uint32)
+    got = np.stack([(packed >> s) & 0xFF for s in (24, 16, 8, 0)])
+    np.testing.assert_array_equal(got.astype(np.float32),
+                                  golden["grain_av1_offsets_24x16"])
+
+
+def test_av1_grain_scaling_matches_reference(golden):
+    from libplacebo_tpu.core import film_grain as fg
+    g = _golden_grain_data()
+    y = fg.generate_scaling(g.points_y, g.scaling_shift)
+    np.testing.assert_array_equal(y, golden["grain_av1_scaling_y"])
+    u = fg.generate_scaling(g.points_uv[0], g.scaling_shift)
+    np.testing.assert_array_equal(u, golden["grain_av1_scaling_u"])
+
+
+@pytest.mark.parametrize("hv", [(0, 0), (1, 2), (6, 6), (12, 12),
+                                (2, 12), (12, 0)])
+def test_h274_grain_slices_match_reference(golden, hv):
+    from libplacebo_tpu.ops import film_grain_h274 as h274
+    h, v = hv
+    got = h274._generate_slice(h, v)
+    np.testing.assert_allclose(got, golden[f"grain_h274_slice_{h}_{v}"],
+                               atol=1e-7)

@@ -48,6 +48,19 @@ g++ -O2 -std=c++20 -D_GNU_SOURCE -DPL_HAVE_PTHREAD -I"$BUILD" \
 gcc $CFLAGS "$HERE/dump_golden.c" $SRCS "$BUILD/convert.o" -lm -lstdc++ \
     -o "$BUILD/dump_golden"
 "$BUILD/dump_golden" "$BUILD/golden.bin"
+
+# Film-grain synthesis dumpers: each #includes the reference shader .c
+# to reach its static CPU-side generators; -ffunction-sections +
+# --gc-sections discards the uncalled shader-machinery functions before
+# their GPU symbols would need resolving.
+GCSEC="-ffunction-sections -fdata-sections -Wl,--gc-sections"
+for fam in av1 h274; do
+    gcc $CFLAGS $GCSEC "$HERE/dump_grain_$fam.c" $SRCS "$BUILD/convert.o" \
+        -lm -lstdc++ -o "$BUILD/dump_grain_$fam"
+    "$BUILD/dump_grain_$fam" "$BUILD/grain_$fam.bin"
+    cat "$BUILD/grain_$fam.bin" >> "$BUILD/golden.bin"
+done
+
 python3 "$HERE/convert_golden.py" "$BUILD/golden.bin" \
     "$REPO/tests/golden/reference_golden.npz"
 echo "wrote $REPO/tests/golden/reference_golden.npz"

@@ -26,7 +26,9 @@ rolled value per tap (instead of one lane-roll per tap) measured
 straight-line unrolled chain (single-column steps pay ~11 us each of
 grid/DMA overhead and a ~5 min Mosaic compile; an in-kernel fori_loop
 compiled 10x slower and ran 2x slower; K=64 regresses Mosaic compile
-~4x) — the persistent XLA disk cache (core.cache.set_xla_cache_dir)
+~4x AND runtime — 264 ms end-to-end MEASURED vs 193 at K=32; K=128
+exceeds the 16 MB VMEM scoped limit outright) — the persistent XLA
+disk cache (core.cache.set_xla_cache_dir)
 makes the cold compile one-time per shape; the validity mask is
 computed from iota on device (embedding a 100 MB mask constant cost
 minutes of XLA time).  Next lever if ED ever needs to be realtime: do

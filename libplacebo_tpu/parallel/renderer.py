@@ -33,7 +33,7 @@ Every op in the single-chip pipeline falls in one of three classes:
 Mesh layout: frames batch over 'data', rows of each frame over
 'spatial'.  Peak-detect state is per frame: (B, 2).
 
-Supported subset (asserted at build time): the flagship path — planar
+Halo-pipeline coverage: the flagship path — planar
 or packed input (alpha planes included), chroma merge, linear/sigmoid
 scaling, separable or polar scalers with anti-ringing, peak detect, any
 tone/gamut mapping, contrast recovery (halo'd feature-map resizes),
@@ -53,8 +53,10 @@ reversal.  90/270 rotation (transposes the sharded axis), user hooks
 ONE pass in the reference too, dithering.c:326) run through
 `_build_gspmd_step` instead: the single-chip trace vmapped + jit'd with
 sharding constraints, XLA's SPMD partitioner inserting the
-all-to-all / halo / gather collectives.  Every renderer feature is now
-executable multi-chip.
+all-to-all / halo / gather collectives.  Geometry the halo pipeline
+cannot express (row counts not divisible by the mesh, halos exceeding
+the local block, partial row crops) also falls back to the GSPMD step
+(logged), so every renderable config is executable multi-chip.
 """
 from __future__ import annotations
 
@@ -132,9 +134,18 @@ def _halo_polar(cfg, src_h: int, src_w: int, dst_h: int, dst_w: int,
 
 def shard_planes(mesh: Mesh, planes: Sequence):
     """Place per-plane (B, C, ph, pw) arrays: B over 'data', rows over
-    'spatial'."""
-    sh = NamedSharding(mesh, P("data", None, "spatial", None))
-    return tuple(jax.device_put(jnp.asarray(p), sh) for p in planes)
+    'spatial'.  Planes whose row count is not divisible by the mesh
+    (only reachable through the GSPMD fallback, which reshards inside
+    the jit anyway) are placed batch-sharded only — device_put cannot
+    split an indivisible axis."""
+    n_sp = int(mesh.shape["spatial"])
+    out = []
+    for p in planes:
+        p = jnp.asarray(p)
+        spec = P("data", None, "spatial", None) \
+            if p.shape[-2] % n_sp == 0 else P("data")
+        out.append(jax.device_put(p, NamedSharding(mesh, spec)))
+    return tuple(out)
 
 
 def sharded_state_init(mesh: Mesh, batch: int):
@@ -146,6 +157,17 @@ def sharded_state_init(mesh: Mesh, batch: int):
 def _check(cond, msg):
     if not cond:
         raise RenderError(f"sharded pipeline: {msg}")
+
+
+class _HaloUnsupported(Exception):
+    """The hand-written halo pipeline cannot express this config (row
+    counts not divisible by the mesh, halos exceeding the local block,
+    partial row crops, ...); the caller falls back to the GSPMD step."""
+
+
+def _require(cond, msg):
+    if not cond:
+        raise _HaloUnsupported(msg)
 
 
 def build_sharded_pipeline(mesh: Mesh, plane_metas,
@@ -169,6 +191,14 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     the same sharding.  Per batch element the output equals the
     single-chip `Renderer.render` of that frame.
 
+    Configs the hand-written halo pipeline cannot express — features
+    with arbitrary communication (hooks, 90/270 rotation, error
+    diffusion, distortion, blur/skip borders) as well as geometry it
+    does not handle (row counts not divisible by the mesh, halos
+    exceeding the local block, partial row crops) — fall back to the
+    GSPMD auto-partitioned step (logged), so every renderable config is
+    executable multi-chip.
+
     grain_tables: per-frame AV1 tables (ops.film_grain.prepare_av1_grain
     per plane, stacked over the batch dim) when the frame carries grain.
     dovi_packed: ops.dovi.pack_dovi coefficients, batched.
@@ -178,10 +208,9 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     sharded like the output, blended per params.blend (the reference's
     pl_blend_params hardware blending on the final pass).
     """
-    from ..render.renderer import DEFAULT_PARAMS, Renderer
+    from ..core.log import default_log
+    from ..render.renderer import DEFAULT_PARAMS
     params = params or DEFAULT_PARAMS
-    n_sp = int(mesh.shape["spatial"])
-    axis = "spatial"
 
     # ---- features the hand-tuned halo pipeline cannot express run
     # under GSPMD auto-partitioning instead (same trace as single-chip;
@@ -190,14 +219,33 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     # halos each user hook's stencil implies)
     border_mode = "skip" if params.skip_target_clearing else \
         (params.border or params.background)
+    gspmd_args = (mesh, plane_metas, frame_repr, frame_color, target,
+                  params, crop, frame_grain, field, first_field,
+                  frame_icc, has_temporal, overlays, rotation)
     if params.hooks or rotation % 4 in (1, 3) or \
             params.error_diffusion is not None or \
             params.distort is not None or \
             border_mode in ("blur", "skip"):
-        return _build_gspmd_step(
-            mesh, plane_metas, frame_repr, frame_color, target, params,
-            crop, frame_grain, field, first_field, frame_icc,
-            has_temporal, overlays, rotation)
+        return _build_gspmd_step(*gspmd_args)
+    try:
+        return _build_halo_step(*gspmd_args)
+    except _HaloUnsupported as e:
+        default_log().info(
+            f"sharded renderer: {e} -> GSPMD auto-partitioned step "
+            "(XLA-inserted collectives), not the halo pipeline")
+        return _build_gspmd_step(*gspmd_args)
+
+
+def _build_halo_step(mesh: Mesh, plane_metas,
+                     frame_repr: ColorRepr, frame_color: ColorSpace,
+                     target: Target, params, crop, frame_grain, field,
+                     first_field, frame_icc, has_temporal, overlays,
+                     rotation):
+    """The hand-written halo pipeline (see build_sharded_pipeline);
+    raises _HaloUnsupported for geometry it cannot express."""
+    from ..render.renderer import Renderer
+    n_sp = int(mesh.shape["spatial"])
+    axis = "spatial"
     blend_on = params.blend is not None
 
     # ---- target sub-rect / corner rounding: composited OUTSIDE the
@@ -214,7 +262,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                        x0_t, y0_t) != (target.w, target.h, 0, 0)
     needs_outer = needs_composite or params.corner_rounding > 0
     if needs_outer:
-        _check(target.h % n_sp == 0,
+        _require(target.h % n_sp == 0,
                f"target rows {target.h} % {n_sp} != 0")
 
     # ---- overlay plans (reference draw_overlays, renderer.c:811):
@@ -236,12 +284,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     ref_i = Renderer._ref_plane_index(plane_metas)
     H, W = plane_metas[ref_i][0][-2], plane_metas[ref_i][0][-1]
     crop = crop or RectF(0, 0, W, H)
-    _check(crop.y0 == 0 and crop.y1 == H,
+    _require(crop.y0 == 0 and crop.y1 == H,
            "row crop must span the full frame (rows are the sharded axis)")
     dst_w = int(round(dst_crop_t.w))
     dst_h = int(round(dst_crop_t.h))
-    _check(H % n_sp == 0, f"src rows {H} % {n_sp} != 0")
-    _check(dst_h % n_sp == 0, f"dst rows {dst_h} % {n_sp} != 0")
+    _require(H % n_sp == 0, f"src rows {H} % {n_sp} != 0")
+    _require(dst_h % n_sp == 0, f"dst rows {dst_h} % {n_sp} != 0")
     H_l, dst_l = H // n_sp, dst_h // n_sp
 
     # ---- chroma-merge plans (mirrors Renderer._merge_planes)
@@ -249,12 +297,12 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     merge_plans = []
     for shape, mapping, sx, sy in plane_metas:
         ph, pw = shape[-2], shape[-1]
-        _check(ph % n_sp == 0, f"plane rows {ph} % {n_sp} != 0")
+        _require(ph % n_sp == 0, f"plane rows {ph} % {n_sp} != 0")
         if (ph, pw) != (H, W) or sx or sy:
             s0x = -sx * pw / W
             s0y = -sy * ph / H
             halo_m = _halo_ortho(merge_cfg, ph, H, s0y, s0y + ph, n_sp)
-            _check(halo_m <= ph // n_sp,
+            _require(halo_m <= ph // n_sp,
                    f"merge halo {halo_m} exceeds local rows {ph // n_sp}")
             rect_l = RectF(s0x, s0y + halo_m, s0x + pw, s0y + halo_m +
                            ph // n_sp)
@@ -269,7 +317,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     di_on = params.deinterlace is not None and field is not None
     if di_on:
         for shape, _m, _sx, _sy in plane_metas:
-            _check(shape[-2] // n_sp >= 4,
+            _require(shape[-2] // n_sp >= 4,
                    "deinterlace halo (4 rows) exceeds local rows")
 
     deband_tabs = None
@@ -281,7 +329,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                 continue
             pl_rows = shape[-2] // n_sp
             halo_db = ops_deband.deband_halo(params.deband, i)
-            _check(halo_db <= pl_rows,
+            _require(halo_db <= pl_rows,
                    f"deband halo {halo_db} exceeds local rows {pl_rows}")
             # full-frame random tables, baked as constants; each shard
             # slices its rows so every pixel sees the single-chip draw
@@ -300,7 +348,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
                                                            grain_cfgs):
                     if cfg_g is None:
                         continue
-                    _check(H_l % (1 << cfg_g.sub_y) == 0,
+                    _require(H_l % (1 << cfg_g.sub_y) == 0,
                            "luma local rows must align with chroma "
                            "subsampling for grain scaling")
         elif frame_grain.type == "h274":
@@ -308,7 +356,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             if ops_h274.needs_fg_h274(frame_grain):
                 h274_grain = frame_grain
                 for shape, _m, _sx, _sy in plane_metas:
-                    _check(shape[-2] // n_sp % 8 == 0,
+                    _require(shape[-2] // n_sp % 8 == 0,
                            "H.274 grain: local rows must be a multiple "
                            "of the 8-row block")
 
@@ -329,11 +377,11 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             sy_ax = src_h_c / dst_h
             cfg_v = down if (down is not None and sy_ax > 1.0) else cfg_s
             halo_s = _halo_ortho(cfg_v, H, dst_h, crop.y0, crop.y1, n_sp)
-        _check(halo_s <= H_l,
+        _require(halo_s <= H_l,
                f"scaler halo {halo_s} exceeds local rows {H_l}")
         rect_s = RectF(crop.x0, halo_s, crop.x1, halo_s + H_l)
     else:
-        _check(dst_h == H, "pass-through requires matching row counts")
+        _require(dst_h == H, "pass-through requires matching row counts")
         cfg_s = down = None
         halo_s = 0
         rect_s = None
@@ -360,7 +408,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
             and params.contrast_smoothness > 1:
         lh = max(1, int(math.ceil(dst_h / params.contrast_smoothness)))
         lw = max(1, int(math.ceil(dst_w / params.contrast_smoothness)))
-        _check(lh % n_sp == 0,
+        _require(lh % n_sp == 0,
                f"contrast recovery: feature rows {lh} % {n_sp} != 0 "
                "(pick a contrast_smoothness dividing the row count)")
         lh_l = lh // n_sp
@@ -368,7 +416,7 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
         cfg_bic = _find_scaler("bicubic")
         halo_dn = _halo_ortho(cfg_bil, dst_h, lh, 0.0, dst_h, n_sp)
         halo_up = _halo_ortho(cfg_bic, lh, dst_h, 0.0, lh, n_sp)
-        _check(halo_dn <= dst_l and halo_up <= lh_l,
+        _require(halo_dn <= dst_l and halo_up <= lh_l,
                "contrast recovery halo exceeds local rows")
 
         def recovery_impl(x, base, cr, out_min, out_max):
@@ -769,7 +817,11 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
     why = ("user hooks" if params.hooks else
            f"rotation {rotation % 4 * 90}" if rotation % 4 in (1, 3) else
            "distortion" if params.distort is not None else
-           "error diffusion (whole-frame serial scan, replicated pass)")
+           "error diffusion (whole-frame serial scan, replicated pass)"
+           if params.error_diffusion is not None else
+           "blur/skip border" if (params.border or params.background)
+           in ("blur", "skip") or params.skip_target_clearing else
+           "halo-unsupported geometry")
     default_log().info(
         f"sharded renderer: {why} -> GSPMD auto-partitioned step (XLA-"
         "inserted collectives), not the halo pipeline")

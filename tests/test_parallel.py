@@ -491,6 +491,28 @@ def test_sharded_target_blend_requires_blend_params(devices):
                      step_kw=dict(target_data=tgt_np))
 
 
+def test_sharded_indivisible_rows_fall_back_to_gspmd(devices):
+    """Row counts not divisible by the mesh can't run through the halo
+    pipeline; the builder must fall back to the GSPMD step (logged)
+    instead of raising, and still match single-chip."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 60, 96            # 60 % 4 == 0 but 2*60=120, 120%4==0;
+    # use a crop that violates the full-row-span requirement instead
+    from libplacebo_tpu.core.common import RectF
+    target = Target(w=128, h=96, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(1, src_h, src_w, seed=59)
+    frames[0].crop = RectF(4, 6, 4 + 64, 6 + 48)
+    out, _ = _run_sharded(mesh, frames, target, params,
+                          build_kw=dict(crop=RectF(4, 6, 4 + 64, 6 + 48)))
+    ref = _single_chip(frames[0], target, params)
+    diff = np.abs(out[0] - ref)
+    assert diff.max() < 5e-3, diff.max()
+    assert diff.mean() < 1e-5, diff.mean()
+
+
 def test_sharded_rotation180_matches_renderer(devices):
     from libplacebo_tpu.core.colorspace import CSP_SRGB
     from libplacebo_tpu.core.common import Rotation

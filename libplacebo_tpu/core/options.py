@@ -289,8 +289,8 @@ def _build_table() -> List[_Opt]:
         # ---- color mapping (options.c:967-1016)
         field_opt("gamut_mapping", "enum", "gamut_mapping",
                   choices=("clip", "perceptual", "softclip", "relative",
-                           "desaturate", "saturation", "linear", "darken",
-                           "none")),
+                           "desaturate", "saturation", "absolute",
+                           "highlight", "linear", "darken", "none")),
         const_opt("perceptual_deadzone", "gamut_constants",
                   "perceptual_deadzone", 0.0, 1.0),
         const_opt("perceptual_strength", "gamut_constants",

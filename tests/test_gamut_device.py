@@ -159,3 +159,63 @@ def test_softclip_hueshift_behavior(bounds):
     outg = np.asarray(og.map_gamut(gray, "softclip", b2020, b709,
                                    to_norm=TO_NORM))
     np.testing.assert_allclose(outg, 0.4, atol=5e-3)
+
+
+def test_absolute_device(bounds):
+    """absolute = inverse chromatic adaptation + relative clip: equals
+    relative when the white points match, stays in range, and shifts
+    achromatic colors when the whites differ."""
+    b2020, b709 = bounds
+    rgb = _oog_frame(bounds)
+    out = np.asarray(og.map_gamut(rgb, "absolute", b2020, b709,
+                                  to_norm=TO_NORM))
+    assert np.all(np.isfinite(out))
+    assert out.min() >= -1e-3
+    assert out.max() <= (b709.max_rgb / TO_NORM) + 1e-2
+    # same white point (both D65): absolute == relative
+    rel = np.asarray(og.map_gamut(rgb, "relative", b2020, b709,
+                                  to_norm=TO_NORM))
+    # identity adaptation still takes one extra f32 RGB->ICh->RGB
+    # PQ roundtrip vs the direct relative path: ~3e-4 noise
+    np.testing.assert_allclose(out, rel, atol=1e-3)
+    # different white: build a DCI-P3 (theater white) destination
+    from libplacebo_tpu.core.colorspace import ColorPrimaries, primaries_get
+    prim_dci = primaries_get(ColorPrimaries.DCI_P3)
+    b_dci = og.fit_boundary(prim_dci, MIN_L, MAX_L)
+    gray = jnp.full((3, 4, 4), 0.35, jnp.float32)
+    out_abs = np.asarray(og.map_gamut(gray, "absolute", b2020, b_dci,
+                                      to_norm=TO_NORM))
+    out_rel = np.asarray(og.map_gamut(gray, "relative", b2020, b_dci,
+                                      to_norm=TO_NORM))
+    assert np.abs(out_abs - out_rel).max() > 1e-3
+
+
+def test_highlight_device(bounds):
+    """highlight leaves in-gamut pixels untouched and recolors
+    out-of-gamut ones exactly like the host oracle formula."""
+    b2020, b709 = bounds
+    gray = jnp.full((3, 4, 4), 0.4, jnp.float32)
+    out = np.asarray(og.map_gamut(gray, "highlight", b2020, b709,
+                                  to_norm=TO_NORM))
+    np.testing.assert_allclose(out, 0.4, atol=1e-4)
+
+    rgb = _oog_frame(bounds)
+    out = np.asarray(og.map_gamut(rgb, "highlight", b2020, b709,
+                                  to_norm=TO_NORM))
+    # host oracle: same formula through core.gamut_mapping primitives
+    x = np.moveaxis(np.asarray(rgb), 0, -1) * TO_NORM
+    g = gm._Gamut(primaries_get(ColorPrimaries.BT_709), MIN_L, MAX_L)
+    ipt = gm._rgb2ipt(x, g)
+    from libplacebo_tpu.core.gamut_mapping import GamutMapParams
+    bad = ~gm._ingamut(ipt, g)
+    hi = np.stack([np.minimum(ipt[..., 0] + 0.1, 1.0),
+                   np.clip(-1.2 * ipt[..., 1], -0.5, 0.5),
+                   np.clip(-1.2 * ipt[..., 2], -0.5, 0.5)], axis=-1)
+    ref_ipt = np.where(bad[..., None], hi, ipt)
+    ref = np.moveaxis(gm._ipt2rgb(ref_ipt, g), -1, 0) / TO_NORM
+    # knife-edge ingamut pixels may flip between float paths: compare
+    # away from the boundary
+    diff = np.abs(out - ref)
+    assert (diff.max(axis=0) < 1e-3).mean() > 0.97
+    # f32 device vs f64 host-oracle PQ roundtrips: ~5e-5 noise floor
+    assert np.median(diff) < 3e-4

@@ -19,10 +19,16 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.colorspace import HdrScaling, hdr_rescale
 from ..core.tone_mapping import ToneMapConstants
-from ..core.transfer import pow_pos
+from ..core.transfer import pow_pos, pq_eotf, pq_oetf
 
-__all__ = ["tone_map_dynamic"]
+__all__ = ["tone_map_dynamic", "DYNAMIC_TONE_FUNCTIONS"]
+
+# curves evaluable with traced scene statistics (the reference allows
+# peak detection with ANY function by regenerating the LUT per frame;
+# these four cover every PQ/NITS-domain dynamic operator it ships)
+DYNAMIC_TONE_FUNCTIONS = ("spline", "bt2390", "st2094-40", "st2094-10")
 
 
 def _smoothstep(e0, e1, x):
@@ -98,6 +104,75 @@ def tone_map_dynamic(x, function: str,
                       ((Qa * xs + Qb) * xs + Qc) * xs,
                       (Pa * xs + Pb) * xs)
         return jnp.clip(y + dst_pivot, dst_min, dst_max)
+
+    if function in ("st2094-40", "st2094-10"):
+        # both ST 2094 curves run in their native NITS scaling
+        # (reference .scaling = PL_HDR_NITS); stats/pixels convert
+        # PQ -> nits on device, the curve applies, and the result
+        # converts back — the traced analog of pl_tone_map_generate
+        # rebaking the LUT per detected peak
+        sm = pq_eotf(src_max) * 10000.0
+        smin = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS, src_min)
+        dmin = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS, dst_min)
+        dmax = hdr_rescale(HdrScaling.PQ, HdrScaling.NITS, dst_max)
+        # the knee is picked in PQ space regardless of the curve's
+        # native scaling (reference st2094_pick_knee) and converted out
+        knee_pq_src, knee_pq_dst = _pick_knee(src_min, src_max, src_avg,
+                                              dst_min, dst_max, c)
+        src_knee = pq_eotf(knee_pq_src) * 10000.0
+        dst_knee = pq_eotf(knee_pq_dst) * 10000.0
+        xn = pq_eotf(jnp.clip(x, src_min, src_max)) * 10000.0
+
+        if function == "st2094-10":
+            # rational curve through (x1,y1) (knee) (x3,y3)
+            # (reference st2094_10, tone_mapping.c:451)
+            x1, x2, x3 = smin, src_knee, sm
+            y1, y2, y3 = dmin, dst_knee, dmax
+            coef1 = x2 * x3 * (y2 - y3) * y1 + x1 * x3 * (y3 - y1) * y2 \
+                + x1 * x2 * (y1 - y2) * y3
+            coef2 = (x3 * y3 - x2 * y2) * y1 + (x1 * y1 - x3 * y3) * y2 \
+                + (x2 * y2 - x1 * y1) * y3
+            coef3 = (x3 - x2) * y1 + (x1 - x3) * y2 + (x2 - x1) * y3
+            k = 1.0 / (x3 * y3 * (x1 - x2) + x2 * y2 * (x3 - x1) +
+                       x1 * y1 * (x2 - x3))
+            y = (k * coef1 + k * coef2 * xn) / (1.0 + k * coef3 * xn)
+        else:
+            # st2094-40 Annex B without HDR10+ OOTF metadata (the
+            # detected-peak path; reference tone_mapping.c:409 with
+            # T = D, so the D<T / D>T reshaping branches vanish).
+            # Bernstein sum with P = [0, P1, 1, ..., 1] collapses to
+            # the closed form 1 - B0 - (1-P1)*B1 (Bernstein partition
+            # of unity), so the traced curve order N never needs a
+            # table lookup.
+            def bt1886_oetf(v, lo, hi):
+                lb = pow_pos(lo, 1 / 2.4)
+                lw = pow_pos(hi, 1 / 2.4)
+                return (pow_pos(jnp.maximum(v, 0.0), 1 / 2.4) - lb) / \
+                    jnp.maximum(lw - lb, 1e-9)
+
+            def bt1886_eotf(v, lo, hi):
+                lb = pow_pos(lo, 1 / 2.4)
+                lw = pow_pos(hi, 1 / 2.4)
+                return pow_pos((lw - lb) * v + lb, 2.4)
+
+            Kx = jnp.clip(src_knee / jnp.maximum(sm, 1e-9), 1e-6, 1.0)
+            Ky = jnp.clip(dst_knee / max(dmax, 1e-9), 0.0, 1.0 - 1e-6)
+            slope = Ky / Kx * (1 - Kx) / jnp.maximum(1 - Ky, 1e-9)
+            N = jnp.clip(jnp.ceil(slope), 2.0, 16.0)
+            P1 = jnp.minimum(slope / N, 1.0)
+
+            xb = bt1886_eotf(bt1886_oetf(xn, smin, sm), 0.0, 1.0)
+            t = jnp.clip((xb - Kx) / jnp.maximum(1 - Kx, 1e-9), 0.0, 1.0)
+            B0 = pow_pos(jnp.maximum(1 - t, 0.0), N)
+            B1 = N * t * pow_pos(jnp.maximum(1 - t, 0.0), N - 1.0)
+            bez = 1.0 - B0 - (1.0 - P1) * B1
+            bez = Ky + (1 - Ky) * bez
+            lin = xb * Ky / Kx
+            yb = jnp.where(xb <= Kx, lin, bez)
+            y = bt1886_eotf(bt1886_oetf(yb, 0.0, 1.0), dmin, dmax)
+
+        y = pq_oetf(jnp.maximum(y, 0.0) / 10000.0)
+        return jnp.clip(y, dst_min, dst_max)
 
     if function == "bt2390":
         # reference tone_mapping.c:496-538 with traced constants

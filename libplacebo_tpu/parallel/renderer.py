@@ -392,9 +392,13 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                    and not src_color.is_hdr())
     need_color_map = (src_color.primaries != dst_color.primaries or
                       src_color.transfer != dst_color.transfer)
+    from ..ops.tone_dynamic import DYNAMIC_TONE_FUNCTIONS
+    _tm_fn = params.tone_mapping_function
     use_peak = (params.peak_detect is not None and src_color.is_hdr()
                 and need_color_map
-                and params.tone_mapping_function in ("spline", "bt2390"))
+                and _tm_fn in DYNAMIC_TONE_FUNCTIONS
+                and not (_tm_fn == "st2094-40"
+                         and src_color.hdr.ootf is not None))
     if use_peak and dst_l % 16 != 0:
         warnings.warn(
             f"sharded peak detect: local rows {dst_l} not a multiple of "

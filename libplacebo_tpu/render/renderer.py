@@ -401,7 +401,11 @@ def color_map_stage(img, src: ColorSpace, dst: ColorSpace,
                                       src_max_n),
                 input_avg=hdr_rescale(HdrScaling.NITS, HdrScaling.PQ,
                                       src_avg_n) if src_avg_n else 0.0,
-                output_min=dst_min_pq, output_max=dst_max_pq)
+                output_min=dst_min_pq, output_max=dst_max_pq,
+                # source HDR metadata so st2094-40 honors the HDR10+
+                # OOTF bezier anchors (reference fills
+                # pl_tone_map_params.hdr from the image csp)
+                hdr=src_inf.hdr)
             base = lambda x: tm.apply_device(x, p)
         cr = params.contrast_recovery
         # tone_recovery_impl: override for the low-pass feature-map
@@ -716,10 +720,18 @@ class Renderer:
                 if ops_h274.needs_fg_h274(frame_grain):
                     h274_grain = frame_grain
 
+        # peak detection works with every dynamic-capable curve
+        # (reference: the LUT is regenerated from the detected peak for
+        # ANY function); st2094-40 with HDR10+ OOTF anchors stays on the
+        # static metadata-driven curve instead
+        from ..ops.tone_dynamic import DYNAMIC_TONE_FUNCTIONS
+        _tm_fn = params.tone_mapping_function
         use_peak = (params.peak_detect is not None and src_color.is_hdr()
                     and (src_color.primaries != dst_color.primaries or
                          src_color.transfer != dst_color.transfer)
-                    and params.tone_mapping_function in ("spline", "bt2390"))
+                    and _tm_fn in DYNAMIC_TONE_FUNCTIONS
+                    and not (_tm_fn == "st2094-40"
+                             and src_color.hdr.ootf is not None))
 
         n_planes = len(plane_metas)
 

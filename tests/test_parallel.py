@@ -123,6 +123,29 @@ def test_sharded_flagship_matches_renderer(devices, data, spatial):
                                    atol=1e-6)
 
 
+def test_sharded_st2094_dynamic_peak_matches_renderer(devices):
+    """st2094-40 with traced detected-peak stats through the sharded
+    pipeline equals single-chip (DYNAMIC_TONE_FUNCTIONS extension)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos",
+                          tone_mapping_function="st2094-40",
+                          peak_detect=PeakDetectParams(percentile=99.5))
+    frames = _flagship_frames(1, src_h, src_w, seed=61)
+    out, new_state = _run_sharded(mesh, frames, target, params)
+    r = Renderer()
+    ref = np.asarray(r._render_once(frames[0], target, params))
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+    assert np.asarray(new_state).any()
+    np.testing.assert_allclose(new_state[0], np.asarray(r._peak_state),
+                               atol=1e-6)
+
+
 def test_sharded_separable_sdr_matches_renderer(devices):
     """Separable Lanczos + sigmoidized linear scaling, SDR->SDR
     (BT.1886 -> sRGB transfer-only color map), no dither."""

@@ -469,3 +469,59 @@ def test_visualize_tone_map_overlay():
     assert changed[:16, :32].any()          # top-left painted
     assert not changed[16:, :].any()        # bottom untouched
     assert not changed[:16, 32:].any()      # top-right untouched
+
+
+def test_st2094_dynamic_peak_detection():
+    """st2094-40/-10 now run with traced detected-peak stats (reference
+    regenerates the LUT from the detected peak for any function): the
+    peak state must advance, and output must react to content peak."""
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    rng = np.random.default_rng(5)
+    y = (rng.random((48, 64)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((24, 32)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((24, 32)) * 224 + 16).astype(np.uint8)
+    f = frame_from_yuv420p(y, u, v, color=CSP_BT2100_PQ,
+                           repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                                          levels=ColorLevels.LIMITED,
+                                          bits=BitEncoding(8, 8, 0)))
+    tgt = Target(w=64, h=48, color=CSP_SRGB)
+    for fn in ("st2094-40", "st2094-10"):
+        r = Renderer()
+        params = _params(tone_mapping_function=fn,
+                         peak_detect=PeakDetectParams(
+                             percentile=99.5, allow_delayed=False))
+        out = np.asarray(r.render(f, tgt, params))
+        assert np.all(np.isfinite(out)), fn
+        state = np.asarray(r._peak_state)
+        assert state.any(), (fn, state)   # detection actually ran
+
+
+def test_st2094_40_honors_hdr10plus_ootf():
+    """HDR10+ OOTF bezier anchors change the static st2094-40 curve
+    (previously the metadata never reached ToneMapParams)."""
+    from dataclasses import replace as dc_replace
+    from libplacebo_tpu.core.colorspace import HdrBezier
+    rng = np.random.default_rng(6)
+    y = (rng.random((48, 64)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((24, 32)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((24, 32)) * 224 + 16).astype(np.uint8)
+
+    def make(ootf):
+        color = CSP_BT2100_PQ
+        if ootf is not None:
+            color = dc_replace(
+                color, hdr=dc_replace(color.hdr, ootf=ootf))
+        return frame_from_yuv420p(
+            y, u, v, color=color,
+            repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                           levels=ColorLevels.LIMITED,
+                           bits=BitEncoding(8, 8, 0)))
+
+    tgt = Target(w=64, h=48, color=CSP_SRGB)
+    params = _params(tone_mapping_function="st2094-40", peak_detect=None)
+    out_plain = np.asarray(Renderer().render(make(None), tgt, params))
+    bez = HdrBezier(target_luma=500.0, knee_x=0.3, knee_y=0.25,
+                    anchors=(0.2, 0.5, 0.8))
+    out_bez = np.asarray(Renderer().render(make(bez), tgt, params))
+    assert np.all(np.isfinite(out_bez))
+    assert not np.array_equal(out_plain, out_bez)

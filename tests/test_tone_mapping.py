@@ -125,3 +125,58 @@ def test_st2094_40_with_metadata():
     lut = tm.generate(p)
     assert np.all(np.isfinite(lut))
     assert np.all(np.diff(lut) >= -1e-4)
+
+
+def test_dynamic_st2094_matches_host_curves():
+    """tone_map_dynamic('st2094-40'/'st2094-10') with FIXED traced stats
+    must match the host curve generator (which is golden-verified
+    against the compiled reference)."""
+    import jax.numpy as jnp
+    from libplacebo_tpu.core import tone_mapping as tm
+    from libplacebo_tpu.core.colorspace import HdrScaling, hdr_rescale
+    from libplacebo_tpu.ops.tone_dynamic import tone_map_dynamic
+
+    src_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 1000.0)
+    src_avg_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 120.0)
+    dst_min_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 0.005)
+    dst_max_pq = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 203.0)
+
+    for name in ("st2094-40", "st2094-10"):
+        fun = tm.find_tone_map_function(name)
+        p = tm.ToneMapParams(
+            function=fun, lut_size=1024,
+            input_scaling=HdrScaling.PQ, output_scaling=HdrScaling.PQ,
+            input_min=0.0, input_max=src_max_pq, input_avg=src_avg_pq,
+            output_min=dst_min_pq, output_max=dst_max_pq)
+        lut = tm.generate(p)
+        xs = np.linspace(0.0, src_max_pq, p.lut_size).astype(np.float32)
+        dev = np.asarray(tone_map_dynamic(
+            jnp.asarray(xs), name,
+            src_max=jnp.float32(src_max_pq), src_avg=jnp.float32(src_avg_pq),
+            dst_min=dst_min_pq, dst_max=dst_max_pq))
+        # f32 PQ roundtrips on device vs f64 host: ~1e-3 worst case
+        assert np.abs(dev - lut).max() < 2e-3, name
+        # monotone non-decreasing
+        assert np.all(np.diff(dev) > -1e-5), name
+
+
+def test_dynamic_st2094_tracks_peak():
+    """Raising the detected peak must lower mapped mid-tones (more
+    compression) without any recompilation."""
+    import jax
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.colorspace import HdrScaling, hdr_rescale
+    from libplacebo_tpu.ops.tone_dynamic import tone_map_dynamic
+
+    dst_min = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 0.005)
+    dst_max = hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 203.0)
+    f = jax.jit(lambda x, mx, avg: tone_map_dynamic(
+        x, "st2094-40", src_max=mx, src_avg=avg,
+        dst_min=dst_min, dst_max=dst_max))
+    xs = jnp.asarray(np.linspace(0.3, 0.7, 64, dtype=np.float32))
+    avg = jnp.float32(hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 100.0))
+    lo = np.asarray(f(xs, jnp.float32(
+        hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 600.0)), avg))
+    hi = np.asarray(f(xs, jnp.float32(
+        hdr_rescale(HdrScaling.NITS, HdrScaling.PQ, 4000.0)), avg))
+    assert np.mean(hi) < np.mean(lo)

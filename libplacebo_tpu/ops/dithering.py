@@ -123,9 +123,10 @@ def error_diffusion(img, new_depth: int,
     """Error-diffusion dither of (..., C, H, W) to `new_depth` bits.
 
     Dispatches to the Pallas wavefront kernel
-    (ops.pallas.error_diffusion — 94 ms at 4K vs 1.2 s for the lax.scan
-    formulation below, bit-exact) with interpreter mode on CPU backends.
-    The scan implementation is retained as the cross-checking oracle.
+    (ops.pallas.error_diffusion — ~7 ms/frame at 4K end-to-end with the
+    Pallas shear kernels, vs 1.2 s for the lax.scan formulation below,
+    bit-exact) with interpreter mode on CPU backends.  The scan
+    implementation is retained as the cross-checking oracle.
     """
     import jax as _jax
     from .pallas.error_diffusion import error_diffusion_pallas

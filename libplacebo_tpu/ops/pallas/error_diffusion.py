@@ -31,13 +31,18 @@ exceeds the 16 MB VMEM scoped limit outright) — the persistent XLA
 disk cache (core.cache.set_xla_cache_dir)
 makes the cold compile one-time per shape; the validity mask is
 computed from iota on device (embedding a 100 MB mask constant cost
-minutes of XLA time).  Next lever if ED ever needs to be realtime: do
-the shear/unshear + relayout as dedicated Pallas kernels (read once,
-roll within VMEM tiles, write once) instead of 13 HBM-pass bit-rolls.
+minutes of XLA time).
+
+The shear/unshear + relayout now run as dedicated Pallas kernels
+(ops/pallas/shear.py): one HBM read + one HBM write per direction with
+the per-row rolls bit-decomposed inside VMEM, replacing the 13 HBM-pass
+XLA bit-rolls + transposes that dominated the 193 ms end-to-end figure.
+LPTPU_PALLAS_SHEAR=0 restores the XLA bit-roll path.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -129,13 +134,17 @@ def error_diffusion_pallas(img, new_depth: int,
     max_off = max(off for _, off, _ in taps)
 
     # shear: sheared[c, y, x + y*shift] = img[c, y, x].  A direct
-    # take_along_axis gather costs ~700 ms at 4K on TPU; instead the
-    # per-row shift y*shift decomposes into log2 bit-rolls (roll the
-    # whole array by 2^b and select rows whose shift has bit b set) —
-    # pure contiguous moves + selects, ~20x faster and trivially
-    # compiled.
+    # take_along_axis gather costs ~700 ms at 4K on TPU; the per-row
+    # shift y*shift instead decomposes into log2 bit-rolls.  Default
+    # path: Pallas kernels do the rolls inside VMEM (one HBM pass per
+    # direction, ops/pallas/shear.py); LPTPU_PALLAS_SHEAR=0 falls back
+    # to XLA whole-array bit-rolls (13 HBM passes each way at 4K).
+    use_kshear = os.environ.get("LPTPU_PALLAS_SHEAR", "1") != "0"
     Ws = W + (H - 1) * shift
-    chunk = max(_CHUNK, K)
+    if use_kshear:
+        chunk = _LANE * K // np.gcd(_LANE, K)   # lcm: kernel + ED grid
+    else:
+        chunk = max(_CHUNK, K)
     Wsp = (Ws + chunk - 1) // chunk * chunk
     Hp = (H + _LANE - 1) // _LANE * _LANE
     row_offsets = np.arange(H) * shift
@@ -158,13 +167,21 @@ def error_diffusion_pallas(img, new_depth: int,
             out = jnp.where(mask_j, rolled, out)
         return out
 
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Ws - W)))
-    sheared = _bit_shear(xpad, row_offsets, Ws)
-    sheared = sheared * valid_j
+    if use_kshear:
+        from .shear import shear_to_colmaj
+        Wp = (W + _LANE - 1) // _LANE * _LANE
+        xcm = jnp.pad(jnp.moveaxis(x, 2, 0),
+                      ((0, Wp - W), (0, 0), (0, Hp - H)))
+        colmaj = shear_to_colmaj(xcm, Wsp, shift, W, H,
+                                 interpret=interpret)
+    else:
+        xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Ws - W)))
+        sheared = _bit_shear(xpad, row_offsets, Ws)
+        sheared = sheared * valid_j
 
-    # layout: (Ws, C, Hp) column-major for lane-friendly per-column math
-    colmaj = jnp.moveaxis(sheared, 2, 0)                        # (Ws, C, H)
-    colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
+        # layout: (Ws, C, Hp) column-major for lane-friendly math
+        colmaj = jnp.moveaxis(sheared, 2, 0)                    # (Ws, C, H)
+        colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
     maskcm = jnp.moveaxis(valid_j, 1, 0)
     maskcm = jnp.pad(maskcm, ((0, Wsp - Ws), (0, Hp - H)))[:, None, :]
 
@@ -186,7 +203,14 @@ def error_diffusion_pallas(img, new_depth: int,
         interpret=interpret,
     )(colmaj, maskcm)
 
-    # unshear with the inverse bit-rolls
-    out_sheared = jnp.moveaxis(out_cm[:Ws, :, :H], 0, 2)        # (C, H, Ws)
-    out = _bit_shear(out_sheared, row_offsets, Ws, inverse=True)[..., :W]
+    if use_kshear:
+        from .shear import unshear_from_colmaj
+        xcm_out = unshear_from_colmaj(out_cm, Wp, shift, W, H,
+                                      interpret=interpret)
+        out = jnp.moveaxis(xcm_out, 0, 2)[:, :H, :W]            # (C, H, W)
+    else:
+        # unshear with the inverse bit-rolls
+        out_sheared = jnp.moveaxis(out_cm[:Ws, :, :H], 0, 2)    # (C, H, Ws)
+        out = _bit_shear(out_sheared, row_offsets, Ws,
+                         inverse=True)[..., :W]
     return jnp.clip(out, 0.0, 1.0).reshape(*lead, H, W)

@@ -1004,7 +1004,8 @@ class Renderer:
 
             # reference renderer.c:2888: dither when depth < 16 (or
             # forced); 16-bit outputs have enough levels on their own
-            if target.bit_depth and fused_tail is None and \
+            if target.bit_depth and \
+                    (fused_tail is None or params.error_diffusion) and \
                     (target.bit_depth < 16 or params.force_dither):
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
@@ -1192,7 +1193,6 @@ class Renderer:
             and (dst_w, dst_h) == (target.w, target.h) and x0 == 0 == y0
             and params.corner_rounding <= 0
             and params.contrast_recovery == 0.0
-            and params.error_diffusion is None
             and dst_w % 128 == 0)
         if not eligible:
             return None
@@ -1200,7 +1200,11 @@ class Renderer:
         dp = None
         tables = ()
         bit_depth = target.bit_depth
+        # with error diffusion the quantization runs as the wavefront
+        # Pallas kernel AFTER this tail (it needs the whole encoded
+        # frame); everything up to encode still fuses
         if bit_depth and params.dither is not None and \
+                params.error_diffusion is None and \
                 (bit_depth < 16 or params.force_dither):
             dp = replace(params.dither, transfer=dst_color.transfer) \
                 if params.dither.transfer == ColorTransfer.UNKNOWN \

@@ -10,6 +10,13 @@ Usage:
                            [--preset default|fast|high_quality]
                            [--options "upscaler=ewa_lanczos,deband=yes"]
                            [--size WxH] [--out WxH] [--hdr] [--cpu]
+                           [--y4m in.y4m] [--write-y4m out.y4m]
+                           [--write-png dir/]
+
+--y4m plays a real YUV4MPEG2 file (`ffmpeg -i clip.mkv clip.y4m`)
+instead of the synthetic source; --write-y4m muxes the rendered output
+(renderer encodes straight to the target YUV repr, the muxer
+box-averages chroma to 4:2:0); --write-png dumps per-vsync RGB stills.
 """
 import argparse
 import os
@@ -34,6 +41,12 @@ def main():
     ap.add_argument("--out", default="1280x720")
     ap.add_argument("--hdr", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--y4m", default=None, metavar="FILE",
+                    help="play a YUV4MPEG2 file instead of synthesizing")
+    ap.add_argument("--write-y4m", default=None, metavar="FILE",
+                    help="mux rendered output as 4:2:0 YUV4MPEG2")
+    ap.add_argument("--write-png", default=None, metavar="DIR",
+                    help="dump rendered vsyncs as PNG stills")
     args = ap.parse_args()
 
     if args.cpu:
@@ -83,13 +96,51 @@ def main():
         f.signature = i + 1
         return f
 
-    frames = iter([decode(i) for i in range(args.frames)] + [None])
+    if args.y4m:
+        from libplacebo_tpu.utils.y4m import Y4MReader
+        reader = Y4MReader(args.y4m)
+        w, h = reader.info.width, reader.info.height
+        if reader.info.fps:
+            args.fps = float(reader.info.fps)
+
+        decoded = [0]
+
+        def y4m_frames():
+            for i, f in enumerate(reader):
+                f.pts = i / args.fps
+                f.signature = i + 1
+                decoded[0] = i + 1
+                yield f
+            yield None
+        frames = y4m_frames()
+        args.frames = 10 ** 9       # plays until the queue reports EOF
+    else:
+        frames = iter([decode(i) for i in range(args.frames)] + [None])
     queue = FrameQueue(QueueParams(get_frame=lambda: next(frames)))
     renderer = Renderer()
     renderer.telemetry = Telemetry()
-    target = Target(w=ow, h=oh, color=CSP_SRGB, bit_depth=8)
+    if args.write_y4m:
+        # renderer encodes to the target's YUV repr; muxer subsamples
+        target = Target(w=ow, h=oh, color=CSP_SRGB, bit_depth=8,
+                        repr=ColorRepr(sys=ColorSystem.BT_709,
+                                       levels=ColorLevels.LIMITED,
+                                       bits=BitEncoding(8, 8, 0)))
+    else:
+        target = Target(w=ow, h=oh, color=CSP_SRGB, bit_depth=8)
+    writer = png_dir = None
+    if args.write_y4m:
+        from libplacebo_tpu.utils.y4m import Y4MWriter
+        fr = args.vsync
+        # 420jpeg: the box-average downsample sites chroma at the
+        # center, which is exactly what the jpeg tag declares
+        writer = Y4MWriter(args.write_y4m, ow, oh,
+                           fps=(round(fr * 1001), 1001), csp="420jpeg")
+    if args.write_png:
+        from libplacebo_tpu.utils.y4m import write_png
+        png_dir = args.write_png
+        os.makedirs(png_dir, exist_ok=True)
 
-    n_vsyncs = int(args.frames / args.fps * args.vsync)
+    n_vsyncs = min(int(args.frames / args.fps * args.vsync), 10 ** 9)
     rendered = 0
     t0 = time.perf_counter()
     for vs in range(n_vsyncs):
@@ -100,12 +151,21 @@ def main():
         if status != QueueStatus.OK:
             break
         out = render_image_mix(renderer, mix, target, opts.params)
+        if writer is not None:
+            writer.write(np.asarray(out))
+        if png_dir is not None:
+            from libplacebo_tpu.utils.y4m import write_png
+            write_png(os.path.join(png_dir, f"vsync{vs:05d}.png"),
+                      np.asarray(out))
         rendered += 1
     out.block_until_ready()
+    if writer is not None:
+        writer.close()
     renderer.flush_telemetry()   # telemetry records one frame late
     dt = time.perf_counter() - t0
 
-    print(f"played {rendered} vsyncs ({args.frames} source frames) "
+    n_src = decoded[0] if args.y4m else args.frames
+    print(f"played {rendered} vsyncs ({n_src} source frames) "
           f"in {dt:.2f}s = {rendered / dt:.1f} fps")
     print(f"source {w}x{h} @ {args.fps} fps -> {ow}x{oh} @ {args.vsync} Hz"
           f"{' (HDR PQ->SDR)' if args.hdr else ''}")

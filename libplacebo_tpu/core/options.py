@@ -512,9 +512,13 @@ def _build_table() -> List[_Opt]:
         field_opt("ignore_icc_profiles", "bool", "ignore_icc_profiles"),
         preset_opt("icc_preset", lambda p, v: replace(
             p, ignore_icc_profiles=False), ("default",)),
-        # intent + LUT sizing knobs: parse-time concerns here — the
-        # intent is honored by core.icc.parse_icc(intent=...); sizes are
-        # inert (no LUT re-baking in this pipeline)
+        # intent is honored by core.icc.parse_icc(intent=...); the
+        # sizing/BPC/luma knobs are honored by the device path
+        # (ops.icc.params_kwargs reads them back out of compat_flags):
+        # size_r/g/b set the cLUT bake grid, force_bpc applies black
+        # point compensation in the bake (matrix/TRC profiles map
+        # black to black by construction, so it is a no-op there),
+        # max_luma rescales profile-relative white
         compat_opt("icc_intent", "enum",
                    choices=("auto", "perceptual", "relative",
                             "saturation", "absolute")),

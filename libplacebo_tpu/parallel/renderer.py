@@ -460,7 +460,8 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         if frame_icc is not None:
             from ..ops import icc as ops_icc
             return ops_icc.decode_profile(
-                x, frame_icc, primaries_get(src_color.primaries))
+                x, frame_icc, primaries_get(src_color.primaries),
+                **ops_icc.params_kwargs(params))
         return ops_color.linearize(x, src_color)
 
     def frame_step(state, bias_l, grain_tables, dovi_packed,
@@ -603,14 +604,16 @@ def _build_halo_step(mesh: Mesh, plane_metas,
             if target.icc is not None:
                 from ..ops import icc as ops_icc
                 img = ops_icc.encode_profile(
-                    img, target.icc, primaries_get(dst_color.primaries))
+                    img, target.icc, primaries_get(dst_color.primaries),
+                    **ops_icc.params_kwargs(params, encode=True))
             else:
                 img = ops_color.delinearize(img, dst_color)
         elif use_linear:
             if target.icc is not None:
                 from ..ops import icc as ops_icc
                 img = ops_icc.encode_profile(
-                    img, target.icc, primaries_get(src_color.primaries))
+                    img, target.icc, primaries_get(src_color.primaries),
+                    **ops_icc.params_kwargs(params, encode=True))
             else:
                 img = ops_color.delinearize(img, src_color)
 

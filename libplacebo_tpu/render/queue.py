@@ -235,6 +235,13 @@ class FrameQueue:
         frame_dur = p.frame_duration or (
             1.0 / self._fps_est if self._fps_est else vsync)
 
+        # source exhausted and playback has moved past the last frame's
+        # display window: report EOF instead of holding the final frame
+        # forever (reference pl_queue_update's eof return,
+        # frame_queue.c:1009-1032)
+        if self._eof and pts > self._frames[-1].pts + frame_dur:
+            return QueueStatus.EOF, None
+
         # interpolation pointless when rates are close (reference
         # interpolation_threshold logic + stickiness, frame_queue.c:58)
         if mode == QueueMode.INTERPOLATE and self._fps_est and \

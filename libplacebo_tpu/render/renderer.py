@@ -703,7 +703,8 @@ class Renderer:
             if frame_icc is not None:
                 from ..ops import icc as ops_icc
                 return ops_icc.decode_profile(
-                    x, frame_icc, primaries_get(src_color.primaries))
+                    x, frame_icc, primaries_get(src_color.primaries),
+                    **ops_icc.params_kwargs(params))
             return ops_color.linearize(x, src_color)
         plane_metas = frame_meta_key[0]
         src_color = frame_color.infer()
@@ -925,14 +926,16 @@ class Renderer:
                         from ..ops import icc as ops_icc
                         img = ops_icc.encode_profile(
                             img, target.icc,
-                            primaries_get(dst_color.primaries))
+                            primaries_get(dst_color.primaries),
+                            **ops_icc.params_kwargs(params, encode=True))
                     else:
                         img = ops_color.delinearize(img, dst_color)
             elif use_linear:
                 if target.icc is not None:
                     from ..ops import icc as ops_icc
                     img = ops_icc.encode_profile(
-                        img, target.icc, primaries_get(src_color.primaries))
+                        img, target.icc, primaries_get(src_color.primaries),
+                        **ops_icc.params_kwargs(params, encode=True))
                 else:
                     img = ops_color.delinearize(img, src_color)
 

@@ -370,3 +370,149 @@ def test_icc_clut_decode_a2b():
     lin = s / (1.4 - 0.4 * s)
     expect = np.moveaxis(lin, -1, 0)
     assert np.abs(out - expect).max() < 5e-3
+
+
+def _mft2_a2b(fn, grid_n=17):
+    """Build a lut16 A2B0 tag sampling fn((...,3) sig) -> (...,3) PCS."""
+    import struct
+    import numpy as np
+    g = np.linspace(0, 1, grid_n)
+    s0, s1, s2 = np.meshgrid(g, g, g, indexing="ij")
+    pcs = fn(np.stack([s0, s1, s2], axis=-1))
+    clut16 = (np.clip(pcs, 0, 1) * 65535 + 0.5).astype(">u2")
+    ident = (np.tile(np.linspace(0, 1, 2), 3) * 65535).astype(">u2")
+    return (b"mft2" + b"\0" * 4 + bytes([3, 3, grid_n, 0]) +
+            struct.pack(">9i", 65536, 0, 0, 0, 65536, 0, 0, 0, 65536) +
+            struct.pack(">HH", 2, 2) +
+            ident.tobytes() + clut16.tobytes() + ident.tobytes())
+
+
+def test_icc_params_kwargs_mapping():
+    """options icc_size_*/icc_max_luma/icc_force_bpc (stored in
+    compat_flags) surface as ops.icc bake arguments."""
+    from libplacebo_tpu.core.options import Options
+    from libplacebo_tpu.ops.icc import params_kwargs
+    o = Options()
+    o.parse("icc_size_r=17,icc_size_g=9,icc_size_b=5,"
+            "icc_max_luma=406,icc_force_bpc=yes")
+    kw = params_kwargs(o.params, encode=True)
+    assert kw["sizes"] == (17, 9, 5)
+    assert kw["peak_norm"] == pytest.approx(2.0)
+    assert kw["force_bpc"] is True
+    kw = params_kwargs(o.params)            # decode: no BPC arg
+    assert "force_bpc" not in kw
+    assert params_kwargs(o.params.__class__()) == {}
+
+
+def test_icc_size_knob_changes_bake_grid():
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc
+    from libplacebo_tpu.core.colorspace import ColorPrimaries, primaries_get
+    from libplacebo_tpu.ops import icc as ops_icc
+
+    def fn(enc):
+        return enc / (0.6 + 0.4 * enc)
+    prof = parse_icc(bytes(_icc_header()) +
+                     _icc_tags([(b"B2A0", _mft2_b2a(fn))]))
+    prim = primaries_get(ColorPrimaries.BT_709)
+    pid = ops_icc._register(prof)
+    lut = ops_icc._baked_b2a_lut(pid, prim, (9, 17, 5), False)
+    assert lut.size == (9, 17, 5)
+    assert lut.data.shape == (5, 17, 9, 3)
+    # and the full device path still matches the default bake closely
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    a = np.asarray(ops_icc.encode_profile(img, prof, prim))
+    b = np.asarray(ops_icc.encode_profile(img, prof, prim,
+                                          sizes=(65, 65, 65)))
+    assert np.abs(a - b).max() < 5e-3
+
+
+def test_icc_force_bpc_lifts_black():
+    """BPC maps source black to the device black point instead of
+    letting the cLUT clip it (reference pl_icc_params.force_bpc)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc, XYZ16_SCALE
+    from libplacebo_tpu.core.colorspace import ColorPrimaries, primaries_get
+    from libplacebo_tpu.ops import icc as ops_icc
+
+    # device black reproduces XYZ = 4% of white (a high-black display)
+    def a2b(sig):
+        return (0.04 + 0.96 * sig) * XYZ16_SCALE
+
+    def b2a(enc):
+        return np.clip((enc / XYZ16_SCALE - 0.04) / 0.96, 0, 1)
+    # 65-node tag grids: resolve the clip kink at enc=0.04*XYZ16_SCALE
+    # well enough that lut interpolation doesn't fake extra gradation
+    prof = parse_icc(bytes(_icc_header()) +
+                     _icc_tags([(b"A2B0", _mft2_a2b(a2b, grid_n=65)),
+                                (b"B2A0", _mft2_b2a(b2a, grid_n=65))]))
+    prim = primaries_get(ColorPrimaries.BT_709)
+    bp = ops_icc._black_point(prof)
+    assert bp is not None and bp[1] == pytest.approx(0.04, abs=1e-3)
+
+    def reproduced_y(v, **kw):
+        """Gray level v -> encode -> what the device displays (via
+        A2B), as relative luminance Y."""
+        img = jnp.full((3, 2, 2), v, jnp.float32)
+        sig = np.asarray(ops_icc.encode_profile(img, prof, prim, **kw))
+        return float(prof.a2b_to_xyz(sig[:, 0, 0][None])[0, 1])
+
+    # without BPC, gray 0.10 reproduces faithfully at Y=0.10; with BPC
+    # the output range is compressed onto [bp, wp]: 0.10*0.96 + 0.04
+    assert reproduced_y(0.10) == pytest.approx(0.10, abs=0.01)
+    assert reproduced_y(0.10, force_bpc=True) == \
+        pytest.approx(0.10 * 0.96 + 0.04, abs=0.01)
+    # near-black: plain encoding crushes everything below the device
+    # black point to (nearly) the same signal; BPC keeps gradation
+    y_lo, y_hi = reproduced_y(0.005, force_bpc=True), \
+        reproduced_y(0.03, force_bpc=True)
+    grad_plain = reproduced_y(0.03) - reproduced_y(0.005)
+    # (thresholds leave room for the fixture lut16's kink landing
+    # between its 33 grid nodes)
+    assert y_hi - y_lo > 0.01
+    assert y_hi - y_lo > grad_plain + 0.005
+    # white point preserved by the compensation
+    assert reproduced_y(1.0, force_bpc=True) == \
+        pytest.approx(reproduced_y(1.0), abs=5e-3)
+
+
+def test_icc_max_luma_rescales_white():
+    import numpy as np
+    import jax.numpy as jnp
+    from libplacebo_tpu.core.icc import parse_icc
+    from libplacebo_tpu.core.colorspace import ColorPrimaries, primaries_get
+    from libplacebo_tpu.ops import icc as ops_icc
+
+    def fn(enc):
+        return enc / (0.6 + 0.4 * enc)
+    prof = parse_icc(bytes(_icc_header()) +
+                     _icc_tags([(b"B2A0", _mft2_b2a(fn))]))
+    prim = primaries_get(ColorPrimaries.BT_709)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((3, 6, 6)).astype(np.float32))
+    a = np.asarray(ops_icc.encode_profile(img, prof, prim, peak_norm=2.0))
+    b = np.asarray(ops_icc.encode_profile(img * 0.5, prof, prim))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_icc_knobs_through_renderer():
+    """icc_size_*/force_bpc parse through Options and render."""
+    import numpy as np
+    from libplacebo_tpu.core.icc import parse_icc
+    from libplacebo_tpu.core.options import Options
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import Renderer, Target
+
+    def fn(enc):
+        return enc / (0.6 + 0.4 * enc)
+    prof = parse_icc(bytes(_icc_header()) +
+                     _icc_tags([(b"B2A0", _mft2_b2a(fn))]))
+    o = Options()
+    o.parse("icc_size_r=17,icc_size_g=17,icc_size_b=17,icc_force_bpc=yes")
+    rng = np.random.default_rng(3)
+    frame = frame_from_rgb(rng.random((3, 16, 16)).astype(np.float32))
+    out = Renderer().render(frame, Target(w=16, h=16, icc=prof), o.params)
+    assert np.isfinite(np.asarray(out)).all()

@@ -242,6 +242,28 @@ def test_queue_eof():
     assert st == QueueStatus.EOF
 
 
+def test_queue_eof_past_last_frame():
+    """After the source ends, the queue emits the remaining frames and
+    then reports EOF instead of holding the final frame forever
+    (reference pl_queue_update, frame_queue.c:1009-1032)."""
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    frames = _frames(3, fps=10.0) + [None]
+    it = iter(frames)
+    q = FrameQueue(QueueParams(get_frame=lambda: next(it)))
+    statuses = []
+    for vs in range(12):
+        st, mix = q.update(QueueParams(pts=vs / 10.0, radius=1.0,
+                                       vsync_duration=0.1),
+                           QueueMode.POINT)
+        statuses.append(st)
+        if st != QueueStatus.OK:
+            break
+    assert statuses[:3] == [QueueStatus.OK] * 3
+    assert statuses[-1] == QueueStatus.EOF
+    assert len(statuses) <= 6          # EOF arrives promptly, not at 12
+
+
 # --- frame mixing -----------------------------------------------------
 
 def test_render_image_mix():

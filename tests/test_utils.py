@@ -275,3 +275,145 @@ def test_frame_from_pyav_gated():
         frame = av.VideoFrame(32, 16, "yuv420p")
         f2 = frame_from_pyav(frame)
         assert f2.w == 32
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (.y4m) + PNG I/O (utils/y4m.py)
+# ---------------------------------------------------------------------------
+
+def _y4m_bytes(w=16, h=8, n=2, csp="420mpeg2", depth=8, interlace="p",
+               seed=0):
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MWriter
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    wr = Y4MWriter(buf, w, h, fps=(30000, 1001), csp=csp,
+                   interlace=interlace)
+    sx, sy, d, n_planes, _ = wr.info.layout
+    maxv = (1 << d) - 1
+    dtype = np.uint16 if d > 8 else np.uint8
+    frames = []
+    for _ in range(n):
+        cw, ch = (w + sx) >> sx, (h + sy) >> sy
+        planes = [rng.integers(0, maxv + 1, (h, w)).astype(dtype)]
+        planes += [rng.integers(0, maxv + 1, (ch, cw)).astype(dtype)
+                   for _ in range(n_planes - 1)]
+        wr.write(planes)
+        frames.append(planes)
+    return buf.getvalue(), frames
+
+
+@pytest.mark.parametrize("csp,depth", [("420mpeg2", 8), ("420jpeg", 8),
+                                       ("422", 8), ("444", 8),
+                                       ("mono", 8), ("420p10", 10),
+                                       ("444p16", 16)])
+def test_y4m_roundtrip_raw(csp, depth):
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MReader
+    data, frames = _y4m_bytes(csp=csp)
+    r = Y4MReader(io.BytesIO(data))
+    assert r.info.csp == csp
+    assert r.info.bit_depth == depth
+    assert float(r.info.fps) == pytest.approx(30000 / 1001)
+    for want in frames:
+        got = r.read_raw()
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a, b)
+    assert r.read_raw() is None
+
+
+def test_y4m_reader_frames_render():
+    """Frames demuxed from a .y4m render through the full pipeline."""
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MReader
+    from libplacebo_tpu.render.renderer import Renderer, RenderParams, \
+        Target
+    data, _ = _y4m_bytes(w=32, h=16, n=1)
+    frame = next(iter(Y4MReader(io.BytesIO(data))))
+    assert frame.repr.sys == ColorSystem.BT_601          # SD heuristic
+    assert frame.repr.levels == ColorLevels.LIMITED
+    assert frame.planes[1].shift_x == -0.5               # mpeg2 siting
+    out = Renderer().render(frame, Target(w=64, h=32),
+                            RenderParams(upscaler="bilinear"))
+    assert out.shape == (3, 32, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_y4m_interlaced_and_siting_tags():
+    import io
+    from libplacebo_tpu.ops.deinterlace import Field
+    from libplacebo_tpu.utils.y4m import Y4MReader
+    data, _ = _y4m_bytes(csp="420jpeg", interlace="t")
+    f = next(iter(Y4MReader(io.BytesIO(data))))
+    assert f.first_field == Field.TOP
+    assert f.planes[1].shift_x == 0.0                    # jpeg = center
+    data, _ = _y4m_bytes(csp="420paldv", interlace="b")
+    f = next(iter(Y4MReader(io.BytesIO(data))))
+    assert f.first_field == Field.BOTTOM
+    assert f.planes[1].shift_x == -0.5 and f.planes[1].shift_y == -0.5
+
+
+def test_y4m_writer_downsamples_fullres():
+    """Full-resolution float planes are box-averaged to 4:2:0."""
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MReader, Y4MWriter
+    w, h = 8, 4
+    rng = np.random.default_rng(1)
+    yuv = rng.random((3, h, w)).astype(np.float32)
+    buf = io.BytesIO()
+    with Y4MWriter(buf, w, h, csp="420jpeg") as wr:
+        wr.write(yuv)
+    buf.seek(0)
+    y, u, v = Y4MReader(buf).read_raw()
+    np.testing.assert_array_equal(
+        y, np.clip(np.rint(yuv[0] * 255), 0, 255).astype(np.uint8))
+    want_u = yuv[1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    np.testing.assert_array_equal(
+        u, np.clip(np.rint(want_u * 255), 0, 255).astype(np.uint8))
+    assert v.shape == (h // 2, w // 2)
+
+
+def test_y4m_header_errors():
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MReader, Y4MWriter
+    with pytest.raises(ValueError, match="magic"):
+        Y4MReader(io.BytesIO(b"JUNK W2 H2\n"))
+    with pytest.raises(ValueError, match="colorspace"):
+        Y4MReader(io.BytesIO(b"YUV4MPEG2 W2 H2 C999\n"))
+    with pytest.raises(ValueError, match="W/H"):
+        Y4MReader(io.BytesIO(b"YUV4MPEG2 F25:1\n"))
+    with pytest.raises(ValueError, match="truncated"):
+        Y4MReader(io.BytesIO(b"YUV4MPEG2 W4 H4\nFRAME\nxx")).read_raw()
+    with pytest.raises(ValueError, match="colorspace"):
+        Y4MWriter(io.BytesIO(), 4, 4, csp="nope")
+
+
+def test_png_roundtrip(tmp_path):
+    pytest.importorskip("PIL")
+    from libplacebo_tpu.utils.y4m import read_png, write_png
+    rng = np.random.default_rng(2)
+    rgb = rng.random((3, 6, 5)).astype(np.float32)
+    p = tmp_path / "t.png"
+    write_png(p, rgb)
+    back = read_png(p)
+    assert back.shape == (3, 6, 5)
+    assert np.abs(back - rgb).max() <= 0.5 / 255 + 1e-6
+    # 16-bit grayscale
+    g = rng.random((1, 4, 4)).astype(np.float32)
+    write_png(p, g, depth=16)
+    back = read_png(p)
+    assert back.shape[0] == 1
+    assert np.abs(back - g).max() <= 0.5 / 65535 + 1e-6
+
+
+def test_y4m_colorrange_extension_tag():
+    import io
+    from libplacebo_tpu.utils.y4m import Y4MReader
+    data, _ = _y4m_bytes(w=16, h=8, n=1)
+    # splice the x264-style extension tag into the header line
+    head, _, rest = data.partition(b"\n")
+    data = head + b" XCOLORRANGE=FULL\n" + rest
+    r = Y4MReader(io.BytesIO(data))
+    assert "COLORRANGE=FULL" in r.info.extensions
+    f = r.read_frame()
+    assert f.repr.levels == ColorLevels.FULL

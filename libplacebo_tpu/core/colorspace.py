@@ -33,6 +33,7 @@ __all__ = [
     "ColorAdjustment", "COLOR_ADJUSTMENT_NEUTRAL",
     "COLOR_SDR_WHITE", "COLOR_HDR_BLACK", "COLOR_HLG_PEAK",
     "hdr_rescale", "primaries_get", "white_from_temp",
+    "daylight_from_temp", "blackbody_from_temp", "color_space_infer_map",
     "rgb_to_xyz_matrix", "xyz_to_rgb_matrix", "adapt_white_matrix",
     "color_mapping_matrix", "color_repr_decode", "color_repr_normalize",
     "luma_coeffs", "primaries_guess", "system_guess_ycbcr",
@@ -285,10 +286,11 @@ def primaries_valid(p: RawPrimaries) -> bool:
     return p.valid()
 
 
-def white_from_temp(temp: float) -> CIExy:
-    """CIE daylight illuminant for a correlated color temperature in
-    [2500, 25000] K (reference pl_white_from_temp, colorspace.c:1369)."""
-    temp = float(np.clip(temp, 2500, 25000))
+def daylight_from_temp(temp: float) -> CIExy:
+    """CIE daylight illuminant for a correlated color temperature,
+    clamped to [1000, 25000] K (reference pl_daylight_from_temp,
+    colorspace.c:1011)."""
+    temp = float(np.clip(temp, 1000, 25000))
     ti = 1000.0 / temp
     ti2, ti3 = ti * ti, ti * ti * ti
     if temp <= 7000:
@@ -297,6 +299,37 @@ def white_from_temp(temp: float) -> CIExy:
         x = 0.237040 + 0.24748 * ti + 1.9018 * ti2 - 2.0064 * ti3
     y = -3.0 * x * x + 2.87 * x - 0.275
     return CIExy(x, y)
+
+
+def blackbody_from_temp(temp: float) -> CIExy:
+    """CIE xy of a Planckian (blackbody) radiator for a temperature in
+    [1667, 25000] K (reference pl_blackbody_from_temp,
+    colorspace.c:1028; Kim et al. cubic-spline approximation)."""
+    temp = float(np.clip(temp, 1667, 25000))
+    ti = 1000.0 / temp
+    ti2, ti3 = ti * ti, ti * ti * ti
+    if temp <= 4000:
+        x = -0.2661239 * ti3 - 0.2343580 * ti2 + 0.8776956 * ti + 0.179910
+    else:
+        x = -3.0258469 * ti3 + 2.1070379 * ti2 + 0.2226347 * ti + 0.240390
+    x2, x3 = x * x, x * x * x
+    if temp <= 2222:
+        y = -1.1063814 * x3 - 1.34811020 * x2 + 2.18555832 * x - 0.20219683
+    elif temp <= 4000:
+        y = -0.9549476 * x3 - 1.37418593 * x2 + 2.09137015 * x - 0.16748867
+    else:
+        y = 3.0817580 * x3 - 5.87338670 * x2 + 3.75112997 * x - 0.37001483
+    return CIExy(x, y)
+
+
+def white_from_temp(temp: float) -> CIExy:
+    """Blend of the blackbody and daylight loci: daylight above 4000 K,
+    transitioning to a pure blackbody radiator below (reference
+    pl_white_from_temp, colorspace.c:1051)."""
+    a = blackbody_from_temp(temp)
+    b = daylight_from_temp(temp)
+    f = float(np.clip((temp - 2500.0) / (4000.0 - 2500.0), 0.0, 1.0))
+    return CIExy(a.x + (b.x - a.x) * f, a.y + (b.y - a.y) * f)
 
 
 # ---------------------------------------------------------------------------
@@ -839,7 +872,15 @@ class ColorSpace:
         return transfer_is_hdr(self.transfer)
 
     def is_black_scaled(self) -> bool:
-        return self.transfer != ColorTransfer.BT_1886
+        """True when the signal's nominal [0,1] range maps linearly onto
+        the display's [min,max] luminance (reference
+        pl_color_space_is_black_scaled, colorspace.c:525): gamma-family
+        curves, sRGB/ProPhoto/ST.428 and HLG — but NOT BT.1886 (its own
+        black lift), PQ/scRGB (absolute) or the V-Log/S-Log camera
+        curves (scene-referred)."""
+        return self.transfer not in (
+            ColorTransfer.BT_1886, ColorTransfer.PQ, ColorTransfer.SCRGB,
+            ColorTransfer.V_LOG, ColorTransfer.S_LOG1, ColorTransfer.S_LOG2)
 
     def infer(self, width: int = 0, height: int = 0) -> "ColorSpace":
         """Fill unknown fields with sensible defaults (reference
@@ -866,6 +907,33 @@ class ColorSpace:
                 min_luma = max_luma / 1000.0  # 1000:1 SDR contrast
         return ColorSpace(prim, trc,
                           replace(hdr, min_luma=min_luma, max_luma=max_luma))
+
+    def infer_ref(self, ref: "ColorSpace") -> "ColorSpace":
+        """Fill unknown fields with defaults taken from a reference
+        colorspace (reference pl_color_space_infer_ref /
+        infer_both_ref, colorspace.c:883-944): unknown primaries copy
+        the ref unless it is wide-gamut (then BT.709); an unknown
+        transfer re-uses SDR ref curves, models HDR/log ref curves as
+        BT.1886 (accurate SDR contrast for tone mapping), and picks
+        pure-power gamma 2.2 for linear-family refs (no black crush)."""
+        ref = ref.infer()
+        prim, trc = self.primaries, self.transfer
+        if prim == ColorPrimaries.UNKNOWN:
+            prim = ColorPrimaries.BT_709 \
+                if primaries_is_wide_gamut(ref.primaries) else ref.primaries
+        if trc == ColorTransfer.UNKNOWN:
+            if ref.transfer in (ColorTransfer.BT_1886, ColorTransfer.SRGB,
+                                ColorTransfer.GAMMA22):
+                trc = ref.transfer
+            elif ref.transfer in (ColorTransfer.PQ, ColorTransfer.HLG,
+                                  ColorTransfer.V_LOG, ColorTransfer.S_LOG1,
+                                  ColorTransfer.S_LOG2):
+                trc = ColorTransfer.BT_1886
+            elif ref.transfer == ColorTransfer.PRO_PHOTO:
+                trc = ColorTransfer.SRGB
+            else:
+                trc = ColorTransfer.GAMMA22
+        return ColorSpace(prim, trc, self.hdr).infer()
 
     def nominal_peak_norm(self) -> float:
         """Effective peak in NORM units."""
@@ -941,6 +1009,33 @@ class ColorSpace:
     def equal(self, other: "ColorSpace") -> bool:
         return self.primaries == other.primaries and \
             self.transfer == other.transfer and self.hdr == other.hdr
+
+
+def color_space_infer_map(src: ColorSpace,
+                          dst: ColorSpace) -> Tuple[ColorSpace, ColorSpace]:
+    """Jointly infer the colorspaces of a source image and its render
+    target (reference pl_color_space_infer_map, colorspace.c:946):
+    the target defaults against the source (infer_ref), a
+    dynamic-black source (BT.1886 or black-scaled) with unspecified
+    contrast adopts the target's black point, an SDR->SDR pair shares
+    the source's black point in reverse, and an HLG source driving an
+    HDR display tunes its OOTF peak to the display."""
+    unknown_src_contrast = not src.hdr.min_luma
+    unknown_dst_contrast = not dst.hdr.min_luma
+    dst = dst.infer_ref(src)
+    src_i = src.infer()
+    dynamic_src_contrast = src_i.is_black_scaled() or \
+        src_i.transfer == ColorTransfer.BT_1886
+    if unknown_src_contrast and dynamic_src_contrast:
+        src_i = ColorSpace(src_i.primaries, src_i.transfer,
+                           replace(src_i.hdr, min_luma=dst.hdr.min_luma))
+    if unknown_dst_contrast and not src_i.is_hdr() and not dst.is_hdr():
+        dst = ColorSpace(dst.primaries, dst.transfer,
+                         replace(dst.hdr, min_luma=src_i.hdr.min_luma))
+    if src_i.transfer == ColorTransfer.HLG and dst.is_hdr():
+        src_i = ColorSpace(src_i.primaries, src_i.transfer,
+                           replace(src_i.hdr, max_luma=dst.hdr.max_luma))
+    return src_i, dst
 
 
 # Common colorspace presets (reference pl_color_space_* constants)

@@ -674,3 +674,35 @@ class Options:
             if opt.type == "preset":
                 continue
             yield opt.key, self.get(opt.key)
+
+    # -- user-hook management (reference pl_options_add_hook /
+    # pl_options_insert_hook / pl_options_remove_hook_at,
+    # options.h:131-146: the options object owns parsed user shaders
+    # and keeps params.hooks pointing at them) ------------------------
+
+    def add_hook(self, shader_text: str):
+        """Parse an mpv .hook user shader and append it to
+        params.hooks. Raises OptionError on parse failure."""
+        self.insert_hook(len(self.params.hooks or ()), shader_text)
+
+    def insert_hook(self, idx: int, shader_text: str):
+        from ..render.mpv_hooks import parse_user_shader, user_shader_hook
+        try:
+            hook = user_shader_hook(parse_user_shader(shader_text))
+        except Exception as e:
+            raise OptionError(f"failed parsing user shader: {e}") from e
+        if not hook.stages.value:
+            # the fuzz-hardened parser skips malformed directives; a
+            # hook that binds NO stage can never fire — treat it as the
+            # parse failure pl_mpv_user_shader_parse would report
+            raise OptionError("user shader hooks no known stage")
+        import dataclasses
+        hooks = list(self.params.hooks or ())
+        hooks.insert(idx, hook)
+        self.params = dataclasses.replace(self.params, hooks=tuple(hooks))
+
+    def remove_hook_at(self, idx: int):
+        import dataclasses
+        hooks = list(self.params.hooks or ())
+        del hooks[idx]
+        self.params = dataclasses.replace(self.params, hooks=tuple(hooks))

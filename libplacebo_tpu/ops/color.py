@@ -362,7 +362,13 @@ def linearize(img, csp: ColorSpace):
         return img * _SCRGB_WHITE
 
     lin = tf.linearize(img, trc)
-    # "black scaled" SDR curves stretch into [lo, hi]
+    # "black scaled" SDR curves stretch into [lo, hi]; the V-Log/S-Log
+    # camera curves are scene-referred and take NO display scaling
+    # (reference pl_shader_linearize returns before scale_out for them,
+    # shaders/colorspace.c:688-705)
+    if trc in (ColorTransfer.V_LOG, ColorTransfer.S_LOG1,
+               ColorTransfer.S_LOG2):
+        return lin
     if hi != 1.0 or lo != 0.0:
         lin = (hi - lo) * lin + lo
     return lin
@@ -377,8 +383,11 @@ def delinearize(img, csp: ColorSpace):
     lo, hi = nominal_luma_norm(csp)
 
     if trc not in (ColorTransfer.PQ, ColorTransfer.HLG, ColorTransfer.SCRGB,
-                   ColorTransfer.BT_1886):
-        # undo black scaling first
+                   ColorTransfer.BT_1886, ColorTransfer.V_LOG,
+                   ColorTransfer.S_LOG1, ColorTransfer.S_LOG2):
+        # undo black scaling first (not for the scene-referred log
+        # curves — reference pl_shader_delinearize scale_in skip,
+        # shaders/colorspace.c:735-760)
         if hi != 1.0 or lo != 0.0:
             img = (img - lo) / (hi - lo)
 

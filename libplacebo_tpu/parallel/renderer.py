@@ -278,8 +278,15 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                "overlay x range outside the target")
         ov_specs.append((x0, y0, oh, ow))
 
-    src_color = frame_color.infer()
-    dst_color = target.color.infer(target.w, target.h)
+    # identical joint inference to the single-chip renderer
+    # (pl_color_space_infer_map) so sharded output stays bit-equal
+    from ..core.colorspace import (ColorPrimaries, color_space_infer_map,
+                                   primaries_guess)
+    dst_raw = target.color
+    if dst_raw.primaries == ColorPrimaries.UNKNOWN:
+        dst_raw = ColorSpace(primaries_guess(target.w, target.h),
+                             dst_raw.transfer, dst_raw.hdr)
+    src_color, dst_color = color_space_infer_map(frame_color, dst_raw)
 
     ref_i = Renderer._ref_plane_index(plane_metas)
     H, W = plane_metas[ref_i][0][-2], plane_metas[ref_i][0][-1]

@@ -58,6 +58,47 @@ class FrameMix:
     vsync_duration: float = 1.0
 
 
+def frame_mix_radius(params) -> float:
+    """Effective frame-mixing radius of a RenderParams, in vsyncs
+    (reference pl_frame_mix_radius, renderer.h:822): 0 when mixing is
+    disabled, else the mixer kernel's radius."""
+    name = getattr(params, "frame_mixer", None)
+    if not name or name in ("none", "oversample"):
+        # oversample has no kernel footprint (radius 0 semantics)
+        return 0.0
+    from ..core import filters as flt
+    cfg = flt.find_filter_config(name)
+    if cfg is None:
+        return 0.0
+    return float(cfg.radius_bound())
+
+
+def frame_mix_current(mix: "FrameMix") -> Optional[Frame]:
+    """Closest frame to the current PTS by zero-order-hold semantics:
+    the last frame with timestamp <= 0, or None (reference
+    pl_frame_mix_current, renderer.c:3477)."""
+    cur = None
+    for frame, ts in zip(mix.frames, mix.timestamps):
+        if ts > 0.0:
+            break
+        cur = frame
+    return cur
+
+
+def frame_mix_nearest(mix: "FrameMix") -> Optional[Frame]:
+    """Closest frame to the current PTS by nearest-neighbour semantics
+    (reference pl_frame_mix_nearest, renderer.c:3489)."""
+    if not mix.frames:
+        return None
+    best, best_dist = mix.frames[0], abs(mix.timestamps[0])
+    for frame, ts in zip(mix.frames[1:], mix.timestamps[1:]):
+        if abs(ts) < best_dist:
+            best, best_dist = frame, abs(ts)
+        else:
+            break
+    return best
+
+
 class _RatePool:
     """Windowed rate estimator (reference struct pool + update_estimate,
     frame_queue.c:54-70,247-274): rolling mean over up to 32 deltas; the

@@ -28,8 +28,9 @@ from ..core import tone_mapping as tm
 from ..core.colorspace import (COLOR_SDR_WHITE, ColorLevels, ColorPrimaries,
                                ColorRepr, ColorSpace, ColorSystem,
                                ColorTransfer, HdrScaling,
-                               color_mapping_matrix, hdr_rescale,
-                               primaries_get, transfer_is_hdr)
+                               color_mapping_matrix, color_space_infer_map,
+                               hdr_rescale, primaries_get, primaries_guess,
+                               transfer_is_hdr)
 from ..core.common import RectF
 from ..ops import color as ops_color
 from ..ops import deband as ops_deband
@@ -541,7 +542,11 @@ class Renderer:
     HDR peak detection, frame mixing FBO pool analogs
     (reference pl_renderer_t, renderer.c:56-93)."""
 
-    def __init__(self):
+    def __init__(self, ctx=None):
+        # optional runtime.TpuContext; carries the artifact cache that
+        # save()/load() serialize (reference: pl_renderer_create takes
+        # the pl_gpu whose pl_cache backs pl_renderer_save/load)
+        self.ctx = ctx
         self._cache: Dict[tuple, object] = {}
         self.errors: set = set()     # degradation flags (PL_RENDER_ERR_*)
         # HDR peak-detection temporal state (reference: SSBO + CPU copy;
@@ -707,8 +712,15 @@ class Renderer:
                     **ops_icc.params_kwargs(params))
             return ops_color.linearize(x, src_color)
         plane_metas = frame_meta_key[0]
-        src_color = frame_color.infer()
-        dst_color = target.color.infer(target.w, target.h)
+        # joint src/dst inference (reference pl_color_space_infer_map,
+        # colorspace.c:946: the target defaults against the source and
+        # dynamic black points are shared); unknown target primaries
+        # first default by display size (pass_fix_frames analog)
+        dst_raw = target.color
+        if dst_raw.primaries == ColorPrimaries.UNKNOWN:
+            dst_raw = ColorSpace(primaries_guess(target.w, target.h),
+                                 dst_raw.transfer, dst_raw.hdr)
+        src_color, dst_color = color_space_infer_map(frame_color, dst_raw)
         grain_cfgs = None
         scaling_shift = 8
         h274_grain = None
@@ -1394,6 +1406,34 @@ class Renderer:
         self._cache.clear()
         self.reset_peak_detection()
 
+    def get_hdr_metadata(self):
+        """Measured HDR metadata from the peak-detection state, or None
+        when nothing has been detected yet (reference
+        pl_renderer_get_hdr_metadata, renderer.c:1252 →
+        pl_get_detected_hdr_metadata, shaders/colorspace.c:1355).
+        Queries the carried device state (a host fetch)."""
+        from ..core.colorspace import HdrMetadata
+        avg_pq, max_pq = (float(v) for v in np.asarray(self._peak_state))
+        if avg_pq == 0.0:
+            return None
+        return HdrMetadata(max_pq_y=max_pq, avg_pq_y=avg_pq)
+
+    def save(self) -> bytes:
+        """Serialize the renderer's persistent artifact cache (reference
+        pl_renderer_save, renderer.c:184 — which just serializes the
+        GPU's pl_cache; compiled XLA programs live in the persistent
+        disk cache instead, core.cache.set_xla_cache_dir)."""
+        if self.ctx is not None:
+            return self.ctx.cache.save()
+        return b""
+
+    def load(self, data: bytes) -> int:
+        """Restore a cache blob from `save()` (reference
+        pl_renderer_load, renderer.c:189). Returns objects restored."""
+        if self.ctx is not None and data:
+            return self.ctx.cache.load(data)
+        return 0
+
 
 _default_renderer: Optional[Renderer] = None
 
@@ -1405,6 +1445,102 @@ def render_image(frame: Frame, target: Target,
     if _default_renderer is None:
         _default_renderer = Renderer()
     return _default_renderer.render(frame, target, params)
+
+
+def frames_infer(frame: Frame, target: Target):
+    """Return (frame', target') with their colorspaces defaulted exactly
+    as `Renderer.render` would default them (reference pl_frames_infer,
+    renderer.c:3303 → pass_fix_frames): joint src/dst inference via
+    pl_color_space_infer_map semantics. Does not touch pixel data."""
+    import dataclasses
+    dst_raw = target.color
+    if dst_raw.primaries == ColorPrimaries.UNKNOWN:
+        dst_raw = ColorSpace(primaries_guess(target.w, target.h),
+                             dst_raw.transfer, dst_raw.hdr)
+    src, dst = color_space_infer_map(frame.color, dst_raw)
+    return (dataclasses.replace(frame, color=src),
+            dataclasses.replace(target, color=dst))
+
+
+def frames_infer_mix(mix, target: Target):
+    """Mix-window variant (reference pl_frames_infer_mix,
+    renderer.c:4027): infers the target against the mix's nearest
+    frame and returns (target', ref_frame' or None)."""
+    import dataclasses
+    from .queue import frame_mix_nearest
+    ref = frame_mix_nearest(mix)
+    if ref is None:
+        dst = target.color.infer(target.w, target.h)
+        return dataclasses.replace(target, color=dst), None
+    ref2, target2 = frames_infer(ref, target)
+    return target2, ref2
+
+
+def translate_srgb_color(rgb, csp: ColorSpace) -> np.ndarray:
+    """Encode an sRGB color into colorspace `csp` (reference
+    translate_srgb_color, renderer.c:2555): linearize as sRGB (re-using
+    the target's own curve for the SDR gamma family to avoid small
+    adaptations), convert primaries relative-colorimetrically, and
+    delinearize with the target's transfer."""
+    from ..core.colorspace import (COLOR_HDR_BLACK, CSP_SRGB, HdrMetadata,
+                                   primaries_get)
+    from ..ops import color as ops_color
+    csp = csp.infer()
+    if csp.transfer in (ColorTransfer.BT_1886, ColorTransfer.SRGB,
+                        ColorTransfer.GAMMA22):
+        srgb = ColorSpace(ColorPrimaries.BT_709, csp.transfer,
+                          HdrMetadata(min_luma=csp.hdr.min_luma))
+    else:
+        srgb = ColorSpace(CSP_SRGB.primaries, CSP_SRGB.transfer,
+                          HdrMetadata(min_luma=COLOR_HDR_BLACK))
+    col = np.asarray(rgb, np.float32)[:3].reshape(3, 1, 1)
+    lin = np.asarray(ops_color.linearize(jnp.asarray(col), srgb))
+    m = color_mapping_matrix(primaries_get(srgb.primaries),
+                             primaries_get(csp.primaries)).m
+    lin = (m.astype(np.float64) @ lin.reshape(3, 1)).reshape(3, 1, 1)
+    out = np.asarray(ops_color.delinearize(
+        jnp.asarray(lin.astype(np.float32)), csp))
+    return out.reshape(3)
+
+
+def clear_target(target: Target, rgba=(0.0, 0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Target-encoded solid fill (reference pl_frame_clear_rgba,
+    renderer.c:4169): returns (C, h, w) data suitable for
+    `Target.data` / direct output, with `rgba` interpreted as an sRGB
+    color translated into the target's colorspace and repr."""
+    from ..core.colorspace import AlphaMode, color_repr_decode
+    comps = 4 if target.repr.alpha != AlphaMode.NONE else 3
+    enc = translate_srgb_color(rgba, target.color)
+    if target.repr.sys != ColorSystem.RGB:
+        tr, _ = color_repr_decode(target.repr)
+        minv = np.linalg.inv(tr.mat.m.astype(np.float64))
+        enc = (minv @ (enc - tr.c)).astype(np.float32)
+    a = float(rgba[3]) if len(rgba) > 3 else 1.0
+    mult = a if target.repr.alpha == AlphaMode.PREMULTIPLIED else 1.0
+    col = np.concatenate([mult * enc, [a]])[:comps].astype(np.float32)
+    return jnp.broadcast_to(
+        jnp.asarray(col)[:, None, None], (comps, target.h, target.w))
+
+
+def clear_target_tiles(target: Target, tile_colors=((0.93, 0.93, 0.93),
+                                                    (0.87, 0.87, 0.87)),
+                       tile_size: int = 32) -> jnp.ndarray:
+    """Target-encoded checkerboard fill (reference pl_frame_clear_tiles,
+    renderer.c:4116): two sRGB tile colors translated into the target's
+    colorspace, as (3, h, w) data."""
+    encs = [translate_srgb_color(tuple(c) + (1.0,), target.color)
+            for c in tile_colors]
+    from ..core.colorspace import color_repr_decode
+    if target.repr.sys != ColorSystem.RGB:
+        tr, _ = color_repr_decode(target.repr)
+        minv = np.linalg.inv(tr.mat.m.astype(np.float64))
+        encs = [(minv @ (e - tr.c)).astype(np.float32) for e in encs]
+    yy, xx = np.meshgrid(np.arange(target.h) // tile_size,
+                         np.arange(target.w) // tile_size, indexing="ij")
+    sel = ((yy + xx) % 2).astype(np.float32)
+    c0 = np.asarray(encs[0], np.float32)[:, None, None]
+    c1 = np.asarray(encs[1], np.float32)[:, None, None]
+    return jnp.asarray(c0 * (1 - sel) + c1 * sel)
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,70 @@ def test_merge():
     m = a.merge(b)
     assert m.sys == ColorSystem.BT_709
     assert m.levels == ColorLevels.FULL
+
+
+def test_white_point_loci():
+    # daylight locus (reference pl_daylight_from_temp): D65 at 6504K
+    d65 = cs.daylight_from_temp(6504)
+    assert abs(d65.x - 0.3127) < 2e-3 and abs(d65.y - 0.3290) < 2e-3
+    # blackbody locus (reference pl_blackbody_from_temp): Planckian
+    # point at 2856K (illuminant A) is near (0.4476, 0.4074)
+    a = cs.blackbody_from_temp(2856)
+    assert abs(a.x - 0.4476) < 4e-3 and abs(a.y - 0.4074) < 4e-3
+    # white_from_temp blends: pure blackbody at/below 2500K, pure
+    # daylight at/above 4000K (reference pl_white_from_temp)
+    lo = cs.white_from_temp(2000)
+    assert lo.x == cs.blackbody_from_temp(2000).x
+    hi = cs.white_from_temp(6500)
+    assert hi.x == cs.daylight_from_temp(6500).x
+    mid = cs.white_from_temp(3000)
+    bx, dx = cs.blackbody_from_temp(3000).x, cs.daylight_from_temp(3000).x
+    assert min(bx, dx) <= mid.x <= max(bx, dx)
+
+
+def test_is_black_scaled_table():
+    # reference pl_color_space_is_black_scaled (colorspace.c:525)
+    scaled = [ColorTransfer.UNKNOWN, ColorTransfer.SRGB,
+              ColorTransfer.LINEAR, ColorTransfer.GAMMA22,
+              ColorTransfer.PRO_PHOTO, ColorTransfer.ST428,
+              ColorTransfer.HLG]
+    unscaled = [ColorTransfer.BT_1886, ColorTransfer.PQ,
+                ColorTransfer.SCRGB, ColorTransfer.V_LOG,
+                ColorTransfer.S_LOG1, ColorTransfer.S_LOG2]
+    for t in scaled:
+        assert cs.ColorSpace(transfer=t).is_black_scaled(), t
+    for t in unscaled:
+        assert not cs.ColorSpace(transfer=t).is_black_scaled(), t
+
+
+def test_infer_ref():
+    # unknown target against a wide-gamut HDR source -> BT.709 + BT.1886
+    src = cs.CSP_BT2100_PQ
+    dst = cs.ColorSpace().infer_ref(src)
+    assert dst.primaries == ColorPrimaries.BT_709
+    assert dst.transfer == ColorTransfer.BT_1886
+    # SDR gamma curves are re-used directly
+    dst2 = cs.ColorSpace().infer_ref(cs.CSP_SRGB)
+    assert dst2.transfer == ColorTransfer.SRGB
+    # narrow-gamut ref primaries are copied
+    dst3 = cs.ColorSpace().infer_ref(cs.CSP_BT709)
+    assert dst3.primaries == ColorPrimaries.BT_709
+
+
+def test_infer_map():
+    # HLG -> HDR display: source OOTF peak tunes to the display
+    src_hlg = cs.CSP_BT2020_HLG
+    dst_hdr = cs.ColorSpace(ColorPrimaries.BT_2020, ColorTransfer.PQ,
+                            cs.HdrMetadata(max_luma=800.0))
+    s, d = cs.color_space_infer_map(src_hlg, dst_hdr)
+    assert s.hdr.max_luma == d.hdr.max_luma == 800.0
+    # BT.1886 source with unknown contrast adopts the target's black
+    dst_known = cs.ColorSpace(ColorPrimaries.BT_709, ColorTransfer.SRGB,
+                              cs.HdrMetadata(min_luma=0.05, max_luma=100.0))
+    s2, d2 = cs.color_space_infer_map(cs.CSP_BT709, dst_known)
+    assert s2.hdr.min_luma == 0.05
+    # SDR->SDR with unknown dst contrast: dst shares the src black
+    src_sdr = cs.ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886,
+                            cs.HdrMetadata(min_luma=0.1, max_luma=100.0))
+    s3, d3 = cs.color_space_infer_map(src_sdr, cs.ColorSpace())
+    assert d3.hdr.min_luma == 0.1

@@ -450,3 +450,45 @@ def test_h274_grain_slices_match_reference(golden, hv):
     got = h274._generate_slice(h, v)
     np.testing.assert_allclose(got, golden[f"grain_h274_slice_{h}_{v}"],
                                atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# White-point loci + joint colorspace inference (colorspace.c:946-1062)
+# ---------------------------------------------------------------------------
+
+def test_golden_white_points(golden):
+    from libplacebo_tpu.core import colorspace as cs
+    ref = golden["white_points"]
+    for i in range(ref.shape[0]):
+        t = 1500.0 + i * 1000.0
+        b = cs.blackbody_from_temp(t)
+        d = cs.daylight_from_temp(t)
+        w = cs.white_from_temp(t)
+        np.testing.assert_allclose(
+            [b.x, b.y, d.x, d.y, w.x, w.y], ref[i], rtol=0, atol=2e-6,
+            err_msg=f"temperature {t}")
+
+
+def test_golden_infer_map(golden):
+    from libplacebo_tpu.core import colorspace as cs
+    ref = golden["infer_map_luma"]
+    P, T, H = cs.ColorPrimaries, cs.ColorTransfer, cs.HdrMetadata
+    pairs = [
+        (cs.ColorSpace(P.BT_2020, T.PQ), cs.ColorSpace()),
+        (cs.ColorSpace(P.BT_2020, T.HLG),
+         cs.ColorSpace(P.BT_2020, T.PQ, H(max_luma=800.0))),
+        (cs.ColorSpace(P.BT_709, T.BT_1886),
+         cs.ColorSpace(P.BT_709, T.SRGB,
+                       H(min_luma=0.05, max_luma=100.0))),
+        (cs.ColorSpace(P.BT_709, T.BT_1886,
+                       H(min_luma=0.1, max_luma=100.0)), cs.ColorSpace()),
+        (cs.ColorSpace(P.BT_709, T.SRGB),
+         cs.ColorSpace(P.BT_709, T.BT_1886,
+                       H(min_luma=0.2, max_luma=250.0))),
+    ]
+    for i, (src, dst) in enumerate(pairs):
+        s, d = cs.color_space_infer_map(src, dst)
+        got = [s.hdr.min_luma, s.hdr.max_luma,
+               d.hdr.min_luma, d.hdr.max_luma]
+        np.testing.assert_allclose(got, ref[i], rtol=1e-6, atol=1e-9,
+                                   err_msg=f"pair {i}")

@@ -279,3 +279,35 @@ def test_channel_mix_einsum_precision_pinned():
         jaxpr = jax.make_jaxpr(
             lambda x: ops_color.mat_pointwise(x, m))(jnp.ones((3, 8, 8)))
     assert "HIGHEST" in str(jaxpr).upper(), str(jaxpr)
+
+
+def test_log_curves_not_black_scaled():
+    """V-Log/S-Log are scene-referred: display black/peak scaling must
+    NOT apply (reference pl_shader_linearize returns before scale_out
+    for them, shaders/colorspace.c:688-717)."""
+    from libplacebo_tpu.core import transfer as tf_mod
+    from libplacebo_tpu.core.colorspace import HdrMetadata
+    sig = _img([[0.3, 0.5, 0.7]])
+    for trc in (ColorTransfer.V_LOG, ColorTransfer.S_LOG1,
+                ColorTransfer.S_LOG2):
+        # metadata that WOULD rescale a black-scaled curve
+        csp = ColorSpace(ColorPrimaries.BT_709, trc,
+                         HdrMetadata(min_luma=0.5, max_luma=400.0))
+        lin = np.asarray(C.linearize(sig, csp))
+        pure = np.asarray(tf_mod.linearize(sig, trc))
+        np.testing.assert_allclose(lin, pure, rtol=1e-6)
+        # and the roundtrip stays the identity
+        back = np.asarray(C.delinearize(C.linearize(sig, csp), csp))
+        np.testing.assert_allclose(back, np.asarray(sig),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gamma_curves_black_scaled():
+    """Gamma-family curves DO stretch into [min,max] (scale_out)."""
+    from libplacebo_tpu.core.colorspace import (COLOR_SDR_WHITE,
+                                                HdrMetadata)
+    sig = _img([[1.0, 1.0, 1.0]])
+    csp = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.GAMMA22,
+                     HdrMetadata(min_luma=0.0, max_luma=2 * COLOR_SDR_WHITE))
+    lin = np.asarray(C.linearize(sig, csp))
+    np.testing.assert_allclose(lin, 2.0, rtol=1e-5)

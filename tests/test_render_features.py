@@ -525,3 +525,143 @@ def test_st2094_40_honors_hdr10plus_ootf():
     out_bez = np.asarray(Renderer().render(make(bez), tgt, params))
     assert np.all(np.isfinite(out_bez))
     assert not np.array_equal(out_plain, out_bez)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 API parity batch: frames_infer, clear helpers, hdr metadata,
+# renderer save/load, frame-mix pick helpers, options hook management
+# ---------------------------------------------------------------------------
+
+def test_frames_infer():
+    from libplacebo_tpu.render.renderer import frames_infer
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                ColorTransfer)
+    f = _rgb_frame(8, 8)
+    f.color = CSP_BT2100_PQ
+    tgt = Target(w=16, h=16)    # fully unknown target colorspace
+    f2, t2 = frames_infer(f, tgt)
+    # wide-gamut HDR source -> BT.709 / BT.1886 target defaults
+    assert t2.color.primaries == ColorPrimaries.BT_709
+    assert t2.color.transfer == ColorTransfer.BT_1886
+    assert f2.color.hdr.max_luma == 10000.0
+    assert t2.color.hdr.max_luma > 0
+    # pixel data untouched
+    assert f2.planes[0].data is f.planes[0].data
+
+
+def test_frames_infer_mix():
+    from libplacebo_tpu.render.renderer import frames_infer_mix
+    from libplacebo_tpu.render.queue import FrameMix
+    a, b = _rgb_frame(8, 8, seed=1), _rgb_frame(8, 8, seed=2)
+    mix = FrameMix(frames=[a, b], timestamps=[-0.2, 0.8])
+    tgt = Target(w=16, h=16)
+    t2, ref2 = frames_infer_mix(mix, tgt)
+    assert ref2 is not None and t2.color.primaries != 0
+    # empty mix still infers the target standalone
+    t3, ref3 = frames_infer_mix(FrameMix(), tgt)
+    assert ref3 is None and t3.color.hdr.max_luma > 0
+
+
+def test_clear_target_rgba():
+    from libplacebo_tpu.render.renderer import clear_target
+    tgt = Target(w=8, h=4, color=CSP_SRGB)
+    out = np.asarray(clear_target(tgt, (1.0, 0.0, 0.0, 1.0)))
+    assert out.shape[1:] == (4, 8)
+    # red fill stays red in an sRGB target
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-5)
+    # mid-gray in a PQ target encodes to the PQ code of 0.5^2.2*203 nits
+    tgt_pq = Target(w=2, h=2, color=CSP_BT2100_PQ)
+    out_pq = np.asarray(clear_target(tgt_pq, (0.5, 0.5, 0.5, 1.0)))
+    assert 0.4 < out_pq[0, 0, 0] < 0.6      # ~0.51 PQ
+    # YCbCr target: gray encodes with centered chroma
+    from libplacebo_tpu.core.colorspace import BitEncoding
+    tgt_yuv = Target(w=2, h=2, color=CSP_SRGB,
+                     repr=ColorRepr(sys=ColorSystem.BT_709,
+                                    levels=ColorLevels.LIMITED,
+                                    bits=BitEncoding(8, 8, 0)))
+    out_yuv = np.asarray(clear_target(tgt_yuv, (0.5, 0.5, 0.5, 1.0)))
+    assert abs(out_yuv[1, 0, 0] - 128 / 255) < 1e-3
+    assert abs(out_yuv[2, 0, 0] - 128 / 255) < 1e-3
+
+
+def test_clear_target_tiles():
+    from libplacebo_tpu.render.renderer import clear_target_tiles
+    tgt = Target(w=64, h=64, color=CSP_SRGB)
+    out = np.asarray(clear_target_tiles(tgt, tile_size=16))
+    assert out.shape == (3, 64, 64)
+    # checkerboard: two distinct values, alternating at tile boundaries
+    assert abs(out[0, 0, 0] - out[0, 0, 16]) > 1e-3
+    assert abs(out[0, 0, 0] - out[0, 16, 16]) < 1e-6
+
+
+def test_get_hdr_metadata():
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    rng = np.random.default_rng(0)
+    y = (rng.random((32, 32)) * 219 + 16).astype(np.uint8)
+    u = (rng.random((16, 16)) * 224 + 16).astype(np.uint8)
+    v = (rng.random((16, 16)) * 224 + 16).astype(np.uint8)
+    f = frame_from_yuv420p(y, u, v, color=CSP_BT2100_PQ,
+                           repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                                          levels=ColorLevels.LIMITED,
+                                          bits=BitEncoding(8, 8, 0)))
+    r = Renderer()
+    assert r.get_hdr_metadata() is None
+    r.render(f, Target(w=32, h=32, color=CSP_SRGB),
+             _params(peak_detect=PeakDetectParams()))
+    md = r.get_hdr_metadata()
+    assert md is not None and 0 < md.max_pq_y <= 1.0
+    assert 0 < md.avg_pq_y <= md.max_pq_y
+    r.reset_peak_detection()
+    assert r.get_hdr_metadata() is None
+
+
+def test_renderer_save_load():
+    from libplacebo_tpu import runtime
+    ctx = runtime.create_dummy()
+    ctx.cache.set(1234, b"artifact")
+    r = Renderer(ctx=ctx)
+    blob = r.save()
+    assert blob
+    ctx2 = runtime.create_dummy()
+    r2 = Renderer(ctx=ctx2)
+    assert r2.load(blob) == 1
+    assert ctx2.cache.get(1234) == b"artifact"
+    # renderer without a context degrades to an empty blob
+    assert Renderer().save() == b""
+
+
+def test_frame_mix_pick_helpers():
+    from libplacebo_tpu.render.queue import (FrameMix, frame_mix_current,
+                                             frame_mix_nearest,
+                                             frame_mix_radius)
+    a, b, c = (_rgb_frame(4, 4, seed=s) for s in (1, 2, 3))
+    mix = FrameMix(frames=[a, b, c], timestamps=[-0.9, -0.1, 0.6])
+    assert frame_mix_current(mix) is b      # last ts <= 0
+    assert frame_mix_nearest(mix) is b      # |−0.1| smallest
+    mix2 = FrameMix(frames=[a, b], timestamps=[0.2, 1.2])
+    assert frame_mix_current(mix2) is None  # nothing at/before pts
+    assert frame_mix_nearest(mix2) is a
+    assert frame_mix_current(FrameMix()) is None
+    assert frame_mix_nearest(FrameMix()) is None
+    # radius: kernel mixers report their footprint, oversample is 0
+    assert frame_mix_radius(_params(frame_mixer="oversample")) == 0.0
+    assert frame_mix_radius(_params(frame_mixer="none")) == 0.0
+    assert frame_mix_radius(_params(frame_mixer="mitchell")) == 2.0
+
+
+def test_options_hook_management():
+    from libplacebo_tpu.core.options import Options, OptionError
+    hook_text = ("//!HOOK LUMA\n//!BIND HOOKED\n"
+                 "vec4 hook() { return 2.0 * HOOKED_texOff(vec2(0.0)); }\n")
+    o = Options()
+    o.add_hook(hook_text)
+    assert len(o.params.hooks) == 1
+    o.insert_hook(0, hook_text)
+    assert len(o.params.hooks) == 2
+    o.remove_hook_at(1)
+    assert len(o.params.hooks) == 1
+    with pytest.raises(OptionError):
+        o.add_hook("//!not a shader at all\x00")
+    with pytest.raises(IndexError):
+        o.remove_hook_at(5)

@@ -353,6 +353,62 @@ static void dump_clip_luma(void)
     dump("nominal_luma", (float *) luma, 2, ldims);
 }
 
+/* ---- white point loci + joint colorspace inference ---- */
+static void dump_whitepoints_infer(void)
+{
+    /* blackbody/daylight/white loci over a temperature grid (incl.
+     * values outside the clamp ranges to pin clamping too) */
+    enum { N = 25 };
+    float wp[N][6];
+    for (int i = 0; i < N; i++) {
+        float t = 1500.0f + i * 1000.0f;
+        struct pl_cie_xy b = pl_blackbody_from_temp(t);
+        struct pl_cie_xy d = pl_daylight_from_temp(t);
+        struct pl_cie_xy w = pl_white_from_temp(t);
+        wp[i][0] = b.x; wp[i][1] = b.y;
+        wp[i][2] = d.x; wp[i][3] = d.y;
+        wp[i][4] = w.x; wp[i][5] = w.y;
+    }
+    int dims[2] = {N, 6};
+    dump("white_points", (float *) wp, 2, dims);
+
+    /* pl_color_space_infer_map over pairs covering each branch:
+     * HDR->unknown, HLG->HDR peak tune, BT.1886 src adopting dst
+     * black, SDR->SDR reverse black share, black-scaled src share */
+    struct pl_color_space pairs[][2] = {
+        {{ .primaries = PL_COLOR_PRIM_BT_2020,
+           .transfer = PL_COLOR_TRC_PQ }, {0}},
+        {{ .primaries = PL_COLOR_PRIM_BT_2020,
+           .transfer = PL_COLOR_TRC_HLG },
+         { .primaries = PL_COLOR_PRIM_BT_2020,
+           .transfer = PL_COLOR_TRC_PQ,
+           .hdr = { .max_luma = 800.0f } }},
+        {{ .primaries = PL_COLOR_PRIM_BT_709,
+           .transfer = PL_COLOR_TRC_BT_1886 },
+         { .primaries = PL_COLOR_PRIM_BT_709,
+           .transfer = PL_COLOR_TRC_SRGB,
+           .hdr = { .min_luma = 0.05f, .max_luma = 100.0f } }},
+        {{ .primaries = PL_COLOR_PRIM_BT_709,
+           .transfer = PL_COLOR_TRC_BT_1886,
+           .hdr = { .min_luma = 0.1f, .max_luma = 100.0f } }, {0}},
+        {{ .primaries = PL_COLOR_PRIM_BT_709,
+           .transfer = PL_COLOR_TRC_SRGB },
+         { .primaries = PL_COLOR_PRIM_BT_709,
+           .transfer = PL_COLOR_TRC_BT_1886,
+           .hdr = { .min_luma = 0.2f, .max_luma = 250.0f } }},
+    };
+    enum { NP = sizeof(pairs) / sizeof(pairs[0]) };
+    float im[NP][4];
+    for (int i = 0; i < NP; i++) {
+        struct pl_color_space s = pairs[i][0], d = pairs[i][1];
+        pl_color_space_infer_map(&s, &d);
+        im[i][0] = s.hdr.min_luma; im[i][1] = s.hdr.max_luma;
+        im[i][2] = d.hdr.min_luma; im[i][3] = d.hdr.max_luma;
+    }
+    int idims[2] = {NP, 4};
+    dump("infer_map_luma", (float *) im, 2, idims);
+}
+
 int main(int argc, char **argv)
 {
     out = fopen(argc > 1 ? argv[1] : "golden.bin", "wb");
@@ -364,6 +420,7 @@ int main(int argc, char **argv)
     dump_gamut();
     dump_dither();
     dump_clip_luma();
+    dump_whitepoints_infer();
     fclose(out);
     return 0;
 }

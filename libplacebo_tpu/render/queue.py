@@ -46,6 +46,11 @@ class QueueParams:
     vsync_duration: float = 0.0  # 0 = estimate
     frame_duration: float = 0.0  # 0 = estimate
     interpolation_threshold: float = 0.01
+    # PTS drift/jitter compensation (reference frame_queue.h:148-157):
+    # a requested pts this close to a queued frame's pts snaps to it,
+    # and the mismatch is subtracted from all future updates until the
+    # queue resets or the pts jumps discontinuously
+    drift_compensation: float = 1e-3
     get_frame: Optional[Callable[[], Optional[Frame]]] = None
 
 
@@ -159,6 +164,13 @@ class FrameQueue:
         self._vps_pool = _RatePool()
         self._last_vsync_pts = None
         self._threshold_stick = 0
+        self._pts_offset = 0.0
+
+    def pts_offset(self) -> float:
+        """Current PTS drift-compensation offset (reference
+        pl_queue_pts_offset, frame_queue.c:1079): added to every
+        incoming QueueParams.pts."""
+        return self._pts_offset
 
     @property
     def _fps_est(self) -> float:
@@ -232,6 +244,7 @@ class FrameQueue:
         self._fps_pool = _RatePool()
         self._vps_pool = _RatePool()
         self._threshold_stick = 0
+        self._pts_offset = 0.0
 
     # -- emission -----------------------------------------------------
 
@@ -254,8 +267,27 @@ class FrameQueue:
         if p.frame_duration:
             self._fps_pool.default(p.frame_duration)
         if self._last_vsync_pts is not None and pts > self._last_vsync_pts:
-            self._vps_pool.update(pts - self._last_vsync_pts)
+            delta = pts - self._last_vsync_pts
+            if delta > 1.0:
+                # discontinuous jump (e.g. resume after suspend):
+                # don't poison the vsync estimate, drop the drift
+                # offset (reference frame_queue.c:990-997)
+                self._pts_offset = 0.0
+            else:
+                self._vps_pool.update(delta)
         self._last_vsync_pts = pts
+
+        # PTS drift compensation (reference frame_queue.c:1007-1021):
+        # snap to a queued frame's pts when within the tolerance and
+        # remember the offset for future updates
+        if p.drift_compensation > 0.0:
+            adj = pts + self._pts_offset
+            for f in self._frames:
+                if abs(f.pts - adj) < p.drift_compensation:
+                    self._pts_offset = f.pts - pts
+                    adj = f.pts
+                    break
+            pts = adj
 
         self._fill_until(pts + max(p.radius, 1.0) *
                          (p.vsync_duration or 1.0 / max(self._vps_est, 1e-9)

@@ -21,7 +21,8 @@ from ..core.colorspace import (BitEncoding, ColorLevels, ColorRepr,
 from ..render.frame import Frame, Plane
 
 __all__ = ["PlaneData", "upload_plane", "frame_from_planes",
-           "CHROMA_OFFSETS", "chroma_location_offset"]
+           "plane_data_from_mask", "plane_data_from_comps",
+           "plane_data_align", "CHROMA_OFFSETS", "chroma_location_offset"]
 
 # reference pl_chroma_location_offset (colorspace.c:978): shift of the
 # chroma sample position relative to centered, in REF-pixel units
@@ -42,19 +43,128 @@ def chroma_location_offset(loc: str) -> Tuple[float, float]:
 @dataclass
 class PlaneData:
     """Reference pl_plane_data (utils/upload.h): describes raw plane
-    bytes (or an ndarray) plus its component layout."""
+    bytes (or an ndarray) plus its component layout.
+
+    Two layouts are supported:
+      * planar/interleaved: `data` is (H, W) or (H, W, C) with one
+        array element per component sample;
+      * packed words: `component_size` is set and `data` is a (H, W)
+        integer array of packed pixel words — components are unpacked
+        LSB-first with `component_pad` bits of padding before each
+        (exactly the reference's component_size/pad/map model, e.g.
+        RGB565 in uint16 or 10:10:10:2 in uint32)."""
     data: np.ndarray                     # (H, W) or (H, W, C)
     component_map: Tuple[int, ...] = (0,)
     bit_depth: int = 0                   # 0 = infer from dtype
     bit_shift: int = 0
     shift_x: float = 0.0
     shift_y: float = 0.0
+    component_size: Tuple[int, ...] = ()   # packed: bits per component
+    component_pad: Tuple[int, ...] = ()    # packed: bits before each
+
+
+def plane_data_from_comps(sizes, shifts):
+    """Compute (component_size, component_pad, component_map) from
+    per-component bit sizes and shifts in semantic (RGBA) order
+    (reference pl_plane_data_from_comps, upload.c:47)."""
+    comps = sorted(
+        ((shifts[i], sizes[i], i) for i in range(len(sizes)) if sizes[i]),
+        key=lambda c: c[0])
+    size, pad, cmap = [], [], []
+    offset = 0
+    for shift, sz, order in comps:
+        if shift < offset:
+            raise ValueError("overlapping component bit ranges")
+        size.append(sz)
+        pad.append(shift - offset)
+        cmap.append(order)
+        offset += sz + (shift - offset)
+    return tuple(size), tuple(pad), tuple(cmap)
+
+
+def plane_data_from_mask(masks):
+    """Like plane_data_from_comps but from per-component bit masks
+    (reference pl_plane_data_from_mask, upload.c:78). Each mask must
+    be a contiguous run of set bits."""
+    sizes, shifts = [], []
+    for m in masks:
+        m = int(m)
+        size = bin(m).count("1")
+        shift = (m & -m).bit_length() - 1 if m else 0
+        if m and (((1 << size) - 1) << shift) != m:
+            raise ValueError(f"non-contiguous component mask {m:#x}")
+        sizes.append(size)
+        shifts.append(shift)
+    return plane_data_from_comps(sizes, shifts)
+
+
+def plane_data_align(size, pad):
+    """Round byte-misaligned packed components up/out to byte
+    boundaries (reference pl_plane_data_align, upload.c:96: consuming
+    left padding = a bit shift, consuming right padding = ignoring
+    zeros). Returns (size', pad', BitEncoding) when every component
+    aligns consistently, else None."""
+    size, pad = list(size), list(pad)
+    color_depth = sample_depth = bit_shift = None
+    offset = 0
+    for i in range(len(size)):
+        if color_depth is None:
+            color_depth = size[i]
+        elif color_depth != size[i]:
+            return None
+        comp_start = offset + pad[i]
+        left = min(comp_start - ((comp_start - 7 + 7) & ~7), pad[i])
+        pad[i] -= left
+        size[i] += left
+        if bit_shift is None:
+            bit_shift = left
+        elif bit_shift != left:
+            return None
+        comp_end = comp_start + size[i] - left
+        right = ((comp_end + 7) & ~7) - comp_end
+        if i + 1 == len(size):
+            size[i] += right
+        else:
+            right = min(right, pad[i + 1])
+            size[i] += right
+            pad[i + 1] -= right
+        if sample_depth is None:
+            sample_depth = size[i]
+        elif sample_depth != size[i]:
+            return None
+        offset += pad[i] + size[i]
+    if sample_depth is None:
+        return None
+    return (tuple(size), tuple(pad),
+            BitEncoding(sample_depth=sample_depth, color_depth=color_depth,
+                        bit_shift=bit_shift))
 
 
 def upload_plane(pd: PlaneData, device=None) -> Plane:
     """Normalize + upload one plane (reference pl_upload_plane,
     upload.c:225)."""
     arr = np.asarray(pd.data)
+    if pd.component_size:
+        # packed pixel words: unpack each component LSB-first with its
+        # padding, normalizing by its own bit width (the pl_fmt UNORM
+        # negotiation analog for packed formats like rgb565/rgb10a2)
+        assert arr.ndim == 2 and np.issubdtype(arr.dtype, np.integer), \
+            "packed layout needs a 2D integer word array"
+        pads = pd.component_pad or (0,) * len(pd.component_size)
+        words = arr.astype(np.uint64)
+        offset = 0
+        unpacked = []
+        for sz, pad in zip(pd.component_size, pads):
+            offset += pad
+            comp = (words >> np.uint64(offset)) & np.uint64((1 << sz) - 1)
+            unpacked.append(comp.astype(np.float32) / float((1 << sz) - 1))
+            offset += sz
+        farr = np.stack(unpacked, axis=-1)
+        data = jnp.asarray(np.moveaxis(farr, -1, 0))   # (C, H, W)
+        if device is not None:
+            data = jax.device_put(data, device)
+        return Plane(data=data, component_mapping=tuple(pd.component_map),
+                     shift_x=pd.shift_x, shift_y=pd.shift_y)
     if arr.ndim == 2:
         arr = arr[..., None]
     comps = arr.shape[-1]

@@ -718,3 +718,35 @@ def test_dv_rpu_parse_fuzz():
                 parse_rpu(bytes(b))
             except RpuError:
                 pass
+
+
+def test_queue_pts_drift_compensation():
+    """Reference frame_queue.c:1007: a pts within drift_compensation of
+    a queued frame snaps to it and the offset sticks for later calls."""
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus)
+    q = FrameQueue()
+    for f in _frames(10):
+        q.push(f)
+    q.push(None)
+    assert q.pts_offset() == 0.0
+    # jittered pts 0.4 ms off the exact frame time
+    jitter = 0.0004
+    st, mix = q.update(QueueParams(pts=2 / 24.0 + jitter,
+                                   drift_compensation=1e-3),
+                       QueueMode.POINT)
+    assert st == QueueStatus.OK
+    assert mix.frames[0].signature == 3
+    # the offset now compensates the measured drift
+    assert abs(q.pts_offset() + jitter) < 1e-9
+    # and is applied to future updates: the same jitter keeps snapping
+    st, mix = q.update(QueueParams(pts=3 / 24.0 + jitter,
+                                   drift_compensation=1e-3),
+                       QueueMode.POINT)
+    assert mix.frames[0].signature == 4
+    # a discontinuous (>1s) jump resets the offset
+    q.update(QueueParams(pts=5.0, drift_compensation=1e-3),
+             QueueMode.POINT)
+    assert q.pts_offset() == 0.0
+    q.reset()
+    assert q.pts_offset() == 0.0

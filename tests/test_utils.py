@@ -417,3 +417,59 @@ def test_y4m_colorrange_extension_tag():
     assert "COLORRANGE=FULL" in r.info.extensions
     f = r.read_frame()
     assert f.repr.levels == ColorLevels.FULL
+
+
+def test_plane_data_from_mask_and_comps():
+    """Reference pl_plane_data_from_mask/from_comps (upload.c:47-94)."""
+    # RGB565: r in bits 11-15, g in 5-10, b in 0-4
+    size, pad, cmap = upload.plane_data_from_mask(
+        [0xF800, 0x07E0, 0x001F])
+    assert size == (5, 6, 5)
+    assert pad == (0, 0, 0)
+    assert cmap == (2, 1, 0)          # memory order: b, g, r
+    # 10:10:10:2 (A2BGR10): a=bits 30-31, b=20-29, g=10-19, r=0-9
+    size, pad, cmap = upload.plane_data_from_comps(
+        [10, 10, 10, 2], [0, 10, 20, 30])
+    assert size == (10, 10, 10, 2)
+    assert cmap == (0, 1, 2, 3)
+    import pytest
+    with pytest.raises(ValueError):
+        upload.plane_data_from_mask([0b1010])      # non-contiguous
+    with pytest.raises(ValueError):
+        upload.plane_data_from_comps([8, 8], [0, 4])   # overlap
+
+
+def test_upload_packed_rgb565():
+    # pack a 2x2 rgb565 image: red, green, blue, white
+    words = np.array([[0xF800, 0x07E0], [0x001F, 0xFFFF]], np.uint16)
+    size, pad, cmap = upload.plane_data_from_mask(
+        [0xF800, 0x07E0, 0x001F])
+    p = upload.upload_plane(upload.PlaneData(
+        words, component_map=cmap, component_size=size,
+        component_pad=pad))
+    got = np.asarray(p.data)          # (3, 2, 2) in memory order b,g,r
+    assert p.component_mapping == (2, 1, 0)
+    np.testing.assert_allclose(got[2, 0, 0], 1.0)   # red pixel, r comp
+    np.testing.assert_allclose(got[1, 0, 1], 1.0)   # green
+    np.testing.assert_allclose(got[0, 1, 0], 1.0)   # blue
+    np.testing.assert_allclose(got[:, 1, 1], 1.0)   # white: all comps
+    assert got[1, 0, 0] == 0.0 and got[0, 0, 1] == 0.0
+
+
+def test_plane_data_align():
+    """Reference pl_plane_data_align (upload.c:96)."""
+    # 12-bit components packed at the TOP of 16-bit words (xyz12):
+    # pad 4 before each comp -> aligns to 16-bit samples w/ shift 4
+    res = upload.plane_data_align((12, 12, 12), (4, 4, 4))
+    assert res is not None
+    size, pad, bits = res
+    assert bits.sample_depth == 16 and bits.color_depth == 12
+    assert bits.bit_shift == 4
+    assert size == (16, 16, 16) and pad == (0, 0, 0)
+    # already-aligned 8-bit comps are a no-op
+    size, pad, bits = upload.plane_data_align((8, 8, 8), (0, 0, 0))
+    assert bits == __import__(
+        "libplacebo_tpu.core.colorspace", fromlist=["BitEncoding"]
+    ).BitEncoding(8, 8, 0)
+    # inconsistent component depths can't align
+    assert upload.plane_data_align((5, 6, 5), (0, 0, 0)) is None

@@ -191,6 +191,9 @@ def _build_table() -> List[_Opt]:
         scaler_opt("upscaler", "upscaler"),
         scaler_opt("downscaler", "downscaler"),
         scaler_opt("plane_upscaler", "plane_upscaler"),
+        scaler_opt("plane_downscaler", "plane_downscaler"),
+        field_opt("correct_subpixel_offsets", "bool",
+                  "correct_subpixel_offsets"),
         scaler_opt("frame_mixer", "frame_mixer"),
         field_opt("antiringing_strength", "float", "antiringing_strength",
                   0.0, 1.0),

@@ -299,13 +299,21 @@ def _build_halo_step(mesh: Mesh, plane_metas,
     _require(dst_h % n_sp == 0, f"dst rows {dst_h} % {n_sp} != 0")
     H_l, dst_l = H // n_sp, dst_h // n_sp
 
-    # ---- chroma-merge plans (mirrors Renderer._merge_planes)
-    merge_cfg = _find_scaler(params.plane_upscaler)
+    # ---- chroma-merge plans (mirrors Renderer._merge_planes:
+    # direction-aware plane scalers, None inherits the main scalers)
+    merge_up = _find_scaler(params.plane_upscaler or params.upscaler)
+    merge_down = _find_scaler(params.plane_downscaler or params.downscaler)
     merge_plans = []
     for shape, mapping, sx, sy in plane_metas:
         ph, pw = shape[-2], shape[-1]
         _require(ph % n_sp == 0, f"plane rows {ph} % {n_sp} != 0")
-        if (ph, pw) != (H, W) or sx or sy:
+        if (ph, pw) == (H, W) and (sx or sy) and \
+                not params.correct_subpixel_offsets:
+            merge_plans.append(None)     # subpixel snap (single-chip parity)
+        elif (ph, pw) != (H, W) or sx or sy:
+            merge_cfg = merge_down if (ph > H or pw > W) else merge_up
+            _require(not merge_cfg.polar,
+                     "polar plane-merge scaler needs the GSPMD fallback")
             s0x = -sx * pw / W
             s0y = -sy * ph / H
             halo_m = _halo_ortho(merge_cfg, ph, H, s0y, s0y + ph, n_sp)
@@ -313,7 +321,7 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                    f"merge halo {halo_m} exceeds local rows {ph // n_sp}")
             rect_l = RectF(s0x, s0y + halo_m, s0x + pw, s0y + halo_m +
                            ph // n_sp)
-            merge_plans.append((halo_m, rect_l))
+            merge_plans.append((halo_m, rect_l, merge_cfg))
         else:
             merge_plans.append(None)
 
@@ -528,10 +536,10 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                     data, grain_tables[i], cfg_g, scaling_shift,
                     luma=luma, row0=row0)
             if plan is not None:
-                halo_m, rect_l = plan
+                halo_m, rect_l, plan_cfg = plan
                 ext = extend_rows(data, halo_m, n_sp, axis)
                 data = ops_sampling.resize_separable(
-                    ext, H_l, W, merge_cfg, rect_l)
+                    ext, H_l, W, plan_cfg, rect_l)
             for ci, ch in enumerate(mapping):
                 channels[ch] = data[..., ci, :, :]
         order = sorted(channels)

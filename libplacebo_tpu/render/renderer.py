@@ -133,7 +133,15 @@ class RenderParams:
     fast/default/high_quality bundles."""
     upscaler: str = "lanczos"
     downscaler: str = "hermite"
-    plane_upscaler: str = "bilinear"     # chroma merge scaler
+    # chroma/plane alignment scalers (reference renderer.h:145-152:
+    # None = inherit upscaler/downscaler; our default keeps the cheap
+    # bilinear merge — set None for reference-default inheritance)
+    plane_upscaler: Optional[str] = "bilinear"
+    plane_downscaler: Optional[str] = None
+    # resample same-size planes whose chroma siting is a pure subpixel
+    # offset (reference renderer.h:322 correct_subpixel_offsets; off =
+    # the offset snaps to the nearest texel like the reference default)
+    correct_subpixel_offsets: bool = False
     frame_mixer: str = "oversample"
     antiringing_strength: float = 0.0
     # scaling in (sigmoidized) linear light
@@ -245,6 +253,7 @@ class RenderParams:
 
     def key(self):
         return (self.upscaler, self.downscaler, self.plane_upscaler,
+                self.plane_downscaler, self.correct_subpixel_offsets,
                 self.disable_fused_colormap,
                 self.antiringing_strength, self.linear_scaling,
                 self.sigmoid, self.dither, self.error_diffusion,
@@ -644,16 +653,36 @@ class Renderer:
         # the reference grid: the (possibly hook-resized) ref plane
         H, W = (processed[ref_i][4].shape[-2],
                 processed[ref_i][4].shape[-1])
-        cfg = _find_scaler(params.plane_upscaler)
+        # direction-aware plane scaler selection (reference
+        # sample_src_info, renderer.c:632-645: plane_upscaler/
+        # plane_downscaler override the main scalers; None inherits)
+        up_cfg = _find_scaler(params.plane_upscaler or params.upscaler)
+        down_cfg = _find_scaler(params.plane_downscaler or params.downscaler)
         channels = {}
         for (shape, mapping, sx, sy, data, stage_scaled) in processed:
             ph, pw = data.shape[-2], data.shape[-1]
-            if (ph, pw) != (H, W) or sx or sy:
+            if (ph, pw) == (H, W) and (sx or sy) and \
+                    not params.correct_subpixel_offsets:
+                # reference default: a pure subpixel siting offset on a
+                # same-size plane snaps to the nearest texel instead of
+                # resampling (renderer.h:322)
+                pass
+            elif (ph, pw) != (H, W) or sx or sy:
+                cfg = down_cfg if (ph > H or pw > W) else up_cfg
                 s0x = -sx * pw / W
                 s0y = -sy * ph / H
-                data = ops_sampling.resize_separable(
-                    data, H, W, cfg,
-                    RectF(s0x, s0y, s0x + pw, s0y + ph))
+                rect = RectF(s0x, s0y, s0x + pw, s0y + ph)
+                if cfg.polar:
+                    # inherited EWA configs run the real polar sampler
+                    # for plane alignment too (reference dispatch_sampler
+                    # makes no distinction)
+                    from ..ops import polar as ops_polar
+                    data = ops_polar.sample_polar(
+                        data, cfg, H, W, rect,
+                        antiring=params.antiringing_strength or cfg.antiring)
+                else:
+                    data = ops_sampling.resize_separable(data, H, W, cfg,
+                                                         rect)
                 if params.hooks and stage_scaled is not None:
                     data = run_hooks(params.hooks, stage_scaled, data,
                                      self._disabled_hooks,

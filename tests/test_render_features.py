@@ -665,3 +665,68 @@ def test_options_hook_management():
         o.add_hook("//!not a shader at all\x00")
     with pytest.raises(IndexError):
         o.remove_hook_at(5)
+
+
+def test_plane_downscaler_and_inherit():
+    """Reference renderer.c:632-645: plane scalers are direction-aware
+    and None inherits the main scalers."""
+    from libplacebo_tpu.core.colorspace import (ColorLevels, ColorRepr,
+                                                ColorSystem)
+    from libplacebo_tpu.render.frame import Frame, Plane
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    # luma 16x16 ref plane + chroma sampled at 32x32 (supersampled):
+    # merging requires a 2x DOWNSCALE of chroma
+    y = jnp.asarray(rng.random((1, 16, 16), np.float32))
+    u = jnp.asarray(rng.random((1, 32, 32), np.float32))
+    v = jnp.asarray(rng.random((1, 32, 32), np.float32))
+    f = Frame(planes=[Plane(y, (0,)), Plane(u, (1,)), Plane(v, (2,))],
+              repr=ColorRepr(sys=ColorSystem.BT_709,
+                             levels=ColorLevels.FULL),
+              color=CSP_SRGB)
+    tgt = Target(w=16, h=16, color=CSP_SRGB)
+    out_box = np.asarray(Renderer().render(
+        f, tgt, _params(plane_downscaler="box")))
+    out_cat = np.asarray(Renderer().render(
+        f, tgt, _params(plane_downscaler="catmull_rom")))
+    # different downscalers actually change the merged chroma
+    assert np.abs(out_box - out_cat).max() > 1e-4
+    # plane_downscaler=None inherits the main downscaler
+    out_inherit = np.asarray(Renderer().render(
+        f, tgt, _params(plane_downscaler=None, downscaler="box")))
+    np.testing.assert_allclose(out_inherit, out_box, atol=1e-6)
+    # plane_upscaler=None inherits the main upscaler (chroma 8x8 up)
+    u8 = jnp.asarray(rng.random((1, 8, 8), np.float32))
+    f2 = Frame(planes=[Plane(y, (0,)), Plane(u8, (1,)), Plane(u8, (2,))],
+               repr=ColorRepr(sys=ColorSystem.BT_709,
+                              levels=ColorLevels.FULL),
+               color=CSP_SRGB)
+    out_a = np.asarray(Renderer().render(
+        f2, tgt, _params(plane_upscaler=None, upscaler="mitchell")))
+    out_b = np.asarray(Renderer().render(
+        f2, tgt, _params(plane_upscaler="mitchell")))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-6)
+
+
+def test_correct_subpixel_offsets():
+    """Reference renderer.h:322: same-size planes with a pure subpixel
+    siting offset snap by default; the flag forces resampling."""
+    from libplacebo_tpu.core.colorspace import (ColorLevels, ColorRepr,
+                                                ColorSystem)
+    from libplacebo_tpu.render.frame import Frame, Plane
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.random((1, 16, 16), np.float32))
+    c = jnp.asarray(rng.random((1, 16, 16), np.float32))
+    f = Frame(planes=[Plane(y, (0,)),
+                      Plane(c, (1,), shift_x=-0.5),
+                      Plane(c, (2,), shift_x=-0.5)],
+              repr=ColorRepr(sys=ColorSystem.BT_709,
+                             levels=ColorLevels.FULL),
+              color=CSP_SRGB)
+    tgt = Target(w=16, h=16, color=CSP_SRGB)
+    out_snap = np.asarray(Renderer().render(f, tgt, _params()))
+    out_fix = np.asarray(Renderer().render(
+        f, tgt, _params(correct_subpixel_offsets=True)))
+    # snapped output keeps the plane's own samples; corrected resamples
+    assert np.abs(out_snap - out_fix).max() > 1e-4

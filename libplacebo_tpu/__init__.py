@@ -13,8 +13,8 @@ Layer map (mirrors the reference's tiers; see SURVEY.md §7):
               filters, dither matrices, cache, options)
   ops/      — Tier 2: device image operations (sampling, color, deband,
               grain, dither, deinterlace, LUTs)
-  graph/    — Tier 3: pass planner + jit pipeline cache (= pl_dispatch)
-  render/   — Tier 4: the renderer (= pl_render_image), frames, queue
+  render/   — Tiers 3+4: the renderer (= pl_render_image) with its jit
+              pipeline cache (= pl_dispatch), frames, queue, hooks
   parallel/ — multi-chip mesh sharding (spatial tiles + halo exchange)
   utils/    — upload helpers, interop
   runtime   — Tier 1: device context (pl_gpu analog), limits, uploads

@@ -228,6 +228,26 @@ class RawPrimaries:
         return bool(self.red) and bool(self.green) and bool(self.blue) \
             and bool(self.white)
 
+    def merge(self, update: "RawPrimaries") -> "RawPrimaries":
+        """Fill zero chromaticity coordinates from `update`, per-scalar
+        (reference pl_raw_primaries_merge, colorspace.c:1088)."""
+        def pick(a: CIExy, b: CIExy) -> CIExy:
+            return CIExy(a.x or b.x, a.y or b.y)
+        return RawPrimaries(pick(self.red, update.red),
+                            pick(self.green, update.green),
+                            pick(self.blue, update.blue),
+                            pick(self.white, update.white))
+
+    def similar(self, other: "RawPrimaries") -> bool:
+        """True when total |Δxy| over all four points < 0.001
+        (reference pl_raw_primaries_similar, colorspace.c:1073)."""
+        delta = sum(abs(a - b) for a, b in (
+            (self.red.x, other.red.x), (self.red.y, other.red.y),
+            (self.green.x, other.green.x), (self.green.y, other.green.y),
+            (self.blue.x, other.blue.x), (self.blue.y, other.blue.y),
+            (self.white.x, other.white.x), (self.white.y, other.white.y)))
+        return delta < 0.001
+
 
 # Standard chromaticities per colorimetry spec (ITU-R, SMPTE, vendor manuals).
 _PRIMARIES_TABLE = {
@@ -859,6 +879,43 @@ class HdrMetadata:
     def __bool__(self):
         return any((self.min_luma, self.max_luma, self.max_cll,
                     self.max_fall, self.max_pq_y))
+
+    def merge(self, update: "HdrMetadata") -> "HdrMetadata":
+        """Fill unset fields from `update` (reference
+        pl_hdr_metadata_merge, colorspace.c:447)."""
+        return HdrMetadata(
+            prim=self.prim.merge(update.prim),
+            min_luma=self.min_luma or update.min_luma,
+            max_luma=self.max_luma or update.max_luma,
+            max_cll=self.max_cll or update.max_cll,
+            max_fall=self.max_fall or update.max_fall,
+            scene_max=self.scene_max if self.scene_max[1]
+            else update.scene_max,
+            scene_avg=self.scene_avg or update.scene_avg,
+            ootf=self.ootf if (self.ootf and self.ootf.target_luma)
+            else update.ootf,
+            max_pq_y=self.max_pq_y or update.max_pq_y,
+            avg_pq_y=self.avg_pq_y or update.avg_pq_y,
+        )
+
+    def contains(self, kind: str) -> bool:
+        """Whether a given class of metadata is present (reference
+        pl_hdr_metadata_contains, colorspace.c:471). `kind` is one of
+        "none", "any", "hdr10", "hdr10plus", "cie_y"."""
+        has_hdr10 = bool(self.max_luma)
+        has_hdr10plus = bool(self.scene_avg) and any(self.scene_max)
+        has_cie_y = bool(self.max_pq_y and self.avg_pq_y)
+        table = {
+            "none": True,
+            "any": has_hdr10 or has_hdr10plus or has_cie_y,
+            "hdr10": has_hdr10,
+            "hdr10plus": has_hdr10plus,
+            "cie_y": has_cie_y,
+        }
+        try:
+            return table[kind]
+        except KeyError:
+            raise ValueError(f"unknown HDR metadata type: {kind!r}")
 
 
 @dataclass(frozen=True)

@@ -23,6 +23,7 @@ __all__ = [
     "Matrix2x2",
     "Transform2x2",
     "Rotation",
+    "aspect_rotate",
 ]
 
 
@@ -109,6 +110,68 @@ class RectF:
         sx = 1.0 if self.x1 >= self.x0 else -1.0
         sy = 1.0 if self.y1 >= self.y0 else -1.0
         return RectF(mx - sx * hw, my - sy * hh, mx + sx * hw, my + sy * hh)
+
+    def stretch_xy(self, stretch_x: float, stretch_y: float) -> "RectF":
+        """Scale the rect around its midpoint (reference
+        `pl_rect2df_stretch`, common.c:445)."""
+        mx, my = self.midx(), self.midy()
+        return RectF(self.x0 * stretch_x + mx * (1.0 - stretch_x),
+                     self.y0 * stretch_y + my * (1.0 - stretch_y),
+                     self.x1 * stretch_x + mx * (1.0 - stretch_x),
+                     self.y1 * stretch_y + my * (1.0 - stretch_y))
+
+    def zoom(self, z: float) -> "RectF":
+        """Uniform stretch (reference `pl_rect2df_zoom`, common.h:203)."""
+        return self.stretch_xy(z, z)
+
+    def offset(self, offset_x: float, offset_y: float) -> "RectF":
+        """Shift the rect, respecting flipped axes (reference
+        `pl_rect2df_offset`, common.c:456): a flipped axis inverts the
+        offset direction so "right/down" stays in content space."""
+        if self.x1 < self.x0:
+            offset_x = -offset_x
+        if self.y1 < self.y0:
+            offset_y = -offset_y
+        return RectF(self.x0 + offset_x, self.y0 + offset_y,
+                     self.x1 + offset_x, self.y1 + offset_y)
+
+    def aspect_copy(self, src: "RectF", panscan: float = 0.0) -> "RectF":
+        """Adopt `src`'s aspect ratio (reference `pl_rect2df_aspect_copy`,
+        common.h:187)."""
+        return self.stretch(src.aspect(), panscan)
+
+    def aspect_fit(self, src: "RectF", panscan: float = 0.0) -> "RectF":
+        """Shrink-to-fit `src`'s dimensions while preserving this rect's
+        midpoint: downscale if `src` is smaller in either dimension, else
+        just adopt its aspect (reference `pl_rect2df_aspect_fit`,
+        common.c:426)."""
+        ow, oh = self.w, self.h
+        if not ow or not oh:
+            return self
+        scale_x, scale_y = src.w / ow, src.h / oh
+        if scale_x > 1.0 or scale_y > 1.0:
+            return self.aspect_copy(src, panscan)
+        return self.stretch_xy(scale_x, scale_y)
+
+    def rotate(self, rot: "Rotation") -> "RectF":
+        """Rotate the rect's coordinate SYSTEM by `rot` (reference
+        `pl_rect2df_rotate`, common.c:469): 180° swaps both corner pairs,
+        90° maps (x,y)→(y1..y0, x0..x1)."""
+        rot = Rotation(rot)
+        x0, y0, x1, y1 = self.x0, self.y0, self.x1, self.y1
+        if rot >= Rotation.ROT_180:
+            rot = Rotation(rot - Rotation.ROT_180)
+            x0, x1 = x1, x0
+            y0, y1 = y1, y0
+        if rot == Rotation.ROT_0:
+            return RectF(x0, y0, x1, y1)
+        return RectF(y1, x0, y0, x1)
+
+
+def aspect_rotate(aspect: float, rot: "Rotation") -> float:
+    """Aspect ratio in a rotated frame of reference (reference
+    `pl_aspect_rotate`, common.h:231)."""
+    return (1.0 / aspect) if (Rotation(rot).transposed and aspect) else aspect
 
 
 # ---------------------------------------------------------------------------

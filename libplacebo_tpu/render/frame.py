@@ -112,6 +112,33 @@ class Frame:
     def get_crop(self) -> RectF:
         return self.crop or RectF(0, 0, self.w, self.h)
 
+    def is_cropped(self) -> bool:
+        """True when the (rounded, normalized) crop covers less than the
+        full reference plane (reference pl_frame_is_cropped,
+        renderer.c:4098)."""
+        c = self.get_crop()
+        x0 = round(min(c.x0, c.x1))
+        y0 = round(min(c.y0, c.y1))
+        x1 = round(max(c.x0, c.x1))
+        y1 = round(max(c.y0, c.y1))
+        if not x0 and not x1:
+            x1 = self.w
+        if not y0 and not y1:
+            y1 = self.h
+        return x0 > 0 or y0 > 0 or x1 < self.w or y1 < self.h
+
+    def set_chroma_location(self, loc: str) -> None:
+        """Apply a chroma siting shift to every subsampled plane
+        (reference pl_frame_set_chroma_location, renderer.c:4048).
+        `loc` names a siting per utils.upload.CHROMA_OFFSETS
+        ("left", "center", "top_left", ...)."""
+        from ..utils.upload import chroma_location_offset
+        sx, sy = chroma_location_offset(loc)
+        ref_w, ref_h = self.w, self.h
+        for p in self.planes:
+            if p.w < ref_w or p.h < ref_h:
+                p.shift_x, p.shift_y = sx, sy
+
     def meta_key(self) -> tuple:
         """Static signature of everything that affects the compiled
         pipeline (the jit-cache key contribution). Grain *structure*

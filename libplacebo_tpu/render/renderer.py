@@ -1431,6 +1431,26 @@ class Renderer:
         """Reference pl_renderer_flush_cache / peak state reset."""
         self._peak_state = ops_peak.peak_detect_state_init()
 
+    def get_errors(self) -> tuple:
+        """Accumulated degradation state: (error flags, disabled hook
+        signatures) — features/hooks disabled after a backend failure
+        (reference pl_renderer_get_errors, renderer.c:4194)."""
+        return (frozenset(self.errors), frozenset(self._disabled_hooks))
+
+    def reset_errors(self, errors=None, hooks=None) -> None:
+        """Clear degradation flags so previously-failed features are
+        retried (reference pl_renderer_reset_errors, renderer.c:4203).
+        With no arguments, clears everything; otherwise clears only the
+        named error flags and/or hook signatures."""
+        if errors is None and hooks is None:
+            self.errors.clear()
+            self._disabled_hooks.clear()
+            return
+        for flag in (errors or ()):
+            self.errors.discard(flag)
+        for sig in (hooks or ()):
+            self._disabled_hooks.discard(sig)
+
     def flush_cache(self):
         self._cache.clear()
         self.reset_peak_detection()

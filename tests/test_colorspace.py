@@ -263,3 +263,48 @@ def test_infer_map():
                             cs.HdrMetadata(min_luma=0.1, max_luma=100.0))
     s3, d3 = cs.color_space_infer_map(src_sdr, cs.ColorSpace())
     assert d3.hdr.min_luma == 0.1
+
+
+def test_hdr_metadata_merge_contains():
+    """Reference pl_hdr_metadata_merge/contains (colorspace.c:447,471)."""
+    from libplacebo_tpu.core.colorspace import HdrMetadata, HdrBezier
+    a = HdrMetadata(max_luma=1000.0)
+    b = HdrMetadata(min_luma=0.005, max_luma=4000.0, max_cll=800.0,
+                    scene_max=(100.0, 200.0, 150.0), scene_avg=40.0,
+                    ootf=HdrBezier(target_luma=400.0),
+                    max_pq_y=0.8, avg_pq_y=0.3)
+    m = a.merge(b)
+    assert m.max_luma == 1000.0          # kept (set in a)
+    assert m.min_luma == 0.005           # filled from b
+    assert m.max_cll == 800.0
+    assert m.scene_max == (100.0, 200.0, 150.0)
+    assert m.ootf is b.ootf
+    assert m.max_pq_y == 0.8
+
+    assert a.contains("hdr10")
+    assert not a.contains("hdr10plus")
+    assert not a.contains("cie_y")
+    assert b.contains("hdr10plus") and b.contains("cie_y")
+    assert HdrMetadata().contains("none")
+    assert not HdrMetadata().contains("any")
+    with pytest.raises(ValueError):
+        a.contains("bogus")
+
+
+def test_raw_primaries_merge_similar():
+    """Reference pl_raw_primaries_merge/similar (colorspace.c:1073,1088)."""
+    from libplacebo_tpu.core.colorspace import (
+        CIExy, ColorPrimaries, RawPrimaries, primaries_get)
+    p709 = primaries_get(ColorPrimaries.BT_709)
+    partial = RawPrimaries(red=CIExy(0.7, 0.3))
+    m = partial.merge(p709)
+    assert m.red == CIExy(0.7, 0.3)            # kept
+    assert m.green == p709.green               # filled
+    assert m.white == p709.white
+    # similar: within 0.001 total chromaticity delta
+    nudged = RawPrimaries(CIExy(p709.red.x + 0.0004, p709.red.y),
+                          p709.green, p709.blue, p709.white)
+    assert p709.similar(nudged)
+    p2020 = primaries_get(ColorPrimaries.BT_2020)
+    assert not p709.similar(p2020)
+    assert p709.similar(p709)

@@ -429,3 +429,45 @@ def test_fused_colormap_ineligible_paths(monkeypatch):
     from dataclasses import replace
     assert r._fused_tail(replace(params, disable_fused_colormap=True),
                          src, dst, target, **base) is None
+
+
+def test_frame_is_cropped_and_chroma_location():
+    """Reference pl_frame_is_cropped / pl_frame_set_chroma_location
+    (renderer.c:4098 / :4048)."""
+    import jax.numpy as jnp
+    from libplacebo_tpu.render.frame import Frame, Plane
+    y = Plane(jnp.zeros((1, 8, 8)), (0,))
+    uv = Plane(jnp.zeros((2, 4, 4)), (1, 2))
+    f = Frame(planes=[y, uv])
+    assert not f.is_cropped()
+    f.crop = RectF(0, 0, 8, 8)
+    assert not f.is_cropped()
+    f.crop = RectF(1, 0, 8, 8)
+    assert f.is_cropped()
+    f.crop = RectF(0, 0, 7, 8)
+    assert f.is_cropped()
+    # flipped full-frame crop is not cropped
+    f.crop = RectF(8, 8, 0, 0)
+    assert not f.is_cropped()
+
+    f.set_chroma_location("top_left")
+    assert f.planes[1].shift_x == -0.5 and f.planes[1].shift_y == -0.5
+    assert f.planes[0].shift_x == 0.0   # ref plane untouched
+
+
+def test_renderer_get_reset_errors():
+    """Reference pl_renderer_get_errors / pl_renderer_reset_errors
+    (renderer.c:4194/4203): full and selective clearing."""
+    from libplacebo_tpu.render.renderer import Renderer
+    rr = Renderer()
+    rr.errors.update({"peak_detect", "grain"})
+    rr._disabled_hooks.update({0xdead, 0xbeef})
+    flags, hooks = rr.get_errors()
+    assert flags == {"peak_detect", "grain"} and hooks == {0xdead, 0xbeef}
+    # selective reset
+    rr.reset_errors(errors=["grain"], hooks=[0xdead])
+    flags, hooks = rr.get_errors()
+    assert flags == {"peak_detect"} and hooks == {0xbeef}
+    # full reset
+    rr.reset_errors()
+    assert rr.get_errors() == (frozenset(), frozenset())

@@ -473,3 +473,67 @@ def test_plane_data_align():
     ).BitEncoding(8, 8, 0)
     # inconsistent component depths can't align
     assert upload.plane_data_align((5, 6, 5), (0, 0, 0)) is None
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers (core.common — reference src/common.c rect ops)
+# ---------------------------------------------------------------------------
+
+def test_rectf_stretch_xy_zoom_offset():
+    from libplacebo_tpu.core.common import RectF
+    rc = RectF(0, 0, 10, 20)
+    st = rc.stretch_xy(2.0, 0.5)
+    assert (st.x0, st.x1) == (-5.0, 15.0)
+    assert (st.y0, st.y1) == (5.0, 15.0)
+    zm = rc.zoom(2.0)
+    assert (zm.x0, zm.x1, zm.y0, zm.y1) == (-5.0, 15.0, -10.0, 30.0)
+    off = rc.offset(3.0, -2.0)
+    assert (off.x0, off.y0, off.x1, off.y1) == (3.0, -2.0, 13.0, 18.0)
+    # flipped axis inverts the offset direction (common.c:456)
+    flipped = RectF(10, 0, 0, 20).offset(3.0, 0.0)
+    assert (flipped.x0, flipped.x1) == (7.0, -3.0)
+
+
+def test_rectf_aspect_copy_fit():
+    from libplacebo_tpu.core.common import RectF
+    dst = RectF(0, 0, 100, 100)
+    src = RectF(0, 0, 200, 100)
+    # aspect_copy(panscan=0): letterbox — shrink y to reach 2:1
+    cp = dst.aspect_copy(src, 0.0)
+    assert cp.w == pytest.approx(100.0)
+    assert cp.h == pytest.approx(50.0)
+    assert cp.midy() == pytest.approx(50.0)
+    # aspect_fit with a smaller src: direct stretch to src's size
+    small = RectF(0, 0, 50, 25)
+    ft = dst.aspect_fit(small, 0.0)
+    assert ft.w == pytest.approx(50.0)
+    assert ft.h == pytest.approx(25.0)
+    # aspect_fit with a larger src falls back to aspect_copy
+    big = RectF(0, 0, 400, 200)
+    ft2 = dst.aspect_fit(big, 0.0)
+    assert ft2.aspect() == pytest.approx(2.0)
+    assert ft2.w == pytest.approx(100.0)
+
+
+def test_rectf_rotate():
+    from libplacebo_tpu.core.common import RectF, Rotation
+    rc = RectF(1, 2, 3, 4)
+    assert rc.rotate(Rotation(0)) == rc
+    r180 = rc.rotate(Rotation(2))
+    assert (r180.x0, r180.y0, r180.x1, r180.y1) == (3, 4, 1, 2)
+    r90 = rc.rotate(Rotation(1))
+    # reference common.c:469: 90° maps (x0,y0,x1,y1) -> (y1, x0, y0, x1)
+    assert (r90.x0, r90.y0, r90.x1, r90.y1) == (4, 1, 2, 3)
+    # rotating four times returns the original
+    out = rc
+    for _ in range(4):
+        out = out.rotate(Rotation(1))
+    assert out == rc
+
+
+def test_aspect_rotate():
+    from libplacebo_tpu.core.common import Rotation, aspect_rotate
+    assert aspect_rotate(2.0, Rotation(0)) == 2.0
+    assert aspect_rotate(2.0, Rotation(1)) == pytest.approx(0.5)
+    assert aspect_rotate(2.0, Rotation(2)) == 2.0
+    assert aspect_rotate(0.0, Rotation(1)) == 0.0

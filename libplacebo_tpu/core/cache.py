@@ -116,6 +116,24 @@ class Cache:
         with self._lock:
             self._objs.clear()
 
+    def signature(self) -> int:
+        """Order-independent hash (XOR of keys) of all stored objects —
+        used to avoid re-saving unmodified caches (reference
+        pl_cache_signature, cache.c:262)."""
+        with self._lock:
+            sig = 0
+            for key in self._objs:
+                sig ^= key & (2**64 - 1)
+            return sig
+
+    def iterate(self):
+        """Yield (key, data) for every stored object (reference
+        pl_cache_iterate, cache.h:212 — the callback form becomes a
+        generator)."""
+        with self._lock:
+            items = [(o.key, o.data) for o in self._objs.values()]
+        yield from items
+
     # -- serialization (reference cache.c:283-360) --------------------
 
     def save(self) -> bytes:

@@ -199,6 +199,10 @@ class Matrix3x3:
     def invert(self) -> "Matrix3x3":
         return Matrix3x3(np.linalg.inv(self.m))
 
+    def scale(self, s: float) -> "Matrix3x3":
+        """Reference pl_matrix3x3_scale (common.c)."""
+        return Matrix3x3(self.m * s)
+
     def __matmul__(self, other: "Matrix3x3") -> "Matrix3x3":
         return Matrix3x3(self.m @ other.m)
 
@@ -232,6 +236,10 @@ class Transform3x3:
         """self ∘ inner: apply `inner` first, then `self`."""
         return Transform3x3(self.mat @ inner.mat, self.mat.apply(inner.c) + self.c)
 
+    def scale(self, s: float) -> "Transform3x3":
+        """Reference pl_transform3x3_scale (common.c)."""
+        return Transform3x3(self.mat.scale(s), self.c * s)
+
 
 @dataclass
 class Matrix2x2:
@@ -240,14 +248,88 @@ class Matrix2x2:
     def __post_init__(self):
         self.m = np.asarray(self.m, dtype=np.float64).reshape(2, 2)
 
+    @classmethod
+    def identity(cls) -> "Matrix2x2":
+        return cls(np.eye(2))
+
+    @classmethod
+    def rotation(cls, radians: float) -> "Matrix2x2":
+        """Counter-clockwise rotation matrix (reference
+        pl_matrix2x2_rotation, common.c:252)."""
+        c, s = math.cos(radians), math.sin(radians)
+        return cls(np.array([[c, -s], [s, c]]))
+
     def apply(self, vec) -> np.ndarray:
         return self.m @ np.asarray(vec, dtype=np.float64)
+
+    def apply_rc(self, rc: RectF) -> RectF:
+        """Map both corners through the matrix (reference
+        pl_matrix2x2_apply_rc, common.c:268)."""
+        x0, y0 = self.apply((rc.x0, rc.y0))
+        x1, y1 = self.apply((rc.x1, rc.y1))
+        return RectF(float(x0), float(y0), float(x1), float(y1))
+
+    def invert(self) -> "Matrix2x2":
+        return Matrix2x2(np.linalg.inv(self.m))
+
+    def scale(self, s: float) -> "Matrix2x2":
+        return Matrix2x2(self.m * s)
+
+    def __matmul__(self, other: "Matrix2x2") -> "Matrix2x2":
+        return Matrix2x2(self.m @ other.m)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Matrix2x2) and np.allclose(self.m, other.m)
 
 
 @dataclass
 class Transform2x2:
+    """Affine 2D transform: out = mat @ in + c (reference pl_transform2x2,
+    common.h + ops common.c:325-397)."""
     mat: Matrix2x2 = field(default_factory=Matrix2x2)
     c: np.ndarray = field(default_factory=lambda: np.zeros(2))
+
+    def __post_init__(self):
+        if not isinstance(self.mat, Matrix2x2):
+            self.mat = Matrix2x2(self.mat)
+        self.c = np.asarray(self.c, dtype=np.float64).reshape(2)
+
+    @classmethod
+    def identity(cls) -> "Transform2x2":
+        return cls()
+
+    def apply(self, vec) -> np.ndarray:
+        return self.mat.apply(vec) + self.c
+
+    def apply_rc(self, rc: RectF) -> RectF:
+        """Reference pl_transform2x2_apply_rc (common.c:334)."""
+        out = self.mat.apply_rc(rc)
+        return RectF(out.x0 + self.c[0], out.y0 + self.c[1],
+                     out.x1 + self.c[0], out.y1 + self.c[1])
+
+    def compose(self, inner: "Transform2x2") -> "Transform2x2":
+        """self ∘ inner: apply `inner` first, then `self` (reference
+        pl_transform2x2_mul's a ← a∘b, common.c:344)."""
+        return Transform2x2(self.mat @ inner.mat, self.apply(inner.c))
+
+    def invert(self) -> "Transform2x2":
+        """Reference pl_transform2x2_invert (common.c:366)."""
+        inv = self.mat.invert()
+        return Transform2x2(inv, -inv.apply(self.c))
+
+    def scale(self, s: float) -> "Transform2x2":
+        """Reference pl_transform2x2_scale (common.c:358)."""
+        return Transform2x2(self.mat.scale(s), self.c * s)
+
+    def bounds(self, rc: RectF) -> RectF:
+        """Axis-aligned bounding box of the transformed rect (reference
+        pl_transform2x2_bounds, common.c:376) — used to size the output
+        of affine distortion."""
+        pts = [self.apply((x, y)) for x in (rc.x0, rc.x1)
+               for y in (rc.y0, rc.y1)]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        return RectF(min(xs), min(ys), max(xs), max(ys))
 
 
 # ---------------------------------------------------------------------------

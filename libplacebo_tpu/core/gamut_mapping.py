@@ -26,7 +26,7 @@ from .colorspace import (CIE_D65, RawPrimaries, adapt_white_matrix,
 __all__ = [
     "GamutMapConstants", "GamutMapParams", "GamutMapFunction",
     "GAMUT_MAP_FUNCTIONS", "find_gamut_map_function", "generate", "sample",
-    "ipt_rgb2lms", "LMS2IPT", "IPT2LMS", "params_noop",
+    "ipt_rgb2lms", "ipt_lms2rgb", "LMS2IPT", "IPT2LMS", "params_noop",
 ]
 
 # PQ constants (ST 2084)
@@ -71,6 +71,12 @@ IPT2LMS = np.array([
     [1.0, -0.1138760, 0.133217],
     [1.0, 0.0326151, -0.676887],
 ])
+
+
+def ipt_lms2rgb(prim: RawPrimaries) -> np.ndarray:
+    """Inverse of ipt_rgb2lms (reference pl_ipt_lms2rgb,
+    colorspace.c:1373)."""
+    return np.linalg.inv(ipt_rgb2lms(prim))
 
 
 def ipt_rgb2lms(prim: RawPrimaries) -> np.ndarray:

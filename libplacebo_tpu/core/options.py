@@ -14,7 +14,7 @@ import dataclasses
 from dataclasses import dataclass, replace
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-__all__ = ["Options", "OptionError", "OPTION_TABLE"]
+__all__ = ["Options", "OptionError", "OPTION_TABLE", "find_option"]
 
 
 class OptionError(ValueError):
@@ -709,3 +709,19 @@ class Options:
         hooks = list(self.params.hooks or ())
         del hooks[idx]
         self.params = dataclasses.replace(self.params, hooks=tuple(hooks))
+
+    def reset(self, params=None):
+        """Reset the held params wholesale — to the given RenderParams,
+        or to the recommended defaults when omitted (reference
+        pl_options_reset, options.h:76)."""
+        from ..render.renderer import DEFAULT_PARAMS
+        self.params = params or DEFAULT_PARAMS
+
+
+def find_option(key: str):
+    """The option descriptor for `key`, or None (reference
+    pl_find_option, options.h:197)."""
+    for o in OPTION_TABLE():
+        if o.key == key:
+            return o
+    return None

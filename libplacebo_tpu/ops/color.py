@@ -27,7 +27,7 @@ from ..core.colorspace import (COLOR_SDR_WHITE, ColorPrimaries, ColorRepr,
 __all__ = [
     "apply_matrix", "decode_color", "encode_color", "linearize",
     "delinearize", "sigmoidize", "desigmoidize", "nominal_luma_norm",
-    "SigmoidParams", "cone_distort",
+    "SigmoidParams", "cone_distort", "extract_features",
 ]
 
 
@@ -455,3 +455,23 @@ def desigmoidize(img, params: SigmoidParams = DEFAULT_SIGMOID):
     x = jnp.clip(img, 0.0, 1.0)
     return (1.0 / scale) / (1.0 + jnp.exp(slope * (center - x))) \
         - offset / scale
+
+
+def extract_features(img, csp: ColorSpace, already_linear: bool = False):
+    """Grayscale feature map for contrast recovery: the PQ-encoded IPT
+    intensity I of the image (reference pl_shader_extract_features,
+    shaders/colorspace.c:1383).  Input (..., 3, H, W) in `csp`'s signal
+    encoding (or NORM-scaled linear light when `already_linear`);
+    returns (..., 1, H, W)."""
+    from ..core.gamut_mapping import LMS2IPT, ipt_rgb2lms
+    from ..core.colorspace import primaries_get as _pget
+    lin = img if already_linear else linearize(img, csp)
+    rgb = lin[..., :3, :, :]
+    # NORM (1.0 = 203 nits) -> 10k-normalized, through the IPT LMS matrix
+    rgb2lms = ipt_rgb2lms(_pget(csp.primaries)) * (COLOR_SDR_WHITE / 10000.0)
+    lms = mat_pointwise(rgb, rgb2lms)
+    lmsp = tf.pq_oetf_fast(jnp.maximum(lms, 0.0))
+    I = (LMS2IPT[0, 0] * lmsp[..., 0:1, :, :] +
+         LMS2IPT[0, 1] * lmsp[..., 1:2, :, :] +
+         LMS2IPT[0, 2] * lmsp[..., 2:3, :, :])
+    return I

@@ -33,7 +33,8 @@ from ..core import film_grain as fg
 from ..core.film_grain import (BLOCK_SIZE, AV1GrainData, FilmGrainData,
                                GRAIN_HEIGHT_LUT, GRAIN_WIDTH_LUT)
 
-__all__ = ["needs_fg", "GrainCfg", "prepare_av1_grain", "apply_av1_grain"]
+__all__ = ["needs_fg", "needs_film_grain", "GrainCfg", "prepare_av1_grain",
+           "apply_av1_grain"]
 
 MAX_SCALING_POINTS = 15
 
@@ -45,6 +46,29 @@ def needs_fg(data: Optional[FilmGrainData]) -> bool:
     a = data.av1
     return (a.num_points_y > 0 or a.num_points_uv[0] > 0 or
             a.num_points_uv[1] > 0 or a.chroma_scaling_from_luma)
+
+
+def needs_film_grain(data: Optional[FilmGrainData],
+                     channels: Tuple[int, ...] = (0, 1, 2)) -> bool:
+    """Whether grain must be applied to a plane carrying `channels`
+    (canonical ids 0=Y, 1=Cb, 2=Cr) — the type-dispatching front-end
+    (reference pl_needs_film_grain, film_grain.c:21, per-type checks
+    film_grain_av1.c:551 / film_grain_h274.c:128)."""
+    if data is None:
+        return False
+    if data.type == "av1" and data.av1 is not None:
+        a = data.av1
+        has = (a.num_points_y > 0,
+               a.num_points_uv[0] > 0 or a.chroma_scaling_from_luma,
+               a.num_points_uv[1] > 0 or a.chroma_scaling_from_luma)
+        return any(0 <= ch < 3 and has[ch] for ch in channels)
+    if data.type == "h274" and data.h274 is not None:
+        d = data.h274
+        if d.model_id != 0:
+            return False
+        return any(0 <= ch < 3 and d.component_model_present[ch]
+                   for ch in channels)
+    return False
 
 
 @dataclass(frozen=True)

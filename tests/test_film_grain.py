@@ -174,3 +174,29 @@ def test_native_matches_python():
     np.testing.assert_allclose(lut_n, lut_p, atol=1e-7)
     np.testing.assert_allclose(uv_n, uv_p, atol=1e-7)
     np.testing.assert_array_equal(off_n, off_p)
+
+
+def test_needs_film_grain_dispatch():
+    """Reference pl_needs_film_grain (film_grain.c:21): per-channel and
+    per-type presence checks."""
+    from libplacebo_tpu.core.film_grain import H274GrainData
+    assert not ops_fg.needs_film_grain(None)
+    # AV1: luma-only grain applies to a Y plane but not a Cb/Cr plane
+    luma_only = FilmGrainData(type="av1", av1=AV1GrainData(
+        num_points_y=2, points_y=((0, 40), (255, 40))))
+    assert ops_fg.needs_film_grain(luma_only, (0,))
+    assert not ops_fg.needs_film_grain(luma_only, (1, 2))
+    # chroma_scaling_from_luma activates the chroma channels
+    csl = FilmGrainData(type="av1", av1=AV1GrainData(
+        num_points_y=2, points_y=((0, 40), (255, 40)),
+        chroma_scaling_from_luma=True))
+    assert ops_fg.needs_film_grain(csl, (1, 2))
+    # H.274: only model_id==0 is applicable (film_grain_h274.c:131)
+    h = FilmGrainData(type="h274", h274=H274GrainData(
+        component_model_present=(True, False, False)))
+    assert ops_fg.needs_film_grain(h, (0,))
+    assert not ops_fg.needs_film_grain(h, (1, 2))
+    from dataclasses import replace
+    assert not ops_fg.needs_film_grain(
+        replace(h, h274=H274GrainData(model_id=1,
+                component_model_present=(True, True, True))))

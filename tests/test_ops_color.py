@@ -311,3 +311,28 @@ def test_gamma_curves_black_scaled():
                      HdrMetadata(min_luma=0.0, max_luma=2 * COLOR_SDR_WHITE))
     lin = np.asarray(C.linearize(sig, csp))
     np.testing.assert_allclose(lin, 2.0, rtol=1e-5)
+
+
+def test_extract_features_matches_oracle():
+    """Reference pl_shader_extract_features (shaders/colorspace.c:1383):
+    PQ-encoded IPT intensity of the linearized image."""
+    from libplacebo_tpu.core.colorspace import (COLOR_SDR_WHITE,
+                                                primaries_get)
+    from libplacebo_tpu.core.gamut_mapping import LMS2IPT, ipt_rgb2lms
+    from libplacebo_tpu.core import transfer as tf_mod
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((3, 6, 8), dtype=np.float32))
+    csp = ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886)
+    feat = np.asarray(C.extract_features(img, csp))
+    assert feat.shape == (1, 6, 8)
+    # numpy oracle
+    lin = np.asarray(C.linearize(img, csp))
+    m = ipt_rgb2lms(primaries_get(csp.primaries)) * (COLOR_SDR_WHITE / 1e4)
+    lms = np.einsum("ij,jhw->ihw", m, lin)
+    lmsp = np.asarray(tf_mod.pq_oetf(jnp.asarray(np.maximum(lms, 0.0))))
+    oracle = np.einsum("j,jhw->hw", LMS2IPT[0], lmsp)[None]
+    np.testing.assert_allclose(feat, oracle, atol=2e-5)
+    # feature map is monotone in intensity: brighter gray > darker gray
+    g1 = C.extract_features(jnp.full((3, 2, 2), 0.2), csp)
+    g2 = C.extract_features(jnp.full((3, 2, 2), 0.8), csp)
+    assert float(g2[0, 0, 0]) > float(g1[0, 0, 0])

@@ -537,3 +537,46 @@ def test_aspect_rotate():
     assert aspect_rotate(2.0, Rotation(1)) == pytest.approx(0.5)
     assert aspect_rotate(2.0, Rotation(2)) == 2.0
     assert aspect_rotate(0.0, Rotation(1)) == 0.0
+
+
+def test_matrix2x2_transform2x2_ops():
+    """Reference pl_matrix2x2_* / pl_transform2x2_* (common.c:252-397)."""
+    import numpy as np
+    from libplacebo_tpu.core.common import Matrix2x2, RectF, Transform2x2
+    rot = Matrix2x2.rotation(np.pi / 2)
+    np.testing.assert_allclose(rot.apply((1.0, 0.0)), [0.0, 1.0], atol=1e-12)
+    assert rot.invert() == Matrix2x2.rotation(-np.pi / 2)
+    assert rot @ rot.invert() == Matrix2x2.identity()
+    sc = Matrix2x2.identity().scale(3.0)
+    np.testing.assert_allclose(sc.apply((1.0, 2.0)), [3.0, 6.0])
+    rc = rot.apply_rc(RectF(1, 2, 3, 4))
+    np.testing.assert_allclose([rc.x0, rc.y0, rc.x1, rc.y1],
+                               [-2.0, 1.0, -4.0, 3.0], atol=1e-12)
+
+    t = Transform2x2(rot, (10.0, 0.0))
+    np.testing.assert_allclose(t.apply((1.0, 0.0)), [10.0, 1.0], atol=1e-12)
+    # invert really inverts
+    np.testing.assert_allclose(t.invert().apply(t.apply((0.3, -0.7))),
+                               [0.3, -0.7], atol=1e-12)
+    # compose: inner first, then outer
+    t2 = Transform2x2(Matrix2x2.identity(), (0.0, 5.0))
+    np.testing.assert_allclose(t.compose(t2).apply((1.0, 0.0)),
+                               t.apply(t2.apply((1.0, 0.0))), atol=1e-12)
+    # scale scales both the matrix and the shift
+    ts = t.scale(2.0)
+    np.testing.assert_allclose(ts.apply((1.0, 0.0)), [20.0, 2.0], atol=1e-12)
+    # bounds: axis-aligned bounding box of a rotated unit square
+    t45 = Transform2x2(Matrix2x2.rotation(np.pi / 4), (0.0, 0.0))
+    bb = t45.bounds(RectF(0, 0, 1, 1))
+    s2 = np.sqrt(2.0)
+    np.testing.assert_allclose([bb.x0, bb.y0, bb.x1, bb.y1],
+                               [-s2 / 2, 0.0, s2 / 2, s2], atol=1e-12)
+
+
+def test_matrix3x3_transform3x3_scale():
+    import numpy as np
+    from libplacebo_tpu.core.common import Matrix3x3, Transform3x3
+    m = Matrix3x3(np.diag([1.0, 2.0, 3.0])).scale(2.0)
+    np.testing.assert_allclose(np.diag(m.m), [2.0, 4.0, 6.0])
+    t = Transform3x3(Matrix3x3.identity(), (1.0, 2.0, 3.0)).scale(0.5)
+    np.testing.assert_allclose(t.c, [0.5, 1.0, 1.5])

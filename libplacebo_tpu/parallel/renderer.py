@@ -268,8 +268,17 @@ def _build_halo_step(mesh: Mesh, plane_metas,
     # ---- overlay plans (reference draw_overlays, renderer.c:811):
     # static rects; each shard blends the rows that intersect its block,
     # slicing a row-padded copy of the (replicated, tiny) resized overlay
+    _require(not (getattr(target, "overlays", ()) or ()),
+             "target overlays need the GSPMD fallback")
     ov_specs = []
     for ov in (() if needs_outer else overlays):
+        # only the legacy whole-texture-at-target-rect shorthand runs in
+        # the halo pipeline; parts/monochrome/coords/color-converted
+        # overlays fall back to the GSPMD step (which reuses the
+        # single-chip trace and so inherits the full semantics)
+        _require(Renderer.overlay_is_simple(ov),
+                 "overlay with parts/mode/coords/encoding needs the "
+                 "GSPMD fallback")
         r = ov.rect
         ow = max(1, int(round(r.x1 - r.x0)))
         oh = max(1, int(round(r.y1 - r.y0)))
@@ -675,9 +684,11 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 region = jax.lax.dynamic_slice(
                     img, (0, 0, x0), (img.shape[-3], dst_l, ow))
                 if img.shape[-3] > 3:
+                    # src_alpha=ONE, dst_alpha=ONE_MINUS_SRC_ALPHA
+                    # (reference blend_params, renderer.c:996-1001)
                     blended = jnp.concatenate(
                         [rgb_l * a_l + region[..., :3, :, :] * (1 - a_l),
-                         jnp.maximum(region[..., 3:, :, :], a_l)], axis=-3)
+                         a_l + region[..., 3:, :, :] * (1 - a_l)], axis=-3)
                 else:
                     blended = rgb_l * a_l + region * (1 - a_l)
                 img = jax.lax.dynamic_update_slice(img, blended, (0, 0, x0))
@@ -764,8 +775,9 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         if target_data is not None:
             comp = Renderer._blend_target(comp, target_data, params.blend)
         for ov_i, ov in enumerate(overlays):
-            comp = Renderer._blend_overlay(comp, overlay_datas[ov_i],
-                                           ov, target)
+            comp = Renderer._blend_overlay(
+                comp, overlay_datas[ov_i], ov, False, target, dst_color,
+                params, crop, dst_crop_t, rotation, (H, W))
         comp = jnp.clip(comp, 0.0, 1.0)
         return jax.lax.with_sharding_constraint(
             comp, NamedSharding(mesh, P("data", None, "spatial", None)))
@@ -857,7 +869,10 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
         (plane_metas,), target, params, frame_repr, frame_color, crop,
         frame_grain, field=field, first_field=first_field,
         has_prev=has_temporal, has_next=has_temporal,
-        rotation=rotation, overlays=overlays, frame_icc=frame_icc)
+        rotation=rotation,
+        overlays=tuple((ov, False) for ov in overlays)
+        + tuple((ov, True) for ov in (target.overlays or ())),
+        frame_icc=frame_icc)
 
     sh_img = NamedSharding(mesh, P("data", None, "spatial", None))
     sh_state = NamedSharding(mesh, P("data", None))

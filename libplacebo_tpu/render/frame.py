@@ -20,8 +20,8 @@ from ..core.colorspace import (BitEncoding, ColorLevels, ColorPrimaries,
                                ColorTransfer)
 from ..core.common import Rect, RectF, Rotation
 
-__all__ = ["Plane", "Frame", "Overlay", "frame_from_yuv420p",
-           "frame_from_rgb"]
+__all__ = ["Plane", "Frame", "Overlay", "OverlayPart",
+           "frame_from_yuv420p", "frame_from_rgb"]
 
 
 @dataclass
@@ -54,15 +54,60 @@ class Plane:
         return self.data.shape[-1]
 
 
+@dataclass(frozen=True)
+class OverlayPart:
+    """One overlay quad (reference pl_overlay_part, renderer.h:258):
+    `src` addresses the overlay texture in texels, `dst` is expressed in
+    the overlay's `coords` space.  `color` tints monochrome overlays
+    (multiplied into the sampled first channel)."""
+    src: RectF
+    dst: RectF
+    color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+
 @dataclass
 class Overlay:
-    """Overlay part (subtitles/OSD); reference pl_overlay
-    (renderer.h:254-340). `data` is (4, H, W) RGBA, premultiplied per
-    `repr.alpha`."""
+    """Overlay (subtitles/OSD); reference pl_overlay (renderer.h:254-340).
+
+    `data` is (4, H, W) RGBA for mode="normal" (premultiplied per
+    `repr.alpha`), or a (1, H, W) alpha map for mode="monochrome" (each
+    part's `color` supplies the actual color, like libass bitmaps).
+
+    `coords` picks the space `parts[*].dst` is expressed in (reference
+    pl_overlay_coords): "auto" (= src_frame for image overlays,
+    dst_frame for target overlays), "src_frame", "src_crop",
+    "dst_frame", "dst_crop".  Legacy shorthand: with no `parts`, the
+    whole texture is drawn at `rect` in *target* coordinates.
+
+    `repr`/`color` describe the overlay's own encoding; when they
+    differ from the target's, the renderer converts (decode -> linear
+    -> primaries matrix -> clip = the reference's linear-tone-map +
+    saturation OSD path, renderer.c:962-983)."""
     data: jnp.ndarray
-    rect: RectF
+    rect: Optional[RectF] = None
     color: ColorSpace = field(default_factory=ColorSpace)
     repr: ColorRepr = field(default_factory=ColorRepr)
+    mode: str = "normal"                 # "normal" | "monochrome"
+    coords: str = "auto"
+    parts: Tuple[OverlayPart, ...] = ()
+
+    def get_parts(self) -> Tuple[OverlayPart, ...]:
+        """The parts to draw; the legacy whole-texture `rect` shorthand
+        becomes a single part."""
+        if self.parts:
+            return tuple(self.parts)
+        h, w = self.data.shape[-2], self.data.shape[-1]
+        dst = self.rect or RectF(0.0, 0.0, float(w), float(h))
+        return (OverlayPart(RectF(0.0, 0.0, float(w), float(h)), dst),)
+
+    def key(self) -> tuple:
+        """Static signature for the jit cache (geometry, mode, coords,
+        and encoding metadata all bake into the trace)."""
+        return (tuple(self.data.shape), self.mode, self.coords,
+                self.repr.sys, self.repr.levels, self.repr.alpha,
+                self.color.primaries, self.color.transfer, self.color.hdr,
+                self.rect if not self.parts else None,
+                tuple((p.src, p.dst, p.color) for p in self.parts))
 
 
 @dataclass
@@ -175,7 +220,7 @@ class Frame:
             self.get_crop(), self.rotation, grain_static, icc_key,
             self.field, self.first_field,
             self.prev is not None, self.next is not None,
-            tuple((o.data.shape, o.rect) for o in self.overlays),
+            tuple(o.key() for o in self.overlays),
         )
 
 

@@ -111,6 +111,10 @@ class Target:
     # texture with pl_blend_params; enters the pipeline as a traced
     # argument (per-frame contents never force a re-trace)
     data: Optional[object] = field(default=None, compare=False)
+    # target overlays (OSD drawn on the output; reference
+    # pl_frame.overlays on the *target* frame) — default coords are
+    # DST_FRAME (renderer.c:861)
+    overlays: tuple = field(default=(), compare=False)
 
     def meta_key(self):
         # the whole HdrMetadata is part of the key: inferred min/max_luma
@@ -123,7 +127,8 @@ class Target:
         return (self.w, self.h, self.repr.sys, self.repr.levels,
                 self.repr.bits, self.color.primaries, self.color.transfer,
                 self.color.hdr, self.bit_depth, self.crop, icc_key,
-                self.data is not None)
+                self.data is not None,
+                tuple(o.key() for o in self.overlays))
 
 
 @dataclass(frozen=True)
@@ -1085,9 +1090,11 @@ class Renderer:
             # overlays (subtitles/OSD; reference draw_overlays,
             # renderer.c:811) blend after dithering, like the reference's
             # final vertex pass
-            for ov_i, ov in enumerate(overlays):
-                img = self._blend_overlay(img, overlay_datas[ov_i], ov,
-                                          target)
+            for ov_i, (ov, is_tgt) in enumerate(overlays):
+                img = self._blend_overlay(
+                    img, overlay_datas[ov_i], ov, is_tgt, target,
+                    dst_color, params, crop, dst_crop, rotation,
+                    (ref_shape0[-2], ref_shape0[-1]))
             return jnp.clip(img, 0.0, 1.0), new_state
 
         return pipeline
@@ -1180,29 +1187,181 @@ class Renderer:
             jnp.asarray(col)[:, None, None], (comps, h, w))
 
     @staticmethod
-    def _blend_overlay(img, ov_data, ov, target: Target):
-        """Alpha-blend one RGBA overlay at its rect (bilinear resized)."""
-        r = ov.rect
-        ow = max(1, int(round(r.x1 - r.x0)))
-        oh = max(1, int(round(r.y1 - r.y0)))
-        x0 = int(round(r.x0))
-        y0 = int(round(r.y0))
-        ov_img = ops_sampling.sample_bilinear(ov_data, oh, ow)
-        rgb = ov_img[..., :3, :, :]
-        a = ov_img[..., 3:4, :, :] if ov_img.shape[-3] > 3 else \
-            jnp.ones_like(rgb[..., :1, :, :])
-        region = jax.lax.dynamic_slice(
-            img, (0,) * (img.ndim - 3) + (0, y0, x0),
-            img.shape[:-3] + (img.shape[-3], oh, ow))
-        comps = img.shape[-3]
-        if comps > 3:
-            blended = jnp.concatenate([
-                rgb * a + region[..., :3, :, :] * (1 - a),
-                jnp.maximum(region[..., 3:, :, :], a)], axis=-3)
+    def overlay_is_simple(ov) -> bool:
+        """The legacy whole-texture-at-target-rect shorthand: normal
+        mode, auto coords, no parts, no encoding metadata of its own.
+        The sharded halo pipeline handles exactly this shape; everything
+        richer routes through the GSPMD fallback."""
+        from ..core.colorspace import (AlphaMode, ColorLevels, ColorSystem)
+        return (ov.mode == "normal" and ov.coords == "auto"
+                and not ov.parts and ov.rect is not None
+                and ov.repr.sys in (ColorSystem.UNKNOWN, ColorSystem.RGB)
+                and ov.repr.levels in (ColorLevels.UNKNOWN,
+                                       ColorLevels.FULL)
+                and ov.repr.alpha != AlphaMode.PREMULTIPLIED
+                and ov.color == ColorSpace())
+
+    @staticmethod
+    def _overlay_rect_map(coords: str, is_target: bool, crop: RectF,
+                          dst_crop: RectF, rotation: int,
+                          frame_w: int, frame_h: int, target: Target):
+        """Host mapping from an overlay part's coordinate space to
+        target coordinates, plus the content rotation to apply
+        (reference draw_overlays transform setup, renderer.c:830-886).
+
+        Legacy shorthand (no parts): rect is already target-space, so
+        callers pass coords="dst_frame" for it.  "src_frame" parts are
+        raw (unrotated) frame coordinates and rotate alongside the
+        image; "src_crop" parts are relative to the crop, which in this
+        renderer lives in post-rotation space (the rotation coalescing
+        differs from the reference — frames rotate before cropping)."""
+        if coords == "auto":
+            coords = "dst_frame" if is_target else "src_frame"
+        r = int(rotation) % 4
+        if coords in ("src_frame", "src_crop"):
+            cw = crop.w or 1.0
+            ch = crop.h or 1.0
+            rx = dst_crop.w / cw
+            ry = dst_crop.h / ch
+
+            def map_pt(x, y):
+                if coords == "src_frame":
+                    if r == 1:      # jnp.rot90 k=1: (x,y) -> (y, W-x)
+                        x, y = y, frame_w - x
+                    elif r == 2:
+                        x, y = frame_w - x, frame_h - y
+                    elif r == 3:
+                        x, y = frame_h - y, x
+                    u, v = x - crop.x0, y - crop.y0
+                else:
+                    u, v = x, y
+                return (dst_crop.x0 + rx * u, dst_crop.y0 + ry * v)
+            rot_content = r if coords == "src_frame" else 0
         else:
-            blended = rgb * a + region * (1 - a)
-        return jax.lax.dynamic_update_slice(
-            img, blended, (0,) * (img.ndim - 3) + (0, y0, x0))
+            tcrop = (target.crop or
+                     RectF(0, 0, target.w, target.h)).normalized()
+            ox = tcrop.x0 if coords == "dst_crop" else 0.0
+            oy = tcrop.y0 if coords == "dst_crop" else 0.0
+
+            def map_pt(x, y):
+                return (x + ox, y + oy)
+            rot_content = 0
+        return map_pt, rot_content
+
+    @staticmethod
+    def _overlay_to_target(rgb, ov, target: Target, dst_color, params):
+        """Convert overlay color to the target encoding: decode repr ->
+        linearize -> primaries matrix -> clip into the target range ->
+        (icc|delinearize) -> encode (the reference's linear-tone-map +
+        saturation-gamut OSD color map, renderer.c:962-991).
+        Passthrough when the overlay carries no encoding metadata of
+        its own (the legacy already-target-encoded shorthand)."""
+        from ..core.colorspace import (ColorLevels, ColorSystem,
+                                       color_mapping_matrix,
+                                       color_space_infer_map)
+        plain_repr = (ov.repr.sys in (ColorSystem.UNKNOWN, ColorSystem.RGB)
+                      and ov.repr.levels in (ColorLevels.UNKNOWN,
+                                             ColorLevels.FULL))
+        if plain_repr and ov.color == ColorSpace() and target.icc is None:
+            return rgb
+        ol_color, _ = color_space_infer_map(ov.color, dst_color)
+        x = ops_color.decode_color(rgb, ov.repr, ol_color.primaries)
+        lin = ops_color.linearize(x, ol_color)
+        if ol_color.primaries != dst_color.primaries:
+            m = color_mapping_matrix(primaries_get(ol_color.primaries),
+                                     primaries_get(dst_color.primaries))
+            lin = ops_color.apply_matrix(lin, m.m)
+        # linear tone map = clamp into the target's representable range
+        _, hi = ops_color.nominal_luma_norm(dst_color)
+        lin = jnp.clip(lin, 0.0, hi)
+        if target.icc is not None:
+            from ..ops import icc as ops_icc
+            sig = ops_icc.encode_profile(
+                lin, target.icc, primaries_get(dst_color.primaries),
+                **ops_icc.params_kwargs(params, encode=True))
+        else:
+            sig = ops_color.delinearize(lin, dst_color)
+        return ops_color.encode_color(sig, target.repr,
+                                      dst_color.primaries)
+
+    @classmethod
+    def _blend_overlay(cls, img, ov_data, ov, is_target: bool,
+                       target: Target, dst_color, params,
+                       crop: RectF, dst_crop: RectF, rotation: int,
+                       frame_hw):
+        """Draw one overlay: every part mapped into target coordinates,
+        color-converted, alpha-blended over the output (reference
+        draw_overlays, renderer.c:811-1025).  Monochrome overlays use
+        the texture's first channel as an alpha map times the part
+        color (the libass bitmap contract)."""
+        from ..core.colorspace import AlphaMode
+        frame_h, frame_w = frame_hw
+        coords = ov.coords if (ov.parts or ov.rect is None) else "dst_frame"
+        map_pt, rot_c = cls._overlay_rect_map(
+            coords, is_target, crop, dst_crop, rotation,
+            frame_w, frame_h, target)
+        th, tw = img.shape[-2], img.shape[-1]
+        premul = ov.repr.alpha == AlphaMode.PREMULTIPLIED
+        tex_h, tex_w = ov_data.shape[-2], ov_data.shape[-1]
+        for part in ov.get_parts():
+            x0f, y0f = map_pt(part.dst.x0, part.dst.y0)
+            x1f, y1f = map_pt(part.dst.x1, part.dst.y1)
+            d = RectF(x0f, y0f, x1f, y1f).normalized()
+            x0, y0 = int(round(d.x0)), int(round(d.y0))
+            x1, y1 = int(round(d.x1)), int(round(d.y1))
+            ow, oh = x1 - x0, y1 - y0
+            if ow <= 0 or oh <= 0:
+                continue
+            cx0, cy0 = max(x0, 0), max(y0, 0)    # clip to the canvas
+            cx1, cy1 = min(x1, tw), min(y1, th)
+            if cx0 >= cx1 or cy0 >= cy1:
+                continue
+            s = part.src.normalized()
+            sx0 = min(max(int(round(s.x0)), 0), tex_w - 1)
+            sy0 = min(max(int(round(s.y0)), 0), tex_h - 1)
+            sx1 = max(min(int(round(s.x1)), tex_w), sx0 + 1)
+            sy1 = max(min(int(round(s.y1)), tex_h), sy0 + 1)
+            tex = ov_data[..., sy0:sy1, sx0:sx1]
+            if rot_c:
+                tex = jnp.rot90(tex, k=rot_c, axes=(-2, -1))
+            ov_img = ops_sampling.sample_bilinear(tex, oh, ow)
+            ov_img = ov_img[..., cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0]
+
+            if ov.mode == "monochrome":
+                mask = ov_img[..., :1, :, :]
+                col = tuple(float(c) for c in part.color)
+                rgb = jnp.broadcast_to(
+                    jnp.asarray(col[:3], img.dtype)[:, None, None],
+                    (3,) + mask.shape[-2:])
+                a = jnp.full_like(mask, col[3])
+            else:
+                rgb = ov_img[..., :3, :, :]
+                a = ov_img[..., 3:4, :, :] if ov_img.shape[-3] > 3 else \
+                    jnp.ones_like(ov_img[..., :1, :, :])
+            rgb = cls._overlay_to_target(rgb, ov, target, dst_color,
+                                         params)
+            if ov.mode == "monochrome":
+                if premul:
+                    rgb = rgb * mask
+                a = a * mask
+            # blend factors per reference renderer.c:996-1001:
+            # src_rgb = premul ? ONE : SRC_ALPHA, src_alpha = ONE,
+            # dst_rgb/alpha = ONE_MINUS_SRC_ALPHA
+            comps = img.shape[-3]
+            hh, ww = cy1 - cy0, cx1 - cx0
+            region = jax.lax.dynamic_slice(
+                img, (0,) * (img.ndim - 3) + (0, cy0, cx0),
+                img.shape[:-3] + (comps, hh, ww))
+            src_rgb = rgb if premul else rgb * a
+            out_rgb = src_rgb + region[..., :3, :, :] * (1 - a)
+            if comps > 3:
+                out_a = a + region[..., 3:, :, :] * (1 - a)
+                blended = jnp.concatenate([out_rgb, out_a], axis=-3)
+            else:
+                blended = out_rgb
+            img = jax.lax.dynamic_update_slice(
+                img, blended, (0,) * (img.ndim - 3) + (0, cy0, cx0))
+        return img
 
     def _color_map(self, img, src: ColorSpace, dst: ColorSpace,
                    params: RenderParams, peak_stats=None):
@@ -1367,7 +1526,8 @@ class Renderer:
                 has_prev=frame.prev is not None,
                 has_next=frame.next is not None,
                 rotation=int(frame.rotation),
-                overlays=tuple(frame.overlays),
+                overlays=tuple((ov, False) for ov in frame.overlays)
+                + tuple((ov, True) for ov in (target.overlays or ())),
                 frame_icc=frame.icc)
             fn = jax.jit(pipeline)
         self._cache[key] = fn
@@ -1392,7 +1552,8 @@ class Renderer:
             tuple(p.data for p in frame.next.planes) if frame.next else None)
         if target.data is not None:
             temporal = temporal + (jnp.asarray(target.data),)
-        overlay_datas = tuple(o.data for o in frame.overlays)
+        overlay_datas = tuple(o.data for o in frame.overlays) \
+            + tuple(o.data for o in (target.overlays or ()))
         dovi_packed = None
         if frame.repr.sys == ColorSystem.DOLBYVISION and \
                 frame.repr.dovi is not None:

@@ -730,3 +730,155 @@ def test_correct_subpixel_offsets():
         f, tgt, _params(correct_subpixel_offsets=True)))
     # snapped output keeps the plane's own samples; corrected resamples
     assert np.abs(out_snap - out_fix).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Full pl_overlay contract: parts, modes, coords, color conversion
+# (reference draw_overlays, renderer.c:811-1025)
+# ---------------------------------------------------------------------------
+
+def test_overlay_monochrome_parts():
+    """Monochrome overlays: the texture is an alpha map; each part's
+    color paints it (the libass bitmap contract, renderer.h:258)."""
+    from libplacebo_tpu.render.frame import OverlayPart
+    f = _rgb_frame(32, 32, seed=4)
+    mask = np.zeros((1, 8, 8), np.float32)
+    mask[0, :4] = 1.0          # top half opaque, bottom transparent
+    f.overlays = [Overlay(
+        data=jnp.asarray(mask), mode="monochrome", coords="dst_frame",
+        parts=(OverlayPart(src=RectF(0, 0, 8, 8), dst=RectF(4, 4, 12, 12),
+                           color=(0.0, 0.0, 1.0, 1.0)),
+               OverlayPart(src=RectF(0, 0, 8, 8), dst=RectF(20, 4, 28, 12),
+                           color=(1.0, 1.0, 0.0, 0.5))))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=32, h=32, color=CSP_SRGB), _params()))
+    src = np.asarray(f.planes[0].data)
+    # part 1: opaque blue where the mask is set
+    np.testing.assert_allclose(out[:, 5, 8], [0, 0, 1], atol=1e-5)
+    # part 1 below the mask: untouched
+    np.testing.assert_allclose(out[:, 10, 8], src[:, 10, 8], atol=2e-2)
+    # part 2: half-transparent yellow
+    expect = 0.5 * np.array([1, 1, 0]) + 0.5 * src[:, 5, 24]
+    np.testing.assert_allclose(out[:, 5, 24], expect, atol=2e-2)
+
+
+def test_overlay_parts_src_region():
+    """part.src selects a sub-region of the overlay texture."""
+    from libplacebo_tpu.render.frame import OverlayPart
+    f = _rgb_frame(16, 16, seed=5)
+    tex = np.zeros((4, 4, 8), np.float32)
+    tex[0, :, :4] = 1.0        # left half red
+    tex[1, :, 4:] = 1.0        # right half green
+    tex[3] = 1.0
+    f.overlays = [Overlay(
+        data=jnp.asarray(tex), coords="dst_frame",
+        parts=(OverlayPart(src=RectF(4, 0, 8, 4), dst=RectF(0, 0, 4, 4)),))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=16, h=16, color=CSP_SRGB), _params()))
+    np.testing.assert_allclose(out[:, 1, 1], [0, 1, 0], atol=1e-5)
+
+
+def test_overlay_coords_src_frame_scales():
+    """src_frame overlays ride the src->dst scale (renderer.c:832-846):
+    with a 2x upscale, a part at src (4..8) lands at dst (8..16)."""
+    from libplacebo_tpu.render.frame import OverlayPart
+    f = _rgb_frame(16, 16, seed=6)
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[2] = 1.0               # blue
+    tex[3] = 1.0
+    f.overlays = [Overlay(
+        data=jnp.asarray(tex), coords="src_frame",
+        parts=(OverlayPart(src=RectF(0, 0, 4, 4), dst=RectF(4, 4, 8, 8)),))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=32, h=32, color=CSP_SRGB), _params()))
+    np.testing.assert_allclose(out[:, 12, 12], [0, 0, 1], atol=1e-5)
+    # outside the scaled part: matches a render without the overlay
+    np.testing.assert_allclose(out[:, 20, 20],
+                               np.asarray(Renderer().render(
+                                   _rgb_frame(16, 16, seed=6),
+                                   Target(w=32, h=32, color=CSP_SRGB),
+                                   _params()))[:, 20, 20], atol=1e-6)
+
+
+def test_overlay_on_target():
+    """Target overlays (OSD on the output) default to DST_FRAME coords
+    (renderer.c:861)."""
+    f = _rgb_frame(16, 16, seed=7)
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[0] = 1.0
+    tex[3] = 1.0
+    tgt = Target(w=32, h=32, color=CSP_SRGB,
+                 overlays=(Overlay(data=jnp.asarray(tex),
+                                   rect=RectF(28, 28, 32, 32)),))
+    out = np.asarray(Renderer().render(f, tgt, _params()))
+    np.testing.assert_allclose(out[:, 30, 30], [1, 0, 0], atol=1e-5)
+
+
+def test_overlay_clipped_at_canvas_edge():
+    """Parts extending past the target are clipped, not wrapped."""
+    f = _rgb_frame(16, 16, seed=8)
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[1] = 1.0
+    tex[3] = 1.0
+    f.overlays = [Overlay(data=jnp.asarray(tex), rect=RectF(14, 14, 22, 22))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=16, h=16, color=CSP_SRGB), _params()))
+    assert out.shape == (3, 16, 16)
+    np.testing.assert_allclose(out[:, 15, 15], [0, 1, 0], atol=1e-5)
+
+
+def test_overlay_color_conversion():
+    """An overlay carrying its own encoding (limited-range, BT.1886) is
+    decoded and converted to the target encoding (renderer.c:962-991):
+    limited-range white (235/255) must land at full-range 1.0."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                ColorSpace, ColorTransfer)
+    f = _rgb_frame(16, 16, seed=9)
+    tex = np.full((4, 4, 4), 235.0 / 255.0, np.float32)
+    tex[3] = 1.0
+    f.overlays = [Overlay(
+        data=jnp.asarray(tex), rect=RectF(0, 0, 4, 4),
+        repr=ColorRepr(sys=ColorSystem.RGB, levels=ColorLevels.LIMITED),
+        color=ColorSpace(ColorPrimaries.BT_709, ColorTransfer.BT_1886))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=16, h=16, color=CSP_SRGB), _params()))
+    np.testing.assert_allclose(out[:, 2, 2], [1, 1, 1], atol=5e-3)
+
+
+def test_overlay_premultiplied_alpha():
+    """Premultiplied overlays blend with src_rgb factor ONE
+    (renderer.c:996-1001)."""
+    from libplacebo_tpu.core.colorspace import AlphaMode
+    f = _rgb_frame(16, 16, seed=10)
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[0] = 0.5               # premultiplied red at alpha 0.5
+    tex[3] = 0.5
+    f.overlays = [Overlay(
+        data=jnp.asarray(tex), rect=RectF(0, 0, 4, 4),
+        repr=ColorRepr(alpha=AlphaMode.PREMULTIPLIED))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=16, h=16, color=CSP_SRGB), _params()))
+    src = np.asarray(f.planes[0].data)
+    np.testing.assert_allclose(out[0, 2, 2], 0.5 + 0.5 * src[0, 2, 2],
+                               atol=2e-2)
+    np.testing.assert_allclose(out[1, 2, 2], 0.5 * src[1, 2, 2], atol=2e-2)
+
+
+def test_overlay_src_frame_rotates_alongside():
+    """SRC_FRAME overlays rotate with the image (renderer.h coords
+    note): under rot90 a part at the frame's top-left lands where the
+    top-left content lands."""
+    from libplacebo_tpu.render.frame import OverlayPart
+    f = _rgb_frame(16, 16, seed=11)
+    f.rotation = Rotation(1)
+    f.crop = RectF(0, 0, 16, 16)
+    tex = np.zeros((4, 4, 4), np.float32)
+    tex[0] = 1.0
+    tex[3] = 1.0
+    f.overlays = [Overlay(
+        data=jnp.asarray(tex), coords="src_frame",
+        parts=(OverlayPart(src=RectF(0, 0, 4, 4), dst=RectF(0, 0, 4, 4)),))]
+    out = np.asarray(Renderer().render(
+        f, Target(w=16, h=16, color=CSP_SRGB), _params()))
+    # rot90 CCW sends src (0..4, 0..4) to (y: 12..16, x: 0..4)
+    np.testing.assert_allclose(out[:, 14, 2], [1, 0, 0], atol=1e-5)

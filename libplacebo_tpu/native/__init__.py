@@ -21,12 +21,14 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["get_lib", "available", "grain_y_native", "grain_uv_native",
-           "grain_offsets_native", "blue_noise_native"]
+           "grain_offsets_native", "blue_noise_native",
+           "gamut_lut_native", "GAMUT_OP_IDS"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_HERE, f"_plnative_{sys.implementation.cache_tag}.so")
 _SRCS = [os.path.join(_HERE, "grain.cc"),
-         os.path.join(_HERE, "dither.cc")]
+         os.path.join(_HERE, "dither.cc"),
+         os.path.join(_HERE, "gamut.cc")]
 
 _lib = None
 _tried = False
@@ -77,6 +79,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_uint32, c.c_int, c.c_int, u32p]
         if hasattr(lib, "pl_blue_noise"):
             lib.pl_blue_noise.argtypes = [c.c_int, f32p]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        if hasattr(lib, "plg_gamut_generate"):
+            lib.plg_gamut_generate.argtypes = [
+                c.c_int, f64p, f64p, f64p, f64p, f64p,
+                c.c_double, c.c_double, f64p,
+                c.c_int, c.c_int, c.c_int, f32p]
+            lib.plg_gamut_generate.restype = c.c_int
         _lib = lib
         return _lib
 
@@ -142,3 +151,35 @@ def blue_noise_native(shift: int) -> Optional[np.ndarray]:
     out = np.zeros((size, size), np.float32)
     lib.pl_blue_noise(shift, out)
     return out
+
+
+# operator ids shared with gamut.cc (enum Op)
+GAMUT_OP_IDS = {
+    "clip": 0, "perceptual": 1, "softclip": 2, "relative": 3,
+    "saturation": 4, "absolute": 5, "desaturate": 6, "darken": 7,
+    "highlight": 8, "linear": 9,
+}
+
+
+def gamut_lut_native(op_name: str, src_rgb2lms, src_lms2rgb,
+                     dst_rgb2lms, dst_lms2rgb, adapt,
+                     min_luma: float, max_luma: float, consts,
+                     NI: int, NC: int, Nh: int) -> Optional[np.ndarray]:
+    """Gamut-mapping 3DLUT generation (gamut.cc): the scalar per-entry
+    rebuild with the reference's 1-item per-hue peak cache
+    (gamut_mapping.c:263). Returns (Nh, NC, NI, 3) float32, or None
+    when native code is unavailable or the operator is unknown."""
+    lib = get_lib()
+    op = GAMUT_OP_IDS.get(op_name)
+    if lib is None or op is None or not hasattr(lib, "plg_gamut_generate"):
+        return None
+    out = np.zeros((Nh, NC, NI, 3), np.float32)
+
+    def m9(x):
+        return np.ascontiguousarray(np.asarray(x, np.float64).reshape(9))
+    rc = lib.plg_gamut_generate(
+        op, m9(src_rgb2lms), m9(src_lms2rgb), m9(dst_rgb2lms),
+        m9(dst_lms2rgb), m9(adapt), float(min_luma), float(max_luma),
+        np.ascontiguousarray(np.asarray(consts, np.float64).reshape(5)),
+        NI, NC, Nh, out)
+    return out if rc == 0 else None

@@ -117,3 +117,40 @@ def test_params_noop():
 def test_find_by_name():
     assert gm.find_gamut_map_function("perceptual") is gm.GAMUT_MAP_PERCEPTUAL
     assert len(gm.GAMUT_MAP_FUNCTIONS) == 10
+
+
+def test_native_lut_matches_python():
+    """native/gamut.cc vs the pure-Python generate() on every operator.
+    Exact for operators whose searches run at grid hues; the softclip/
+    absolute/darken family evaluates saturate() at shifted hues where
+    the reference's 1-item peak cache (gamut_mapping.c:263,513 — 1e-3
+    hue tolerance, faithfully mirrored in C++) introduces a bounded
+    deviation."""
+    import os
+    import numpy as np
+    from libplacebo_tpu import native
+    from libplacebo_tpu.core import gamut_mapping as gm
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                primaries_get)
+    if native.gamut_lut_native is None or not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    tol = {"softclip": 5e-4, "absolute": 5e-4, "darken": 5e-3}
+    for name in ("clip", "perceptual", "softclip", "relative",
+                 "saturation", "absolute", "desaturate", "darken",
+                 "highlight", "linear"):
+        p = gm.GamutMapParams(
+            function=gm.find_gamut_map_function(name),
+            input_gamut=primaries_get(ColorPrimaries.BT_2020),
+            output_gamut=primaries_get(ColorPrimaries.BT_709),
+            min_luma=float(gm._pq_oetf(0.005 / 1e4)),
+            max_luma=float(gm._pq_oetf(1.0)),
+            lut_size_I=12, lut_size_C=8, lut_size_h=16)
+        os.environ["LPTPU_NATIVE_GAMUT"] = "0"
+        try:
+            ref = gm.generate(p)
+        finally:
+            os.environ.pop("LPTPU_NATIVE_GAMUT", None)
+        nat = gm.generate(p)
+        np.testing.assert_allclose(nat, ref, atol=tol.get(name, 1e-6),
+                                   err_msg=name)

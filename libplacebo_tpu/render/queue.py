@@ -6,9 +6,14 @@ pluggable frame sources, FPS/vsync-rate estimation from timestamp
 deltas, and four emission modes (PT / NEAREST / OVERSAMPLE /
 INTERPOLATE) producing FrameMix windows for motion interpolation.
 
-Threaded prefetch is replaced by Python-side lookahead through the
-`get_frame` callback: JAX's async dispatch already overlaps upload and
-render, so the queue only needs to stay ahead in *decode* order.
+Two producer models, like the reference: pull (the `get_frame`
+callback, with Python-side lookahead — JAX's async dispatch already
+overlaps upload and render) and push (a decoder thread calling
+`push`/`push_block`; the queue is thread-safe and push_block applies
+backpressure past a bounded lookahead).  Frames can be supplied
+eagerly (Frame) or lazily (SourceFrame with map/unmap/discard,
+frame_queue.h:45-110): lazy frames dropped before display are
+discarded without paying the device upload.
 """
 from __future__ import annotations
 
@@ -20,7 +25,7 @@ from typing import Callable, List, Optional, Tuple
 from .frame import Frame
 
 __all__ = ["QueueStatus", "QueueMode", "QueueParams", "FrameMix",
-           "FrameQueue"]
+           "FrameQueue", "SourceFrame"]
 
 
 class QueueStatus(enum.Enum):
@@ -104,6 +109,54 @@ def frame_mix_nearest(mix: "FrameMix") -> Optional[Frame]:
     return best
 
 
+@dataclass
+class SourceFrame:
+    """Lazily-mapped frame handle (reference pl_source_frame,
+    frame_queue.h:45-110): `map()` produces the device Frame only when
+    the queue actually needs it for emission — decode handles that get
+    dropped before display (seeks, speed-ups) are `discard()`ed without
+    ever paying the upload.  `unmap(frame)` releases a mapped frame
+    when it leaves the queue."""
+    pts: float
+    map: Callable[[], Frame]
+    unmap: Optional[Callable[[Frame], None]] = None
+    discard: Optional[Callable[[], None]] = None
+
+
+class _Entry:
+    """Internal queue slot: a pts plus either an eagerly-supplied Frame
+    or a SourceFrame mapped on first use (frame_queue.c:547-587)."""
+    __slots__ = ("pts", "_src", "_frame")
+
+    def __init__(self, item):
+        if isinstance(item, SourceFrame):
+            self._src = item
+            self._frame = None
+            self.pts = item.pts
+        else:
+            self._src = None
+            self._frame = item
+            self.pts = item.pts
+
+    def get(self) -> Frame:
+        if self._frame is None:
+            self._frame = self._src.map()
+            if self._frame.pts != self.pts:
+                self._frame.pts = self.pts
+        return self._frame
+
+    def drop(self):
+        """The entry leaves the queue: unmap if mapped, else discard."""
+        if self._src is None:
+            return
+        if self._frame is not None:
+            if self._src.unmap is not None:
+                self._src.unmap(self._frame)
+            self._frame = None
+        elif self._src.discard is not None:
+            self._src.discard()
+
+
 class _RatePool:
     """Windowed rate estimator (reference struct pool + update_estimate,
     frame_queue.c:54-70,247-274): rolling mean over up to 32 deltas; the
@@ -156,8 +209,9 @@ class FrameQueue:
     THRESHOLD_FRAMES = 5
 
     def __init__(self, params: Optional[QueueParams] = None):
+        import threading
         self.params = params or QueueParams()
-        self._frames: List[Frame] = []        # sorted by pts
+        self._frames: List[_Entry] = []       # sorted by pts
         self._eof = False
         self._prev_pts = None
         self._fps_pool = _RatePool()
@@ -165,6 +219,11 @@ class FrameQueue:
         self._last_vsync_pts = None
         self._threshold_stick = 0
         self._pts_offset = 0.0
+        # thread-safety + producer backpressure (reference pl_queue is
+        # fully thread-safe; push_block waits on this condition,
+        # frame_queue.c:462)
+        self._cond = threading.Condition(threading.RLock())
+        self._last_target = None   # horizon of the last update()
 
     def pts_offset(self) -> float:
         """Current PTS drift-compensation offset (reference
@@ -182,18 +241,46 @@ class FrameQueue:
 
     # -- ingestion ----------------------------------------------------
 
-    def push(self, frame: Optional[Frame]):
-        """Add a frame (None signals EOF); reference pl_queue_push."""
-        if frame is None:
-            self._eof = True
-            return
-        self._frames.append(frame)
-        self._frames.sort(key=lambda f: f.pts)
-        # FPS estimation from successive pts deltas (frame_queue.c:247)
-        if self._prev_pts is not None and frame.pts > self._prev_pts:
-            self._fps_pool.update(frame.pts - self._prev_pts)
-        if self._prev_pts is None or frame.pts > self._prev_pts:
-            self._prev_pts = frame.pts
+    def push(self, frame):
+        """Add a Frame or a lazily-mapped SourceFrame (None signals
+        EOF); reference pl_queue_push."""
+        with self._cond:
+            if frame is None:
+                self._eof = True
+                self._cond.notify_all()
+                return
+            entry = _Entry(frame)
+            self._frames.append(entry)
+            self._frames.sort(key=lambda e: e.pts)
+            # FPS estimation from successive pts deltas (frame_queue.c:247)
+            if self._prev_pts is not None and entry.pts > self._prev_pts:
+                self._fps_pool.update(entry.pts - self._prev_pts)
+            if self._prev_pts is None or entry.pts > self._prev_pts:
+                self._prev_pts = entry.pts
+
+    # producer-side high-water mark: how many frames beyond the last
+    # update()'s horizon push_block keeps buffered before blocking
+    MAX_AHEAD = 8
+
+    def _wants_frames(self) -> bool:
+        if self._eof:
+            return False     # nothing more is needed; don't block forever
+        if self._last_target is None:
+            return len(self._frames) < self.MAX_AHEAD
+        ahead = sum(1 for e in self._frames if e.pts > self._last_target)
+        return ahead < self.MAX_AHEAD
+
+    def push_block(self, frame, timeout: Optional[float] = None) -> bool:
+        """Blocking push for decoder threads (reference
+        pl_queue_push_block, frame_queue.c:462): waits until the queue
+        wants more frames (bounded lookahead past the last update()'s
+        window) or `timeout` seconds elapse.  Returns False on timeout
+        (the frame was NOT consumed)."""
+        with self._cond:
+            if not self._cond.wait_for(self._wants_frames, timeout):
+                return False
+            self.push(frame)
+            return True
 
     # Reference PREFETCH_FRAMES (frame_queue.c:62): frames pulled beyond
     # the emission window so their decode + device upload (jax
@@ -234,17 +321,27 @@ class FrameQueue:
         return len(self._frames)
 
     def peek(self, idx: int) -> Optional[Frame]:
-        return self._frames[idx] if 0 <= idx < len(self._frames) else None
+        """Inspect (and map, if lazy) the idx'th queued frame
+        (reference pl_queue_peek, frame_queue.c:1066)."""
+        with self._cond:
+            if 0 <= idx < len(self._frames):
+                return self._frames[idx].get()
+            return None
 
     def reset(self):
-        self._frames.clear()
-        self._eof = False
-        self._prev_pts = None
-        self._last_vsync_pts = None
-        self._fps_pool = _RatePool()
-        self._vps_pool = _RatePool()
-        self._threshold_stick = 0
-        self._pts_offset = 0.0
+        with self._cond:
+            for e in self._frames:
+                e.drop()
+            self._frames.clear()
+            self._eof = False
+            self._prev_pts = None
+            self._last_vsync_pts = None
+            self._fps_pool = _RatePool()
+            self._vps_pool = _RatePool()
+            self._threshold_stick = 0
+            self._pts_offset = 0.0
+            self._last_target = None
+            self._cond.notify_all()
 
     # -- emission -----------------------------------------------------
 
@@ -253,6 +350,14 @@ class FrameQueue:
                ) -> Tuple[QueueStatus, Optional[FrameMix]]:
         """Emit the frame mix for the requested pts
         (reference pl_queue_update, frame_queue.c:965)."""
+        with self._cond:
+            try:
+                return self._update_locked(params, mode)
+            finally:
+                # consumed/dropped frames free producer space
+                self._cond.notify_all()
+
+    def _update_locked(self, params, mode):
         if params is not None:
             if params.get_frame is None:
                 params.get_frame = self.params.get_frame
@@ -301,9 +406,10 @@ class FrameQueue:
             1.0 / self._vps_est if self._vps_est else
             (1.0 / self._fps_est if self._fps_est else 1.0 / 60.0))
         window = max(p.radius, 1.0) * vsync
+        self._last_target = pts + window
         while len(self._frames) > 1 and \
                 self._frames[1].pts <= pts - window:
-            self._frames.pop(0)
+            self._frames.pop(0).drop()
 
         frame_dur = p.frame_duration or (
             1.0 / self._fps_est if self._fps_est else vsync)
@@ -330,41 +436,41 @@ class FrameQueue:
 
         if mode in (QueueMode.POINT, QueueMode.NEAREST):
             if mode == QueueMode.POINT:
-                cands = [f for f in self._frames if f.pts <= pts] \
+                cands = [e for e in self._frames if e.pts <= pts] \
                     or self._frames[:1]
                 best = cands[-1]
             else:
-                best = min(self._frames, key=lambda f: abs(f.pts - pts))
-            mix = FrameMix([best], [(best.pts - pts) / vsync], 1.0)
+                best = min(self._frames, key=lambda e: abs(e.pts - pts))
+            mix = FrameMix([best.get()], [(best.pts - pts) / vsync], 1.0)
             return QueueStatus.OK, mix
 
         if mode == QueueMode.OVERSAMPLE:
-            before = [f for f in self._frames if f.pts <= pts]
-            after = [f for f in self._frames if f.pts > pts]
-            frames = ([before[-1]] if before else []) + \
+            before = [e for e in self._frames if e.pts <= pts]
+            after = [e for e in self._frames if e.pts > pts]
+            ents = ([before[-1]] if before else []) + \
                 (after[:1] if after else [])
-            if not frames:
-                frames = self._frames[:1]
-            mix = FrameMix(frames, [(f.pts - pts) / vsync for f in frames],
-                           1.0)
+            if not ents:
+                ents = self._frames[:1]
+            mix = FrameMix([e.get() for e in ents],
+                           [(e.pts - pts) / vsync for e in ents], 1.0)
             return QueueStatus.OK, mix
 
         # INTERPOLATE: all frames within radius*vsync of pts (plus one
         # on each side for kernel support)
         rad = max(p.radius, 1.0) * vsync
-        inside = [f for f in self._frames if abs(f.pts - pts) <= rad]
-        if not inside:
-            before = [f for f in self._frames if f.pts <= pts]
-            inside = [before[-1]] if before else self._frames[:1]
-        # pad with one neighbor each side (identity search: Frame holds
-        # arrays, so == comparison is not usable)
-        ids = [id(f) for f in self._frames]
-        idx0 = ids.index(id(inside[0]))
-        idx1 = ids.index(id(inside[-1]))
-        if idx0 > 0:
-            inside.insert(0, self._frames[idx0 - 1])
-        if idx1 + 1 < len(self._frames):
-            inside.append(self._frames[idx1 + 1])
-        mix = FrameMix(inside, [(f.pts - pts) / vsync for f in inside],
+        idxs = [i for i, e in enumerate(self._frames)
+                if abs(e.pts - pts) <= rad]
+        if not idxs:
+            before = [i for i, e in enumerate(self._frames)
+                      if e.pts <= pts]
+            idxs = [before[-1]] if before else [0]
+        i0, i1 = idxs[0], idxs[-1]
+        if i0 > 0:
+            i0 -= 1
+        if i1 + 1 < len(self._frames):
+            i1 += 1
+        ents = self._frames[i0:i1 + 1]
+        mix = FrameMix([e.get() for e in ents],
+                       [(e.pts - pts) / vsync for e in ents],
                        frame_dur / vsync)
         return QueueStatus.OK, mix

@@ -798,3 +798,68 @@ def test_options_reset_and_find_option():
     opt = find_option("deband")
     assert opt is not None and opt.key == "deband"
     assert find_option("no_such_option") is None
+
+
+def test_queue_source_frame_lazy_map_discard():
+    """Lazy SourceFrame handles (reference pl_source_frame,
+    frame_queue.h:45-110): map() runs only for frames actually emitted;
+    frames dropped behind the window are discard()ed unmapped; mapped
+    frames leaving the queue are unmap()ed."""
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams, QueueStatus,
+                                             SourceFrame)
+    mapped, unmapped, discarded = [], [], []
+
+    def make(i, fps=24.0):
+        base = _frames(30)[i]
+        def do_map(_i=i, _f=base):
+            mapped.append(_i)
+            return _f
+        return SourceFrame(pts=i / fps, map=do_map,
+                           unmap=lambda f, _i=i: unmapped.append(_i),
+                           discard=lambda _i=i: discarded.append(_i))
+
+    q = FrameQueue()
+    for i in range(10):
+        q.push(make(i))
+    q.push(None)
+    # jump straight to pts ~ frame 8: earlier frames were never needed
+    st, mix = q.update(QueueParams(pts=8 / 24.0, vsync_duration=1 / 24.0),
+                       QueueMode.POINT)
+    assert st == QueueStatus.OK
+    assert mix.frames[0].signature == 9         # frame index 8
+    assert mapped == [8]                        # ONLY the emitted frame
+    # dropped-behind-window frames were discarded without mapping
+    assert 0 in discarded and 8 not in discarded
+    # reset unmaps the mapped frame and discards the rest
+    q.reset()
+    assert unmapped == [8]
+    assert 9 in discarded
+
+
+def test_queue_push_block_backpressure():
+    """push_block (reference pl_queue_push_block, frame_queue.c:462):
+    blocks once the bounded lookahead fills, unblocks as update()
+    consumes, and times out cleanly."""
+    import threading
+    from libplacebo_tpu.render.queue import (FrameQueue, QueueMode,
+                                             QueueParams)
+    q = FrameQueue()
+    frames = _frames(q.MAX_AHEAD + 4)
+    for f in frames[:q.MAX_AHEAD]:
+        assert q.push_block(f, timeout=1.0)
+    # queue is full now: a further push_block must time out
+    assert not q.push_block(frames[q.MAX_AHEAD], timeout=0.05)
+
+    # a consumer advancing the window frees space and unblocks a waiter
+    done = []
+    def producer():
+        done.append(q.push_block(frames[q.MAX_AHEAD], timeout=5.0))
+    t = threading.Thread(target=producer)
+    t.start()
+    q.update(QueueParams(pts=6 / 24.0, vsync_duration=1 / 24.0),
+             QueueMode.POINT)
+    t.join(timeout=5.0)
+    assert done == [True]
+    q.push(None)   # EOF stops any further blocking
+    assert not q.push_block(frames[-1], timeout=0.05)

@@ -243,9 +243,10 @@ na("output planes are arrays produced by the renderer; `Target` "
 # --- utils/frame_queue.h -------------------------------------------------
 yes("`render.queue.Queue()`", "pl_queue_create")
 na("Python GC owns lifetimes", "pl_queue_destroy")
-yes("`render.queue.Queue.push`", "pl_queue_push")
-yes("`render.queue.Queue.push` (prefetch thread handles blocking "
-    "producers)", "pl_queue_push_block")
+yes("`render.queue.Queue.push` (Frame or lazy SourceFrame with "
+    "map/unmap/discard)", "pl_queue_push")
+yes("`render.queue.Queue.push_block` (thread-safe producer "
+    "backpressure with timeout)", "pl_queue_push_block")
 yes("`render.queue.Queue.update`", "pl_queue_update")
 yes("`render.queue.Queue.reset`", "pl_queue_reset")
 yes("`render.queue.Queue.peek`", "pl_queue_peek")

@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--out", default="1280x720")
     ap.add_argument("--hdr", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--zoom", default="fit",
+                    choices=["fit", "pad", "crop", "stretch", "raw"],
+                    help="how the video fills the target (reference "
+                         "plplay target_zoom, demos/plplay.c:404-430)")
+    ap.add_argument("--par", type=float, default=0.0,
+                    help="force a pixel aspect ratio on source frames "
+                         "(anamorphic content)")
     ap.add_argument("--y4m", default=None, metavar="FILE",
                     help="play a YUV4MPEG2 file instead of synthesizing")
     ap.add_argument("--write-y4m", default=None, metavar="FILE",
@@ -150,7 +157,31 @@ def main():
             QueueMode.INTERPOLATE)
         if status != QueueStatus.OK:
             break
-        out = render_image_mix(renderer, mix, target, opts.params)
+        # aspect handling (reference demos/plplay.c:404-430): stretch
+        # the source crop by the pixel aspect ratio, then zoom the
+        # target crop around it
+        from dataclasses import replace as _replace
+        from libplacebo_tpu.core.common import RectF
+        ref_frame = mix.frames[0]
+        if args.par:
+            ref_frame.pixel_aspect_ratio = args.par
+        sar = ref_frame.pixel_aspect_ratio
+        crop = ref_frame.get_crop()
+        if sar and args.zoom != "raw":
+            crop = crop.stretch_xy(max(1.0, sar), max(1.0, 1.0 / sar))
+        full = RectF(0, 0, ow, oh)
+        if args.zoom == "pad":
+            tcrop = full.aspect_copy(crop, 0.0)
+        elif args.zoom == "crop":
+            tcrop = full.aspect_copy(crop, 1.0)
+        elif args.zoom == "fit":
+            tcrop = full.aspect_fit(crop, 0.0)
+        elif args.zoom == "raw":
+            tcrop = RectF(0, 0, crop.w, crop.h)
+        else:                    # stretch: full target
+            tcrop = full
+        vt = target if tcrop == full else _replace(target, crop=tcrop)
+        out = render_image_mix(renderer, mix, vt, opts.params)
         if writer is not None:
             writer.write(np.asarray(out))
         if png_dir is not None:

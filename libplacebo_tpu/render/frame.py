@@ -118,6 +118,11 @@ class Frame:
     color: ColorSpace = field(default_factory=ColorSpace)
     crop: Optional[RectF] = None
     rotation: Rotation = Rotation(0)
+    # aspect ratio of a raw (encoded, pre-rotation) pixel; 0 = square /
+    # unknown.  Renderer-neutral metadata: applications stretch their
+    # target crop by it (reference pl_frame.pixel_aspect_ratio,
+    # renderer.h:623; demos/plplay.c:405)
+    pixel_aspect_ratio: float = 0.0
     overlays: List[Overlay] = field(default_factory=list)
     # film grain metadata (reference pl_frame.film_grain); seed may change
     # per frame without recompilation

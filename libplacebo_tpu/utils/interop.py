@@ -150,6 +150,9 @@ def frame_from_avframe_like(av: dict, device=None) -> Frame:
     frame = frame_from_planes(
         planes, repr=repr, color=color,
         chroma_location=av.get("chroma_location", "left"), device=device)
+    # anamorphic metadata (reference libav_internal.h:781 maps
+    # AVFrame.sample_aspect_ratio into pl_frame.pixel_aspect_ratio)
+    frame.pixel_aspect_ratio = float(av.get("sample_aspect_ratio", 0.0))
     return _map_side_data(av, frame)
 
 
@@ -349,6 +352,9 @@ def frame_from_pyav(avframe, device=None) -> Frame:
                                or ""),
         "color_trc": str(getattr(avframe, "color_trc", "") or ""),
     }
+    sar = getattr(avframe, "sample_aspect_ratio", None)
+    if sar:
+        d["sample_aspect_ratio"] = float(sar)
     # side data (reference libav_internal.h:384-460); PyAV exposes the
     # registry via frame.side_data when built against a new ffmpeg
     sd = getattr(avframe, "side_data", None)

@@ -580,3 +580,28 @@ def test_matrix3x3_transform3x3_scale():
     np.testing.assert_allclose(np.diag(m.m), [2.0, 4.0, 6.0])
     t = Transform3x3(Matrix3x3.identity(), (1.0, 2.0, 3.0)).scale(0.5)
     np.testing.assert_allclose(t.c, [0.5, 1.0, 1.5])
+
+
+def test_pixel_aspect_ratio_metadata():
+    """Reference pl_frame.pixel_aspect_ratio (renderer.h:623, API 363):
+    mapped from AVFrame.sample_aspect_ratio and consumed by stretching
+    the crop (demos/plplay.c:405)."""
+    import numpy as np
+    from libplacebo_tpu.utils import interop
+    from libplacebo_tpu.core.common import RectF
+    av = {"format": "yuv420p",
+          "data": [np.zeros((8, 8), np.uint8),
+                   np.zeros((4, 4), np.uint8),
+                   np.zeros((4, 4), np.uint8)],
+          "sample_aspect_ratio": 4.0 / 3.0}
+    f = interop.frame_from_avframe_like(av)
+    assert f.pixel_aspect_ratio == pytest.approx(4.0 / 3.0)
+    # applying it: a 4:3-PAR 640x360 crop displays as 853x360
+    crop = RectF(0, 0, 640, 360).stretch_xy(
+        max(1.0, f.pixel_aspect_ratio),
+        max(1.0, 1.0 / f.pixel_aspect_ratio))
+    assert crop.w == pytest.approx(640 * 4 / 3)
+    assert crop.h == pytest.approx(360)
+    # default: unknown
+    av.pop("sample_aspect_ratio")
+    assert interop.frame_from_avframe_like(av).pixel_aspect_ratio == 0.0

@@ -909,8 +909,18 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
             raise RenderError(
                 "target_data passed but params.blend is None (the "
                 "contents would be silently ignored)")
+        ov_all = tuple(overlay_datas or ())
+        # target OSD overlays were baked into the trace: append their
+        # (replicated) textures, broadcast over the frame batch
+        tgt_ovs = tuple(getattr(target, "overlays", ()) or ())
+        if tgt_ovs:
+            b = planes[0].shape[0]
+            ov_all = ov_all + tuple(
+                jnp.broadcast_to(jnp.asarray(o.data)[None],
+                                 (b,) + tuple(o.data.shape))
+                for o in tgt_ovs)
         return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, overlay_datas or (), target_data,
+                         next_planes, ov_all, target_data,
                          *planes)
 
     return run

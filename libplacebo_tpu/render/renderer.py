@@ -1296,7 +1296,10 @@ class Renderer:
         color (the libass bitmap contract)."""
         from ..core.colorspace import AlphaMode
         frame_h, frame_w = frame_hw
-        coords = ov.coords if (ov.parts or ov.rect is None) else "dst_frame"
+        # legacy shorthand: a bare rect with coords left at "auto" is
+        # target-space; an explicit coords choice always wins
+        coords = "dst_frame" if (not ov.parts and ov.rect is not None
+                                 and ov.coords == "auto") else ov.coords
         map_pt, rot_c = cls._overlay_rect_map(
             coords, is_target, crop, dst_crop, rotation,
             frame_w, frame_h, target)

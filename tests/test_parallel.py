@@ -707,3 +707,44 @@ def test_sharded_frame_mix_matches_single_chip(devices):
     assert bad.mean() <= 1e-3, f"{bad.mean():.2%}"
     if bad.any():
         np.testing.assert_allclose(diff[bad], 1 / 255.0, atol=1e-6)
+
+
+def test_sharded_rich_overlays_fallback_matches_renderer(devices):
+    """Monochrome parts + a target OSD overlay can't ride the halo
+    pipeline; the builder must fall back to the GSPMD step and still
+    match the single-chip renderer exactly."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.frame import Overlay, OverlayPart
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    rng = np.random.default_rng(31)
+    mask = np.zeros((1, 8, 24), np.float32)
+    mask[0, 2:6, 2:22] = 1.0
+    sub = Overlay(data=jnp.asarray(mask), mode="monochrome",
+                  coords="src_frame",
+                  parts=(OverlayPart(RectF(0, 0, 24, 8),
+                                     RectF(30, 50, 54, 58),
+                                     color=(1.0, 1.0, 0.2, 0.8)),))
+    osd = Overlay(data=jnp.asarray(
+        rng.random((4, 6, 6), np.float32)), rect=RectF(180, 2, 186, 8))
+    frames = _flagship_frames(1, src_h, src_w, seed=29)
+    frames[0].overlays = [sub]
+    # bit_depth=0: dither would turn the GSPMD step's float-order
+    # deviations (~3e-3 isolated pixels, see the rot90 test) into LSB
+    # flips; this test pins overlay semantics
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB,
+                    bit_depth=0, overlays=(osd,))
+    params = RenderParams(upscaler="lanczos")
+    out, _ = _run_sharded(
+        mesh, frames, target, params,
+        build_kw=dict(overlays=(sub,)),
+        step_kw=dict(overlay_datas=(np.asarray(sub.data)[None],)))
+    ref = _single_chip(frames[0], target, params)
+    diff = np.abs(out[0] - ref)
+    assert diff.max() < 5e-3, diff.max()
+    assert diff.mean() < 1e-5, diff.mean()
+    # the overlay regions themselves: exact
+    np.testing.assert_allclose(out[0][:, 4:8, 181:185],
+                               ref[:, 4:8, 181:185], atol=1e-5)

@@ -96,6 +96,12 @@ AV_PIX_FMTS = {
     "gbrap": (4, (0, 0), 8, ((1,), (0,), (2,), (3,))),
 }
 
+# MSB-aligned formats: samples live in the TOP bits of each word and
+# must shift right before UNORM normalization (ffmpeg stores p010/p012
+# MSB-aligned, unlike the LSB-aligned yuvXXXpNNle family; the reference
+# expresses this through pl_plane_data.shift)
+_AV_PIX_FMT_SHIFT = {"p010le": 6, "p012le": 4}
+
 _AVCOL_SPC = {
     "bt709": ColorSystem.BT_709, "bt470bg": ColorSystem.BT_601,
     "smpte170m": ColorSystem.BT_601, "smpte240m": ColorSystem.SMPTE_240M,
@@ -131,7 +137,9 @@ def frame_from_avframe_like(av: dict, device=None) -> Frame:
     data = av["data"]
     assert len(data) == n_planes, (len(data), n_planes)
 
-    planes = [PlaneData(np.asarray(d), comp_maps[i], bit_depth=depth)
+    shift = _AV_PIX_FMT_SHIFT.get(fmt, 0)
+    planes = [PlaneData(np.asarray(d), comp_maps[i], bit_depth=depth,
+                        bit_shift=shift)
               for i, d in enumerate(data)]
 
     sys = _AVCOL_SPC.get(av.get("colorspace", ""), ColorSystem.UNKNOWN)
@@ -429,6 +437,7 @@ def frame_from_dav1d_picture_like(pic: dict, device=None) -> Frame:
     assert len(data) == n_planes
 
     comp_maps = (((0,),) if n_planes == 1 else ((0,), (1,), (2,)))
+    # Dav1dPicture samples are LSB-aligned at every bitdepth
     planes = [PlaneData(np.asarray(d), comp_maps[i], bit_depth=depth)
               for i, d in enumerate(data)]
 

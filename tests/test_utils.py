@@ -65,11 +65,12 @@ def test_avframe_like_nv12():
 
 
 def test_avframe_like_p010():
+    # ffmpeg's p010le is MSB-aligned: sample 512 is stored as 512 << 6
     av = dict(format="p010le",
-              data=[np.full((8, 8), 512, np.uint16),
-                    np.full((4, 4, 2), 512, np.uint16)])
+              data=[np.full((8, 8), 512 << 6, np.uint16),
+                    np.full((4, 4, 2), 512 << 6, np.uint16)])
     f = interop.frame_from_avframe_like(av)
-    # 10-bit normalization
+    # 10-bit normalization after the alignment shift
     np.testing.assert_allclose(float(f.planes[0].data[0, 0, 0]),
                                512 / 1023.0, atol=1e-5)
 
@@ -605,3 +606,24 @@ def test_pixel_aspect_ratio_metadata():
     # default: unknown
     av.pop("sample_aspect_ratio")
     assert interop.frame_from_avframe_like(av).pixel_aspect_ratio == 0.0
+
+
+def test_p010_msb_alignment():
+    """ffmpeg's p010le stores 10-bit samples in the TOP bits of each
+    16-bit word; the interop must shift before UNORM normalization
+    (the reference expresses this via pl_plane_data.shift)."""
+    import numpy as np
+    from libplacebo_tpu.utils.interop import frame_from_avframe_like
+    # mid-gray 512 (10-bit) stored MSB-aligned: 512 << 6
+    y = np.full((8, 8), 512 << 6, np.uint16)
+    uv = np.full((4, 4, 2), 512 << 6, np.uint16)
+    f = frame_from_avframe_like({"format": "p010le", "data": [y, uv]})
+    got = float(np.asarray(f.planes[0].data)[0, 0, 0])
+    assert abs(got - 512 / 1023.0) < 1e-6, got
+    # 16-bit p016le needs no shift
+    y16 = np.full((8, 8), 32768, np.uint16)
+    uv16 = np.full((4, 4, 2), 32768, np.uint16)
+    f16 = frame_from_avframe_like({"format": "p016le",
+                                   "data": [y16, uv16]})
+    got16 = float(np.asarray(f16.planes[0].data)[0, 0, 0])
+    assert abs(got16 - 32768 / 65535.0) < 1e-6, got16

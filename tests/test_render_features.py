@@ -882,3 +882,39 @@ def test_overlay_src_frame_rotates_alongside():
         f, Target(w=16, h=16, color=CSP_SRGB), _params()))
     # rot90 CCW sends src (0..4, 0..4) to (y: 12..16, x: 0..4)
     np.testing.assert_allclose(out[:, 14, 2], [1, 0, 0], atol=1e-5)
+
+
+def test_random_option_combos_render():
+    """Robustness net: random combinations of REAL options (sampled
+    from the reflection table, seeded) must render a small frame
+    without raising — the render-with-combos analog of the
+    options-parse fuzz (reference fuzz/options.c only parses)."""
+    import random
+    from libplacebo_tpu.core.options import OPTION_TABLE, Options
+    rnd = random.Random(1234)
+    table = [o for o in OPTION_TABLE()
+             # error_diffusion compiles a Pallas kernel per shape (slow
+             # cold); hooks need shader text
+             if o.key not in ("error_diffusion", "preset")]
+    f = _rgb_frame(24, 32, seed=12)
+    tgt = Target(w=48, h=64, color=CSP_SRGB, bit_depth=8)
+    for trial in range(12):
+        opts = Options()
+        for o in rnd.sample(table, 6):
+            if o.type == "bool":
+                val = rnd.choice(["yes", "no"])
+            elif o.type in ("int", "float"):
+                lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
+                v = lo + (hi - lo) * rnd.random()
+                val = str(int(v)) if o.type == "int" else f"{v:.4g}"
+            elif o.choices:
+                val = rnd.choice(list(o.choices))
+            else:
+                continue
+            try:
+                opts.set(o.key, val)
+            except Exception:
+                continue    # per-option validation may reject; fine
+        out = np.asarray(Renderer().render(f, tgt, opts.params))
+        assert out.shape[-2:] == (64, 48), (trial, opts.save())
+        assert np.isfinite(out).all(), (trial, opts.save())

@@ -91,9 +91,11 @@ AV_PIX_FMTS = {
     "bgra": (1, (0, 0), 8, ((2, 1, 0, 3),)),
     "argb": (1, (0, 0), 8, ((3, 0, 1, 2),)),
     "rgba64le": (1, (0, 0), 16, ((0, 1, 2, 3),)),
-    "gbrp": (3, (0, 0), 8, ((1,), (0,), (2,))),
-    "gbrp10le": (3, (0, 0), 10, ((1,), (0,), (2,))),
-    "gbrap": (4, (0, 0), 8, ((1,), (0,), (2,), (3,))),
+    # ffmpeg GBR-planar: plane order is G, B, R (pixdesc: R lives in
+    # plane 2, G in plane 0, B in plane 1)
+    "gbrp": (3, (0, 0), 8, ((1,), (2,), (0,))),
+    "gbrp10le": (3, (0, 0), 10, ((1,), (2,), (0,))),
+    "gbrap": (4, (0, 0), 8, ((1,), (2,), (0,), (3,))),
 }
 
 # MSB-aligned formats: samples live in the TOP bits of each word and

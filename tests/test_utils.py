@@ -627,3 +627,22 @@ def test_p010_msb_alignment():
                                    "data": [y16, uv16]})
     got16 = float(np.asarray(f16.planes[0].data)[0, 0, 0])
     assert abs(got16 - 32768 / 65535.0) < 1e-6, got16
+
+
+def test_gbrp_plane_order():
+    """ffmpeg gbrp planes are ordered G, B, R (pixdesc); a pure-red
+    gbrp frame must decode to red, not blue."""
+    import numpy as np
+    from libplacebo_tpu.utils.interop import frame_from_avframe_like
+    g = np.zeros((4, 4), np.uint8)
+    b = np.zeros((4, 4), np.uint8)
+    r = np.full((4, 4), 255, np.uint8)
+    f = frame_from_avframe_like({"format": "gbrp", "data": [g, b, r]})
+    # merge plane components by canonical id
+    by_comp = {}
+    for p in f.planes:
+        for ci, comp in enumerate(p.component_mapping):
+            by_comp[comp] = np.asarray(p.data)[ci]
+    assert by_comp[0].max() == 1.0          # R
+    assert by_comp[1].max() == 0.0          # G
+    assert by_comp[2].max() == 0.0          # B

@@ -108,20 +108,38 @@ _AVCOL_SPC = {
     "bt709": ColorSystem.BT_709, "bt470bg": ColorSystem.BT_601,
     "smpte170m": ColorSystem.BT_601, "smpte240m": ColorSystem.SMPTE_240M,
     "bt2020nc": ColorSystem.BT_2020_NC, "bt2020c": ColorSystem.BT_2020_C,
+    "bt2020ncl": ColorSystem.BT_2020_NC,     # ffmpeg string aliases
+    "bt2020cl": ColorSystem.BT_2020_C,
     "ictcp": ColorSystem.BT_2100_PQ, "ycgco": ColorSystem.YCGCO,
+    "ycgco-re": ColorSystem.YCGCO_RE, "ycgco-ro": ColorSystem.YCGCO_RO,
     "rgb": ColorSystem.RGB,
+    # fcc/smpte2085/chroma-derived/ipt-c2: no counterpart (the reference
+    # maps them to UNKNOWN too, libav_internal.h:58-72)
 }
 _AVCOL_PRI = {
     "bt709": ColorPrimaries.BT_709, "bt470bg": ColorPrimaries.BT_601_625,
     "smpte170m": ColorPrimaries.BT_601_525,
+    "smpte240m": ColorPrimaries.BT_601_525,
+    "bt470m": ColorPrimaries.BT_470M,
     "bt2020": ColorPrimaries.BT_2020, "smpte432": ColorPrimaries.DISPLAY_P3,
     "smpte431": ColorPrimaries.DCI_P3, "film": ColorPrimaries.FILM_C,
+    "smpte428": ColorPrimaries.CIE_1931,
+    "jedec-p22": ColorPrimaries.EBU_3213,
 }
 _AVCOL_TRC = {
     "bt709": ColorTransfer.BT_1886, "iec61966-2-1": ColorTransfer.SRGB,
     "srgb": ColorTransfer.SRGB, "linear": ColorTransfer.LINEAR,
     "smpte2084": ColorTransfer.PQ, "arib-std-b67": ColorTransfer.HLG,
     "gamma22": ColorTransfer.GAMMA22, "gamma28": ColorTransfer.GAMMA28,
+    # EOTF != OETF family: display-side BT.1886, like the reference
+    # (libav_internal.h:197-211)
+    "smpte170m": ColorTransfer.BT_1886,
+    "smpte240m": ColorTransfer.BT_1886,
+    "iec61966-2-4": ColorTransfer.BT_1886,
+    "bt1361e": ColorTransfer.BT_1886,
+    "bt2020-10": ColorTransfer.BT_1886,
+    "bt2020-12": ColorTransfer.BT_1886,
+    "smpte428": ColorTransfer.ST428,
 }
 
 

@@ -646,3 +646,20 @@ def test_gbrp_plane_order():
     assert by_comp[0].max() == 1.0          # R
     assert by_comp[1].max() == 0.0          # G
     assert by_comp[2].max() == 0.0          # B
+
+
+def test_avcol_mapping_completeness():
+    """Enum-string coverage mirrors the reference's libav mapping
+    (libav_internal.h:54-219): the EOTF!=OETF family maps to BT.1886,
+    bt2020-10/12 included; smpte428 maps to ST428/CIE_1931."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                ColorSystem, ColorTransfer)
+    from libplacebo_tpu.utils.interop import (_AVCOL_PRI, _AVCOL_SPC,
+                                              _AVCOL_TRC)
+    assert _AVCOL_TRC["bt2020-10"] == ColorTransfer.BT_1886
+    assert _AVCOL_TRC["smpte428"] == ColorTransfer.ST428
+    assert _AVCOL_TRC["iec61966-2-4"] == ColorTransfer.BT_1886
+    assert _AVCOL_PRI["smpte428"] == ColorPrimaries.CIE_1931
+    assert _AVCOL_PRI["jedec-p22"] == ColorPrimaries.EBU_3213
+    assert _AVCOL_SPC["ycgco-re"] == ColorSystem.YCGCO_RE
+    assert _AVCOL_SPC["bt2020ncl"] == ColorSystem.BT_2020_NC

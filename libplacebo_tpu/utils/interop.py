@@ -315,9 +315,17 @@ def frame_to_avframe_like(frame: Frame) -> dict:
     """Export Frame metadata + planes back into an AVFrame-shaped dict
     (the role of pl_frame_to_avframe / pl_avframe_set_color,
     libav_internal.h:650-730)."""
-    inv_spc = {v: k for k, v in _AVCOL_SPC.items()}
-    inv_pri = {v: k for k, v in _AVCOL_PRI.items()}
-    inv_trc = {v: k for k, v in _AVCOL_TRC.items()}
+    # first-wins inversion: the tables list the canonical av name first
+    # and aliases after (the reference's pl->av direction picks these
+    # same canonical values, libav_internal.h:86-108,228+)
+    def _inv(table):
+        inv = {}
+        for k, v in table.items():
+            inv.setdefault(v, k)
+        return inv
+    inv_spc = _inv(_AVCOL_SPC)
+    inv_pri = _inv(_AVCOL_PRI)
+    inv_trc = _inv(_AVCOL_TRC)
     out = {
         "data": [np.asarray(p.data).transpose(1, 2, 0)
                  if p.data.ndim == 3 else np.asarray(p.data)
@@ -340,6 +348,8 @@ def frame_to_avframe_like(frame: Frame) -> dict:
     if hdr.max_cll or hdr.max_fall:
         out["content_light_level"] = {"max_cll": hdr.max_cll,
                                       "max_fall": hdr.max_fall}
+    if frame.pixel_aspect_ratio:
+        out["sample_aspect_ratio"] = frame.pixel_aspect_ratio
     return out
 
 

@@ -663,3 +663,18 @@ def test_avcol_mapping_completeness():
     assert _AVCOL_PRI["jedec-p22"] == ColorPrimaries.EBU_3213
     assert _AVCOL_SPC["ycgco-re"] == ColorSystem.YCGCO_RE
     assert _AVCOL_SPC["bt2020ncl"] == ColorSystem.BT_2020_NC
+
+
+def test_avframe_export_canonical_names():
+    """Export picks the canonical av name, not an alias: BT.1886 ->
+    'bt709' (not one of the EOTF!=OETF aliases); PAR roundtrips."""
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    import numpy as np
+    f = interop.frame_from_avframe_like(_yuv_av(
+        color_trc="bt2020-10", colorspace="bt2020ncl",
+        sample_aspect_ratio=1.5))
+    out = interop.frame_to_avframe_like(f)
+    assert out["color_trc"] == "bt709"          # canonical BT_1886 name
+    assert out["colorspace"] == "bt2020nc"
+    assert out["sample_aspect_ratio"] == 1.5

@@ -566,6 +566,7 @@ class Renderer:
         # HDR peak-detection temporal state (reference: SSBO + CPU copy;
         # here a tiny carried device array)
         self._peak_state = ops_peak.peak_detect_state_init()
+        self._frame_idx = 0   # temporal dither phase counter
         # misbehaving user hooks, auto-disabled by signature
         # (reference rr->disabled_hooks, renderer.c:64-65)
         self._disabled_hooks: set = set()
@@ -726,8 +727,12 @@ class Renderer:
                         frame_color: ColorSpace, crop: RectF,
                         frame_grain=None, field=None, first_field=None,
                         has_prev=False, has_next=False, rotation=0,
-                        overlays=(), frame_icc=None):
-        """Build the traced pipeline function for one signature."""
+                        overlays=(), frame_icc=None, dither_phase=0):
+        """Build the traced pipeline function for one signature.
+        `dither_phase` rotates the temporal dither pattern (reference
+        pl_dispatch temporal index, dispatch.c:1613): with
+        dither.temporal set, 8 phase variants compile (one-time via the
+        persistent cache) and the renderer cycles them per frame."""
         if params.ignore_icc_profiles:
             # reference pl_render_params.ignore_icc_profiles: fall back
             # to the colorimetric metadata for both ends
@@ -939,7 +944,8 @@ class Renderer:
                     img = linearize_src(img)
                 fused_tail = self._fused_tail(
                     params, src_color, dst_color, target, use_peak,
-                    phased, has_alpha, dst_w, dst_h, dst_crop)
+                    phased, has_alpha, dst_w, dst_h, dst_crop,
+                    dither_phase=dither_phase)
                 fused_peak = fused_tail is not None and fused_tail.fused_peak
                 peak_stats = None
                 if use_peak:
@@ -1071,9 +1077,11 @@ class Renderer:
                     if phased:
                         from ..ops import polar as ops_polar
                         bias = jnp.asarray(ops_polar.to_phase_blocks(
-                            ops_dither._bias_matrix(dp, dst_h, dst_w),
+                            ops_dither._bias_matrix(dp, dst_h, dst_w,
+                                                    dither_phase),
                             phased[0], phased[1]))
                     img = ops_dither.dither(img, target.bit_depth, dp,
+                                            frame_index=dither_phase,
                                             bias=bias)
 
             if phased:
@@ -1373,7 +1381,7 @@ class Renderer:
     @staticmethod
     def _fused_tail(params: RenderParams, src_color, dst_color,
                     target: Target, use_peak, phased, has_alpha,
-                    dst_w, dst_h, dst_crop):
+                    dst_w, dst_h, dst_crop, dither_phase=0):
         """Build the fused Pallas color epilogue — ONE kernel for
         tone + gamut + delinearize + encode + dither (the pointwise tail
         after the scaler), reading/writing each 4K tile exactly once
@@ -1417,7 +1425,8 @@ class Renderer:
                 else params.dither
             if params.disable_dither_gamma_correction:
                 dp = replace(dp, transfer=ColorTransfer.LINEAR)
-            tables = (ops_dither._bias_matrix(dp, dst_h, dst_w),)
+            tables = (ops_dither._bias_matrix(dp, dst_h, dst_w,
+                                              dither_phase),)
 
         # with allow_delayed the tone map uses the previous frames'
         # stats, so the peak partials can be computed INSIDE this very
@@ -1517,7 +1526,17 @@ class Renderer:
     def _render_once(self, frame: Frame, target: Target,
                      params: RenderParams) -> jnp.ndarray:
         crop = frame.get_crop()
-        key = (frame.meta_key(), target.meta_key(), params.key())
+        # temporal dither rotates among 8 phases per frame (reference
+        # pl_dispatch_reset_frame's temporal index, dispatch.c:1613);
+        # each phase is its own compiled variant (one-time with the
+        # persistent cache), selected per frame here
+        dither_phase = 0
+        if params.dither is not None and params.dither.temporal and \
+                target.bit_depth and target.bit_depth < 16:
+            dither_phase = self._frame_idx % 8
+        self._frame_idx += 1
+        key = (frame.meta_key(), target.meta_key(), params.key(),
+               dither_phase)
         # LRU: re-insertion keeps hot pipelines; eviction above the cap
         # mirrors dispatch.c:707's pass GC
         fn = self._cache.pop(key, None)
@@ -1531,7 +1550,7 @@ class Renderer:
                 rotation=int(frame.rotation),
                 overlays=tuple((ov, False) for ov in frame.overlays)
                 + tuple((ov, True) for ov in (target.overlays or ())),
-                frame_icc=frame.icc)
+                frame_icc=frame.icc, dither_phase=dither_phase)
             fn = jax.jit(pipeline)
         self._cache[key] = fn
         while len(self._cache) > _MAX_CACHED_PIPELINES:

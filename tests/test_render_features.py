@@ -918,3 +918,24 @@ def test_random_option_combos_render():
         out = np.asarray(Renderer().render(f, tgt, opts.params))
         assert out.shape[-2:] == (64, 48), (trial, opts.save())
         assert np.isfinite(out).all(), (trial, opts.save())
+
+
+def test_temporal_dither_rotates_per_frame():
+    """dither.temporal rotates the pattern every frame (reference
+    pl_dither_params.temporal + pl_dispatch_reset_frame's temporal
+    index): consecutive frames of identical content dither differently,
+    and the cycle repeats after 8 frames."""
+    from libplacebo_tpu.ops.dithering import DitherParams
+    f = _rgb_frame(16, 16, seed=13)
+    tgt = Target(w=16, h=16, color=CSP_SRGB, bit_depth=4)
+    p = _params(dither=DitherParams(temporal=True))
+    r = Renderer()
+    outs = [np.asarray(r.render(f, tgt, p)) for _ in range(9)]
+    assert not np.array_equal(outs[0], outs[1])   # pattern rotated
+    np.testing.assert_array_equal(outs[0], outs[8])  # 8-phase cycle
+    # without temporal: bit-identical frames
+    r2 = Renderer()
+    p2 = _params(dither=DitherParams(temporal=False))
+    a = np.asarray(r2.render(f, tgt, p2))
+    b = np.asarray(r2.render(f, tgt, p2))
+    np.testing.assert_array_equal(a, b)

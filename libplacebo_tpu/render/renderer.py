@@ -1844,8 +1844,10 @@ def render_image_mix(renderer: Renderer, mix, target: Target,
             img = renderer.render(frame, inter_target, inter_params)
             if cache_ok:
                 renderer._mix_cache[key] = img
-                # basic cache bound
-                if len(renderer._mix_cache) > 16:
+                # bound scales with the mix window so wide windows
+                # (> 16 frames) can't thrash their own working set
+                cap = max(16, 2 * len(mix.frames))
+                while len(renderer._mix_cache) > cap:
                     renderer._mix_cache.pop(
                         next(iter(renderer._mix_cache)))
         rendered.append(img)

@@ -45,6 +45,10 @@ def main():
                     choices=["fit", "pad", "crop", "stretch", "raw"],
                     help="how the video fills the target (reference "
                          "plplay target_zoom, demos/plplay.c:404-430)")
+    ap.add_argument("--rotate", type=int, default=0,
+                    choices=[0, 90, 180, 270],
+                    help="display rotation (reference plplay "
+                         "target_rot): rotates frames before scaling")
     ap.add_argument("--par", type=float, default=0.0,
                     help="force a pixel aspect ratio on source frames "
                          "(anamorphic content)")
@@ -163,12 +167,21 @@ def main():
         from dataclasses import replace as _replace
         from libplacebo_tpu.core.common import RectF
         ref_frame = mix.frames[0]
+        if args.rotate:
+            from libplacebo_tpu.core.common import Rotation
+            for mf in mix.frames:
+                mf.rotation = Rotation(args.rotate // 90)
         if args.par:
             ref_frame.pixel_aspect_ratio = args.par
         sar = ref_frame.pixel_aspect_ratio
         crop = ref_frame.get_crop()
         if sar and args.zoom != "raw":
             crop = crop.stretch_xy(max(1.0, sar), max(1.0, 1.0 / sar))
+        if args.rotate:
+            # zoom math sees the displayed (rotated) aspect (reference
+            # plplay.c:411 pl_rect2df_rotate)
+            from libplacebo_tpu.core.common import Rotation
+            crop = crop.rotate(Rotation(args.rotate // 90)).normalized()
         full = RectF(0, 0, ow, oh)
         if args.zoom == "pad":
             tcrop = full.aspect_copy(crop, 0.0)

@@ -199,6 +199,11 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     GSPMD auto-partitioned step (logged), so every renderable config is
     executable multi-chip.
 
+    The step is stateless across frames; temporal dither (dp.temporal)
+    therefore runs at a fixed phase 0 here — matching the single-chip
+    renderer's first frame (the per-frame phase cycle needs the
+    Renderer's frame counter).
+
     grain_tables: per-frame AV1 tables (ops.film_grain.prepare_av1_grain
     per plane, stacked over the batch dim) when the frame carries grain.
     dovi_packed: ops.dovi.pack_dovi coefficients, batched.

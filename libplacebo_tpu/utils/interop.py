@@ -29,7 +29,7 @@ from .upload import PlaneData, frame_from_planes
 __all__ = ["from_dlpack", "to_dlpack", "from_torch", "to_torch",
            "frame_from_avframe_like", "frame_to_avframe_like",
            "frame_from_dav1d_picture_like", "frame_from_pyav",
-           "AV_PIX_FMTS"]
+           "AV_PIX_FMTS", "test_pixfmt"]
 
 
 def from_dlpack(capsule_or_array) -> jnp.ndarray:
@@ -141,6 +141,13 @@ _AVCOL_TRC = {
     "bt2020-12": ColorTransfer.BT_1886,
     "smpte428": ColorTransfer.ST428,
 }
+
+
+def test_pixfmt(fmt: str) -> bool:
+    """Whether `fmt` (an ffmpeg pixel-format name) can be ingested
+    (reference pl_test_pixfmt, libav_internal.h — caps probing
+    collapses to table membership: every supported layout uploads)."""
+    return fmt in AV_PIX_FMTS
 
 
 def frame_from_avframe_like(av: dict, device=None) -> Frame:

@@ -678,3 +678,11 @@ def test_avframe_export_canonical_names():
     assert out["color_trc"] == "bt709"          # canonical BT_1886 name
     assert out["colorspace"] == "bt2020nc"
     assert out["sample_aspect_ratio"] == 1.5
+
+
+def test_test_pixfmt():
+    """Reference pl_test_pixfmt: supported-layout probing."""
+    assert interop.test_pixfmt("yuv420p")
+    assert interop.test_pixfmt("p010le")
+    assert not interop.test_pixfmt("vulkan")
+    assert not interop.test_pixfmt("weird")

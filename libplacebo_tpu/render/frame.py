@@ -91,9 +91,18 @@ class Overlay:
     coords: str = "auto"
     parts: Tuple[OverlayPart, ...] = ()
 
+    _MODES = ("normal", "monochrome")
+    _COORDS = ("auto", "src_frame", "src_crop", "dst_frame", "dst_crop")
+
     def get_parts(self) -> Tuple[OverlayPart, ...]:
         """The parts to draw; the legacy whole-texture `rect` shorthand
         becomes a single part."""
+        if self.mode not in self._MODES:
+            raise ValueError(f"unknown overlay mode {self.mode!r}; "
+                             f"one of {self._MODES}")
+        if self.coords not in self._COORDS:
+            raise ValueError(f"unknown overlay coords {self.coords!r}; "
+                             f"one of {self._COORDS}")
         if self.parts:
             return tuple(self.parts)
         h, w = self.data.shape[-2], self.data.shape[-1]

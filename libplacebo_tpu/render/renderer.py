@@ -1304,6 +1304,8 @@ class Renderer:
         color (the libass bitmap contract)."""
         from ..core.colorspace import AlphaMode
         frame_h, frame_w = frame_hw
+        parts = ov.get_parts()      # validates mode/coords (user errors
+        #                             propagate; they never degrade)
         # legacy shorthand: a bare rect with coords left at "auto" is
         # target-space; an explicit coords choice always wins
         coords = "dst_frame" if (not ov.parts and ov.rect is not None
@@ -1314,7 +1316,7 @@ class Renderer:
         th, tw = img.shape[-2], img.shape[-1]
         premul = ov.repr.alpha == AlphaMode.PREMULTIPLIED
         tex_h, tex_w = ov_data.shape[-2], ov_data.shape[-1]
-        for part in ov.get_parts():
+        for part in parts:
             x0f, y0f = map_pt(part.dst.x0, part.dst.y0)
             x1f, y1f = map_pt(part.dst.x1, part.dst.y1)
             d = RectF(x0f, y0f, x1f, y1f).normalized()

@@ -939,3 +939,18 @@ def test_temporal_dither_rotates_per_frame():
     a = np.asarray(r2.render(f, tgt, p2))
     b = np.asarray(r2.render(f, tgt, p2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_overlay_invalid_mode_coords_raise():
+    """Unknown overlay mode/coords are user errors: they raise rather
+    than silently rendering something else (the honest-degradation
+    contract covers backend failures only)."""
+    f = _rgb_frame(8, 8)
+    tex = jnp.asarray(np.ones((4, 2, 2), np.float32))
+    f.overlays = [Overlay(data=tex, rect=RectF(0, 0, 2, 2), mode="bogus")]
+    with pytest.raises(ValueError, match="overlay mode"):
+        Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB), _params())
+    f.overlays = [Overlay(data=tex, rect=RectF(0, 0, 2, 2),
+                          coords="sideways")]
+    with pytest.raises(ValueError, match="overlay coords"):
+        Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB), _params())

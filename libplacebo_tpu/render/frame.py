@@ -132,6 +132,13 @@ class Frame:
     # target crop by it (reference pl_frame.pixel_aspect_ratio,
     # renderer.h:623; demos/plplay.c:405)
     pixel_aspect_ratio: float = 0.0
+    # lazy mapping hooks (reference pl_frame.acquire/release,
+    # renderer.h:565-569): `acquire(frame)` runs before the renderer
+    # touches the planes (fill/map them here; return False to abort the
+    # render), `release(frame)` runs after — including after failures.
+    # Interlaced prev/next frames are acquired alongside.
+    acquire: Optional[object] = None     # Callable[[Frame], bool]
+    release: Optional[object] = None     # Callable[[Frame], None]
     overlays: List[Overlay] = field(default_factory=list)
     # film grain metadata (reference pl_frame.film_grain); seed may change
     # per frame without recompilation

@@ -1473,6 +1473,24 @@ class Renderer:
         SURVEY §5.3).  Flags persist on the Renderer so later frames
         skip the broken feature without re-failing."""
         params = params or DEFAULT_PARAMS
+        # acquire/release hooks (reference pl_frame.acquire/release,
+        # renderer.h:565-569; pass_init renderer.c:3206): acquire the
+        # frame — plus prev/next for interlaced — before touching its
+        # planes; release ALWAYS runs, including after errors
+        acq = [f for f in (frame, frame.prev, frame.next)
+               if f is not None and f.acquire is not None]
+        try:
+            for f in acq:
+                if not f.acquire(f):
+                    raise RenderError("frame acquire() refused the frame")
+            return self._render_acquired(frame, target, params)
+        finally:
+            for f in (frame, frame.prev, frame.next):
+                if f is not None and f.release is not None:
+                    f.release(f)
+
+    def _render_acquired(self, frame: Frame, target: Target,
+                         params: RenderParams) -> jnp.ndarray:
         # apply previously recorded degradations up front
         for flag, strip in _DEGRADE_LADDER:
             if flag in self.errors:

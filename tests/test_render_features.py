@@ -954,3 +954,39 @@ def test_overlay_invalid_mode_coords_raise():
                           coords="sideways")]
     with pytest.raises(ValueError, match="overlay coords"):
         Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB), _params())
+
+
+def test_frame_acquire_release():
+    """Reference pl_frame.acquire/release (renderer.h:565-569): acquire
+    runs before plane use (and may fill planes), release always runs —
+    including after failures and refusals."""
+    from libplacebo_tpu.render.renderer import RenderError
+    calls = []
+    f = _rgb_frame(8, 8, seed=20)
+    f.acquire = lambda fr: calls.append("acq") or True
+    f.release = lambda fr: calls.append("rel")
+    out = Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB), _params())
+    assert calls == ["acq", "rel"] and np.isfinite(np.asarray(out)).all()
+
+    # refusal: RenderError raised, release still called
+    calls.clear()
+    f.acquire = lambda fr: False
+    with pytest.raises(RenderError, match="acquire"):
+        Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB), _params())
+    assert calls == ["rel"]
+
+    # interlaced: prev/next acquired alongside (renderer.h:563)
+    calls.clear()
+    f.acquire = lambda fr: calls.append("acq") or True
+    prev = _rgb_frame(8, 8, seed=21)
+    prev.acquire = lambda fr: calls.append("acq_prev") or True
+    prev.release = lambda fr: calls.append("rel_prev")
+    f.prev = prev
+    from libplacebo_tpu.ops.deinterlace import (DeinterlaceAlgo,
+                                                DeinterlaceParams, Field)
+    f.field = Field.TOP
+    Renderer().render(f, Target(w=8, h=8, color=CSP_SRGB),
+                      _params(deinterlace=DeinterlaceParams(
+                          DeinterlaceAlgo.YADIF)))
+    assert "acq" in calls and "acq_prev" in calls and \
+        "rel" in calls and "rel_prev" in calls

@@ -20,6 +20,34 @@ Layer map (mirrors the reference's tiers; see SURVEY.md §7):
   runtime   — Tier 1: device context (pl_gpu analog), limits, uploads
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from . import core  # noqa: F401
+
+# Lazy top-level conveniences (PEP 562): `libplacebo_tpu.Renderer` etc.
+# without importing jax-heavy modules at package import time.
+_LAZY = {
+    "Renderer": ("render.renderer", "Renderer"),
+    "RenderParams": ("render.renderer", "RenderParams"),
+    "Target": ("render.renderer", "Target"),
+    "render_image": ("render.renderer", "render_image"),
+    "render_image_mix": ("render.renderer", "render_image_mix"),
+    "Frame": ("render.frame", "Frame"),
+    "Plane": ("render.frame", "Plane"),
+    "Overlay": ("render.frame", "Overlay"),
+    "FrameQueue": ("render.queue", "FrameQueue"),
+    "Options": ("core.options", "Options"),
+}
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute "
+                             f"{name!r}") from None
+    import importlib
+    mod = importlib.import_module(f".{mod_name}", __name__)
+    val = getattr(mod, attr)
+    globals()[name] = val
+    return val

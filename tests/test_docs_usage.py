@@ -124,3 +124,27 @@ def test_usage_multichip():
     state = sharded_state_init(mesh, 2)
     out, state = step(state, *shard_planes(mesh, planes))
     assert out.shape == (2, 3, 128, 192)
+
+
+def test_custom_shaders_doc_example():
+    """The full example in docs/custom-shaders.md must parse and run
+    (extracted from the doc so it can't rot)."""
+    import os
+    import re
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "docs", "custom-shaders.md")) as f:
+        doc = f.read()
+    m = re.search(r"doc = r'''(.*?)'''", doc, re.S)
+    assert m, "custom-shaders.md lost its full example"
+    hook = user_shader_hook(m.group(1), parameters={"intensity": 1.0})
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    base = np.asarray(Renderer().render(frame_from_rgb(img),
+                                        Target(w=64, h=48)))
+    out = np.asarray(Renderer().render(
+        frame_from_rgb(img), Target(w=64, h=48),
+        RenderParams(hooks=(hook,))))
+    assert out.shape == base.shape and np.isfinite(out).all()
+    assert not np.allclose(out, base)   # the unsharp mask did something

@@ -863,3 +863,19 @@ def test_queue_push_block_backpressure():
     assert done == [True]
     q.push(None)   # EOF stops any further blocking
     assert not q.push_block(frames[-1], timeout=0.05)
+
+def test_options_doc_fresh():
+    """docs/options.md is generated from the live option table
+    (tools/gen_options_doc.py); regeneration must match the committed
+    file so the docs can't go stale."""
+    import os, sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import gen_options_doc
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(root, "docs", "options.md")) as f:
+        committed = f.read()
+    assert gen_options_doc.generate() == committed, \
+        "docs/options.md is stale; run tools/gen_options_doc.py"

@@ -57,3 +57,30 @@ def test_image_viewer_demo(tmp_path, monkeypatch, capsys):
     # letterboxing: image aspect 96/64=1.5 into 192/128=1.5 -> full fill,
     # so the far corner carries image content, not padding
     assert res[:3, -2, -2].mean() > 0.1
+
+
+def test_bench_micro_smoke(monkeypatch, capsys, tmp_path):
+    """tools/bench_micro.py (the bench.c pass-list analog) must run
+    every pass without SKIPs on the CPU backend."""
+    import json
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import bench_micro
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "bm.json"
+    monkeypatch.setattr(sys, "argv", ["bench_micro", "--size", "128x96",
+                                      "--n", "1", "--json", str(out)])
+    bench_micro.main()
+    text = capsys.readouterr().out
+    assert "SKIP" not in text
+    data = json.loads(out.read_text())
+    # the full reference pass list is present and timed
+    for name in ("bilinear", "bicubic", "hermite", "gaussian", "deband",
+                 "deband_heavy", "weave", "bob", "yadif", "bwdif",
+                 "polar (ewa_lanczos)", "dither_blue", "dither_white",
+                 "dither_ordered_fixed", "hdr_peakdetect",
+                 "hdr_peakdetect_hq", "hdr_lut (spline tone)", "hdr_clip",
+                 "av1_grain (luma)", "h274_grain", "reshape_poly",
+                 "reshape_mmr", "tex_upload ptr", "tex_download ptr"):
+        assert data["ms"].get(name) is not None, name

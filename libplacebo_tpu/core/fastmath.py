@@ -1,0 +1,56 @@
+"""Division-strength selection for device math.
+
+The fused Pallas color tail (ops/pallas/color_map.py) is VPU-compute
+bound; true f32 divides are multi-pass on the VPU while the hardware
+reciprocal approximation (`pl.reciprocal(approx=True)`, ~2^-13 relative
+error) is a single op.  The gamut/PQ math routes its divisions through
+`fdiv`/`recip` below; by default they are exact, and the fused kernel
+opts into the approximate lowering via `approx_recip()` when
+LPTPU_APPROX_RECIP=1 (off by default — the accuracy gate is
+tools/tpu_vs_cpu.py).
+
+Reference analog: GLSL division on GPUs is already an approximate
+reciprocal multiply (mediump/fast-math), so the reference's shaders
+never paid for exact divides in the first place.
+"""
+from __future__ import annotations
+
+import contextlib
+import contextvars
+
+import jax.numpy as jnp
+
+__all__ = ["fdiv", "recip", "approx_recip", "recip_mode"]
+
+_MODE = contextvars.ContextVar("lptpu_recip_mode", default="exact")
+
+
+def recip_mode() -> str:
+    return _MODE.get()
+
+
+@contextlib.contextmanager
+def approx_recip(enabled: bool = True):
+    """Within this context, `fdiv`/`recip` trace to the TPU hardware
+    reciprocal approximation.  Only valid while tracing inside a Pallas
+    kernel (pl.reciprocal has no lowering elsewhere)."""
+    tok = _MODE.set("approx" if enabled else "exact")
+    try:
+        yield
+    finally:
+        _MODE.reset(tok)
+
+
+def recip(x):
+    """1/x honoring the active mode."""
+    if _MODE.get() == "approx":
+        from jax.experimental import pallas as pl
+        return pl.reciprocal(x, approx=True)
+    return 1.0 / x
+
+
+def fdiv(a, b):
+    """a/b honoring the active mode (approx = a * recip(b))."""
+    if _MODE.get() == "approx":
+        return a * recip(b)
+    return a / b

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from . import fastmath
 from .colorspace import ColorTransfer, COLOR_SDR_WHITE
 
 __all__ = [
@@ -307,7 +308,7 @@ def pq_oetf_fast(y):
     y = jnp.clip(y, 1e-7, 1.0)
     u = jnp.sqrt(jnp.sqrt(jnp.sqrt(y)))
     p = u * _polyval(_OETF_P_COEF, u)
-    v = (PQ_C1 + PQ_C2 * p) / (1.0 + PQ_C3 * p)
+    v = fastmath.fdiv(PQ_C1 + PQ_C2 * p, 1.0 + PQ_C3 * p)
     v2 = v * v
     v4 = v2 * v2
     v8 = v4 * v4
@@ -320,7 +321,7 @@ def pq_eotf_fast(x):
     x = jnp.clip(x, 1e-8, 1.0)
     u = jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.sqrt(x))))))
     p = _polyval(_EOTF_P_COEF, u)
-    r = jnp.maximum(p - PQ_C1, 0.0) / (PQ_C2 - PQ_C3 * p)
+    r = fastmath.fdiv(jnp.maximum(p - PQ_C1, 0.0), PQ_C2 - PQ_C3 * p)
     s = jnp.sqrt(jnp.sqrt(jnp.sqrt(jnp.maximum(r, 0.0))))
     r2 = r * r
     return r2 * r2 * r2 * _polyval(_EOTF_T_COEF, s)

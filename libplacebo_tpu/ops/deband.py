@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DebandParams", "deband", "deband_rng_tables", "deband_halo"]
+__all__ = ["DebandParams", "deband", "deband_rng_tables", "deband_halo",
+           "plane_grain_neutral"]
 
 
 @dataclass(frozen=True)
@@ -42,6 +43,28 @@ class DebandParams:
     def key(self):
         return (self.iterations, self.threshold, self.radius, self.grain,
                 self.grain_neutral, self.candidates)
+
+
+def plane_grain_neutral(repr, mapping) -> Tuple[float, ...]:
+    """Per-plane-channel grain neutral values (reference
+    renderer.c:1716-1761): limited-range luma rests at 16/256, chroma
+    at 0.5 (both rescaled by the sample-depth out_scale); non-YCbCr
+    systems use the luma neutral for every channel.  `mapping` is the
+    plane's component_mapping; alpha channels get 0 (the renderer never
+    debands alpha planes)."""
+    from ..core.colorspace import (ColorLevels, levels_guess,
+                                   system_is_ycbcr_like)
+    bits = repr.bits.sample_depth
+    out_scale = (1 << bits) / ((1 << bits) - 1.0) if bits else 1.0
+    neutral_luma = 0.0
+    neutral_chroma = 0.5 * out_scale
+    if levels_guess(repr) == ColorLevels.LIMITED:
+        neutral_luma = 16 / 256.0 * out_scale
+    if not system_is_ycbcr_like(repr.sys):
+        neutral_chroma = neutral_luma
+    return tuple(0.0 if c == 3 else
+                 (neutral_luma if c == 0 else neutral_chroma)
+                 for c in mapping)
 
 
 def _offset_draws(p: DebandParams, seed: int):
@@ -97,7 +120,7 @@ def _cyclic_rows(res, ext, halo: int, dy: int):
 
 
 def deband(img, params: Optional[DebandParams] = None, seed: int = 0,
-           scale: float = 1.0, tables=None, shard=None):
+           scale: float = 1.0, tables=None, shard=None, neutral=None):
     """Deband (..., C, H, W). `scale` is the color scale of the samples
     (reference `scale` from repr normalization; thresholds are specified
     in 8-bit-like units and divided by it).
@@ -152,9 +175,16 @@ def deband(img, params: Optional[DebandParams] = None, seed: int = 0,
             res = jnp.where(diff > bound, res, avg)
 
     if p.grain > 0:
-        neutral = jnp.asarray(np.asarray(p.grain_neutral, np.float32) /
-                              scale).reshape(-1, 1, 1)
-        strength = jnp.minimum(jnp.abs(res - neutral),
+        # `neutral` (per channel of THIS plane, from plane_grain_neutral)
+        # overrides the 3-wide params value; either way the vector is
+        # cut/padded to the actual channel count so 1/2-component planes
+        # (NV12-style chroma) never hit a broadcast mismatch
+        c = res.shape[-3]
+        ntr = np.asarray(p.grain_neutral if neutral is None else neutral,
+                         np.float32).ravel()
+        ntr = np.pad(ntr[:c], (0, max(0, c - ntr[:c].size)))
+        ntr = jnp.asarray(ntr / scale).reshape(-1, 1, 1)
+        strength = jnp.minimum(jnp.abs(res - ntr),
                                p.grain / (1000.0 * scale))
         res = res + strength * (noise - 0.5)
 

@@ -529,9 +529,20 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 nz_l = None if nz is None else \
                     jax.lax.dynamic_slice_in_dim(nz, row0, pl_rows,
                                                  axis=-2)
+                # same per-plane neutral + HDR grain rescale as the
+                # single-chip path (renderer.c:1318-1342,1716-1761)
+                dp = params.deband
+                if src_color.hdr.max_luma > 0:
+                    from dataclasses import replace as _replace
+                    from ..core.colorspace import COLOR_SDR_WHITE
+                    dp = _replace(dp, grain=dp.grain /
+                                  (src_color.hdr.max_luma /
+                                   COLOR_SDR_WHITE))
                 data = ops_deband.deband(
-                    data, params.deband, seed=i,
-                    tables=(chs_l, nz_l), shard=(axis, n_sp))
+                    data, dp, seed=i,
+                    tables=(chs_l, nz_l), shard=(axis, n_sp),
+                    neutral=ops_deband.plane_grain_neutral(frame_repr,
+                                                           mapping))
             if h274_grain is not None and 3 not in mapping:
                 from ..core.colorspace import system_is_ycbcr_like
                 from ..ops import film_grain_h274 as ops_h274

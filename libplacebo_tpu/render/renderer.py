@@ -605,7 +605,8 @@ class Renderer:
                       grain_cfgs=None, grain_tables=None,
                       scaling_shift: int = 8, field=None,
                       first_field=None, prev_planes=None,
-                      next_planes=None, h274_grain=None, hook_ctx=None):
+                      next_planes=None, h274_grain=None, hook_ctx=None,
+                      frame_repr=None, src_max_luma: float = 0.0):
         """Per-plane processing (deband, film grain, plane hooks) then
         alignment to the reference grid and channel stacking (reference
         pass_read_image, renderer.c:1553: plane_deband ->
@@ -630,7 +631,20 @@ class Renderer:
                     next=next_planes[i] if next_planes else None,
                     first_field=first_field or field)
             if params.deband is not None and 3 not in mapping:
-                data = ops_deband.deband(data, params.deband, seed=i)
+                # reference plane_deband (renderer.c:1318-1342): grain
+                # amplitude is divided by the source's nominal peak so
+                # the noise intensity is source-independent, and the
+                # "no grain near black / neutral chroma" anchor follows
+                # this plane's channels
+                dp = params.deband
+                if src_max_luma > 0:
+                    from ..core.colorspace import COLOR_SDR_WHITE
+                    dp = replace(dp, grain=dp.grain /
+                                 (src_max_luma / COLOR_SDR_WHITE))
+                ntr = ops_deband.plane_grain_neutral(
+                    frame_repr, mapping) if frame_repr is not None \
+                    else None
+                data = ops_deband.deband(data, dp, seed=i, neutral=ntr)
             if h274_grain is not None and 3 not in mapping:
                 from ..ops import film_grain_h274 as ops_h274
                 from ..core.colorspace import system_is_ycbcr_like
@@ -806,7 +820,9 @@ class Renderer:
                 grain_cfgs, grain_tables, scaling_shift,
                 field=field, first_field=first_field,
                 prev_planes=prev_planes, next_planes=next_planes,
-                h274_grain=h274_grain, hook_ctx=hook_ctx)
+                h274_grain=h274_grain, hook_ctx=hook_ctx,
+                frame_repr=frame_repr,
+                src_max_luma=src_color.hdr.max_luma)
             # plane hooks may resize (FSRCNNX doubles luma): scale the
             # source crop into the hooked grid (reference: hook rect
             # transforms, custom.h:214-230)

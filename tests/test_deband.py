@@ -61,3 +61,35 @@ def test_seed_changes_noise():
     a = np.asarray(deband(img, p, seed=1))
     b = np.asarray(deband(img, p, seed=2))
     assert not np.array_equal(a, b)
+
+
+def test_two_component_plane_grain():
+    """NV12-style packed chroma (2 components) must not broadcast-crash
+    against the 3-wide grain_neutral default, and a per-plane neutral
+    protects both channels (regression: HIGH_QUALITY render of a
+    2-plane 420 frame crashed in the grain stage)."""
+    img = jnp.full((2, 32, 32), 0.5, jnp.float32)
+    p = DebandParams(iterations=0, grain=100.0)
+    out = np.asarray(deband(img, p))                 # default neutral
+    assert out.shape == (2, 32, 32)
+    out2 = np.asarray(deband(img, p, neutral=(0.5, 0.5)))
+    np.testing.assert_allclose(out2, 0.5, atol=1e-7)
+
+
+def test_plane_grain_neutral_reference_values():
+    """renderer.c:1716-1761: limited luma 16/256*out_scale, chroma
+    0.5*out_scale; RGB systems use the luma neutral everywhere."""
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem)
+    from libplacebo_tpu.ops.deband import plane_grain_neutral
+
+    rep = ColorRepr(sys=ColorSystem.BT_709, levels=ColorLevels.LIMITED,
+                    bits=BitEncoding(sample_depth=10))
+    sc = 1024 / 1023.0
+    np.testing.assert_allclose(plane_grain_neutral(rep, (0,)),
+                               [16 / 256.0 * sc], rtol=1e-6)
+    np.testing.assert_allclose(plane_grain_neutral(rep, (1, 2)),
+                               [0.5 * sc, 0.5 * sc], rtol=1e-6)
+    rgb = ColorRepr(sys=ColorSystem.RGB, levels=ColorLevels.FULL)
+    np.testing.assert_allclose(plane_grain_neutral(rgb, (0, 1, 2)),
+                               [0.0, 0.0, 0.0], atol=0)

@@ -4,10 +4,12 @@ The fused Pallas color tail (ops/pallas/color_map.py) is VPU-compute
 bound; true f32 divides are multi-pass on the VPU while the hardware
 reciprocal approximation (`pl.reciprocal(approx=True)`, ~2^-13 relative
 error) is a single op.  The gamut/PQ math routes its divisions through
-`fdiv`/`recip` below; by default they are exact, and the fused kernel
-opts into the approximate lowering via `approx_recip()` when
-LPTPU_APPROX_RECIP=1 (off by default — the accuracy gate is
-tools/tpu_vs_cpu.py).
+`fdiv`/`recip` below; everywhere OUTSIDE the fused kernel they are
+exact true divides.  The fused kernel enters `approx_recip()` by
+DEFAULT (LPTPU_APPROX_RECIP=0 opts out); the flag is read once per
+process at first trace — flipping it later does not retrace (it is
+deliberately NOT part of the jit cache keys).  The accuracy gate is
+tools/tpu_vs_cpu.py.
 
 Reference analog: GLSL division on GPUs is already an approximate
 reciprocal multiply (mediump/fast-math), so the reference's shaders

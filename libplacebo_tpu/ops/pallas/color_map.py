@@ -38,6 +38,11 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["fused_pointwise", "supported_here"]
 
+# Process-start-only flag (like the other LPTPU_* switches): read ONCE
+# at import so a later env flip can never disagree with already-traced
+# kernels — the flag is deliberately NOT part of the jit cache keys.
+_APPROX_RECIP = os.environ.get("LPTPU_APPROX_RECIP", "1") != "0"
+
 
 def supported_here() -> bool:
     """True when the compiled (non-interpret) kernel can run."""
@@ -106,9 +111,9 @@ def fused_pointwise(img, fn: Callable, scalars: Sequence = (),
     # divide.  MEASURED: 124.5 -> 129.1 fps on the 1080p->4K headline;
     # TPU-vs-CPU gate unchanged (53.2 dB hq / 68.7 dB sep, frac>1e-3
     # 0.235%) — the approx error sits below the existing f32 cross-
-    # backend noise floor.  LPTPU_APPROX_RECIP=0 restores exact divides.
-    approx = (not interpret and
-              os.environ.get("LPTPU_APPROX_RECIP", "1") != "0")
+    # backend noise floor.  LPTPU_APPROX_RECIP=0 restores exact divides
+    # (process-start-only; see _APPROX_RECIP above).
+    approx = not interpret and _APPROX_RECIP
 
     n_ex = len(extra_out)
 

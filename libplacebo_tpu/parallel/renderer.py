@@ -531,15 +531,15 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                                                  axis=-2)
                 # same per-plane neutral + HDR grain rescale as the
                 # single-chip path (renderer.c:1318-1342,1716-1761)
-                dp = params.deband
+                dbp = params.deband
                 if src_color.hdr.max_luma > 0:
                     from dataclasses import replace as _replace
                     from ..core.colorspace import COLOR_SDR_WHITE
-                    dp = _replace(dp, grain=dp.grain /
+                    dbp = _replace(dbp, grain=dbp.grain /
                                   (src_color.hdr.max_luma /
                                    COLOR_SDR_WHITE))
                 data = ops_deband.deband(
-                    data, dp, seed=i,
+                    data, dbp, seed=i,
                     tables=(chs_l, nz_l), shard=(axis, n_sp),
                     neutral=ops_deband.plane_grain_neutral(frame_repr,
                                                            mapping))

@@ -15,12 +15,26 @@ standard math builtins, ternaries, object- AND function-like #defines,
 constant-bound `for` loops (fully unrolled — the hot pattern in
 FSRCNNX-class convolution hooks), `if`/`else` (host conditions execute
 one branch; per-pixel conditions run both and merge assignments with
-jnp.where — trace-time predication), `NAME_tex`/`NAME_texOff` sampling
-with *statically determined* coordinates (offsets in texels, affine
-position scaling), and `NAME_pos/size/pt` metadata.  Bodies using
-data-dependent sampling coordinates are rejected with a clear error
-(and auto-disabled by the hook engine rather than failing frames,
-mirroring renderer.c:64-65).
+jnp.where — trace-time predication), `NAME_tex`/`NAME_texOff`/`texture()`/
+`texelFetch()` sampling, and `NAME_pos/size/pt` metadata.
+
+Sampling coordinates fall into three provenance classes, each with its
+own TPU lowering:
+
+* *affine in the output position* (texOff constants, pos scaling):
+  separable static gathers — the FSRCNNX convolution pattern;
+* *computed but position-derived* (fract/floor of pos — the ravu-zoom
+  base/subpixel pattern): positions materialize to host numpy arrays,
+  indices stay compile-time constants, still static gathers;
+* *data-dependent into a bounded //!TEXTURE* (the RAVU pattern: a
+  small weight LUT indexed by a quantized gradient feature): one-hot /
+  two-hot matrices contracted against the LUT on the MXU — gather-free.
+  When one axis is host-resolvable the LUT is pre-gathered per output
+  row/column, shrinking the contraction to the dynamic axis.
+
+Data-dependent coordinates into *image-sized* textures (a true
+per-pixel gather) are rejected with a clear error and auto-disabled by
+the hook engine rather than failing frames, mirroring renderer.c:64-65.
 """
 from __future__ import annotations
 
@@ -411,13 +425,39 @@ class _Pos:
     """Symbolic sampling position: an affine transform of a texture's
     normalized coordinates — keeps sampling coordinates statically
     resolvable (gathers with data-dependent indices are the one pattern
-    TPU cannot afford)."""
+    TPU cannot afford).
+
+    Non-affine operations (fract, swizzles, comparisons …) *materialize*
+    the position into per-pixel host coordinate arrays — still
+    compile-time constants (position-dependent, not data-dependent), so
+    sampling with them remains a static gather. Only values derived
+    from the traced image become jax Tracers."""
     __slots__ = ("base", "scale", "offset")
 
     def __init__(self, base, scale=(1.0, 1.0), offset=(0.0, 0.0)):
         self.base = base
         self.scale = scale
         self.offset = offset
+
+
+def _is_traced(x) -> bool:
+    """True for any jax array (tracer OR concrete) — i.e. values whose
+    provenance is the image data. Position-derived chains stay python/
+    numpy throughout the interpreter, so this is a provenance check
+    that behaves identically in eager unit tests and inside the jit
+    renderer trace (a tracer-only check would accept data-dependent
+    sampling eagerly and then fail when traced)."""
+    import jax
+    return isinstance(x, jax.Array)
+
+
+def _amod(*xs):
+    """Array module for an operand mix: jnp once any operand is image
+    data (a jax array), else numpy — keeps position-derived arithmetic
+    host-resolvable."""
+    import jax
+    import jax.numpy as jnp
+    return jnp if any(isinstance(x, jax.Array) for x in xs) else np
 
 
 class _Vec:
@@ -486,13 +526,18 @@ def _expand_defines(body: str, max_rounds: int = 16) -> str:
                 raise MpvHookError(f"unbalanced parens in {name} call")
             exp = repl
             for pn, av in zip(params, args):
-                exp = re.sub(rf"\b{re.escape(pn)}\b", f"({av})", exp)
+                # (?<!\.) — a parameter named like a swizzle component
+                # must not replace `.x` field accesses in the body
+                # (the classic `#define L(x, y) tex(vec2(x, y)).x`)
+                exp = re.sub(rf"(?<!\.)\b{re.escape(pn)}\b",
+                             f"({av})", exp)
             text = text[:m.start()] + "(" + exp + ")" + text[j:]
 
     for _ in range(max_rounds):
         before = body
         for name, val in obj.items():
-            body = re.sub(rf"\b{re.escape(name)}\b", f"({val})", body)
+            body = re.sub(rf"(?<!\.)\b{re.escape(name)}\b",
+                          f"({val})", body)
         for name, (params, repl) in funcs.items():
             body = expand_call(body, name, params, repl)
         if body == before:
@@ -525,12 +570,15 @@ class _BodyRunner:
 
     def _binop(self, op, a: _Vec, b: _Vec) -> _Vec:
         import jax.numpy as jnp
+        a = self._materialize(a)
+        b = self._materialize(b)
         a, b = self._broadcast(a, b)
         fns = {
             "+": lambda x, y: x + y, "-": lambda x, y: x - y,
             "*": lambda x, y: x * y, "/": lambda x, y: x / y,
-            "%": lambda x, y: jnp.mod(x, y) if hasattr(x, "shape") or
-            hasattr(y, "shape") else math.fmod(x, y),
+            "%": lambda x, y: _amod(x, y).mod(x, y)
+            if hasattr(x, "shape") or hasattr(y, "shape")
+            else math.fmod(x, y),
             "<": lambda x, y: x < y, ">": lambda x, y: x > y,
             "<=": lambda x, y: x <= y, ">=": lambda x, y: x >= y,
             "==": lambda x, y: x == y, "!=": lambda x, y: x != y,
@@ -547,7 +595,7 @@ class _BodyRunner:
     def run(self, body: str):
         # apply PARAM/enum #define substitution first
         for k, v in self.defines.items():
-            body = re.sub(rf"\b{re.escape(k)}\b", v, body)
+            body = re.sub(rf"(?<!\.)\b{re.escape(k)}\b", v, body)
         body = _expand_defines(body)
         if re.search(r"^\s*#", body, re.M):
             raise MpvHookError("unsupported preprocessor directive")
@@ -723,7 +771,7 @@ class _BodyRunner:
                 merged[k] = tv
                 continue
             a, b2 = self._broadcast(tv, ev)
-            merged[k] = _Vec([jnp.where(c, x, y)
+            merged[k] = _Vec([_amod(c, x, y).where(c, x, y)
                               for x, y in zip(a.comps, b2.comps)],
                              scalar=a.scalar)
         self.vars = merged
@@ -797,11 +845,18 @@ class _BodyRunner:
                 self._expect(";")
                 self.arrays[name] = elems
                 return None
-            if self._peek() == "=":
+            # one or more comma-separated declarators:
+            #   float gx, gy;  /  float a = abd.x, b = abd.y;
+            while True:
+                if self._peek() == "=":
+                    self._next()
+                    self.vars[name] = self._expr()
+                else:
+                    self.vars[name] = _Vec([0.0], scalar=True)
+                if self._peek() != ",":
+                    break
                 self._next()
-                self.vars[name] = self._expr()
-            else:
-                self.vars[name] = _Vec([0.0], scalar=True)
+                name = self._next()
             self._expect(";")
             return None
         if t in self.arrays and self._peek(1) == "[":
@@ -878,13 +933,13 @@ class _BodyRunner:
             a = self._ternary()
             self._expect(":")
             b = self._ternary()
-            if isinstance(a, _Pos) or isinstance(b, _Pos) or \
-                    isinstance(cond, _Pos):
-                raise MpvHookError("ternary on positions unsupported")
+            a = self._materialize(a)
+            b = self._materialize(b)
+            cond = self._materialize(cond)
             a, b = self._broadcast(a, b)
             c = cond.comps[0]
             if hasattr(c, "shape"):
-                return _Vec([jnp.where(c, x, y)
+                return _Vec([_amod(c, x, y).where(c, x, y)
                              for x, y in zip(a.comps, b.comps)],
                             scalar=a.scalar)
             return a if c else b
@@ -903,31 +958,48 @@ class _BodyRunner:
             return left
         return parse
 
+    def _materialize(self, v):
+        """Lower a symbolic _Pos to its per-pixel normalized coordinate
+        value: a vec2 of HOST arrays ((1, W) u, (H, 1) v) — constants of
+        the trace, usable in arbitrary arithmetic and as static sampling
+        coordinates (the ravu-zoom `fract(pos * size)` pattern)."""
+        if not isinstance(v, _Pos):
+            return v
+        u = ((np.arange(self.W, dtype=np.float64) + 0.5) / self.W
+             * v.scale[0] + v.offset[0]).astype(np.float32)[None, :]
+        vv = ((np.arange(self.H, dtype=np.float64) + 0.5) / self.H
+              * v.scale[1] + v.offset[1]).astype(np.float32)[:, None]
+        return _Vec([u, vv])
+
     def _pos_arith(self, op, a, b):
-        """Affine arithmetic on sampling positions: pos */ scalar-const,
-        pos +- vec2-const.  Anything data-dependent is rejected."""
+        """Affine arithmetic on sampling positions stays symbolic
+        (pos * scalar-const, pos +- vec2-const, pos / scalar-const);
+        anything else materializes the position to host coordinate
+        arrays and proceeds as ordinary value arithmetic."""
         pos, other = (a, b) if isinstance(a, _Pos) else (b, a)
-        if isinstance(other, _Pos):
-            raise MpvHookError("position-position arithmetic unsupported")
-        vals = other.comps
-        if any(hasattr(v, "shape") for v in vals):
-            raise MpvHookError(
-                "data-dependent sampling coordinates are not supported "
-                "on TPU (requires per-pixel gather)")
-        if op == "*":
+        affine_ok = (not isinstance(other, _Pos) and
+                     not any(hasattr(v, "shape") for v in other.comps))
+        if affine_ok and op == "*":
+            vals = other.comps
             sx = vals[0]
             sy = vals[1] if len(vals) > 1 else vals[0]
             return _Pos(pos.base, (pos.scale[0] * sx, pos.scale[1] * sy),
                         (pos.offset[0] * sx, pos.offset[1] * sy))
-        if op in ("+", "-"):
+        if affine_ok and op == "/" and isinstance(a, _Pos):
+            vals = other.comps
+            sx = 1.0 / vals[0]
+            sy = 1.0 / (vals[1] if len(vals) > 1 else vals[0])
+            return _Pos(pos.base, (pos.scale[0] * sx, pos.scale[1] * sy),
+                        (pos.offset[0] * sx, pos.offset[1] * sy))
+        if affine_ok and op in ("+", "-") and isinstance(a, _Pos):
+            vals = other.comps
             sgn = 1.0 if op == "+" else -1.0
-            if isinstance(a, _Pos):
-                ox = vals[0]
-                oy = vals[1] if len(vals) > 1 else vals[0]
-                return _Pos(pos.base, pos.scale,
-                            (pos.offset[0] + sgn * ox,
-                             pos.offset[1] + sgn * oy))
-        raise MpvHookError(f"unsupported position arithmetic {op!r}")
+            ox = vals[0]
+            oy = vals[1] if len(vals) > 1 else vals[0]
+            return _Pos(pos.base, pos.scale,
+                        (pos.offset[0] + sgn * ox,
+                         pos.offset[1] + sgn * oy))
+        return self._binop(op, self._materialize(a), self._materialize(b))
 
     def _or(self):
         return self._binlevel(self._and, ("||",))()
@@ -962,21 +1034,44 @@ class _BodyRunner:
         return self._postfix()
 
     def _postfix(self):
+        import jax.numpy as jnp
         v = self._primary()
-        while self._peek() == ".":
-            self._next()
-            swz = self._next()
-            if isinstance(v, _Pos):
-                raise MpvHookError("cannot swizzle a position")
-            try:
-                idxs = [_SWIZ[c] for c in swz]
-            except KeyError:
-                raise MpvHookError(f"bad swizzle {swz!r}")
-            v = _Vec([v.comps[i] for i in idxs], scalar=len(idxs) == 1)
+        while self._peek() in (".", "["):
+            if self._next() == ".":
+                swz = self._next()
+                v = self._materialize(v)
+                try:
+                    idxs = [_SWIZ[c] for c in swz]
+                except KeyError:
+                    raise MpvHookError(f"bad swizzle {swz!r}")
+                v = _Vec([v.comps[i] for i in idxs], scalar=len(idxs) == 1)
+            else:
+                # vector component indexing v[i]: static index selects
+                # directly; per-pixel index selects via a where-chain
+                # (the ravu-lite interleave pattern `res[idx]`)
+                v = self._materialize(v)
+                idx = self._expr()
+                self._expect("]")
+                if not idx.scalar and len(idx) != 1:
+                    raise MpvHookError("vector index must be a scalar")
+                i = idx.comps[0]
+                if not hasattr(i, "shape"):
+                    ii = int(i)
+                    if not 0 <= ii < len(v):
+                        raise MpvHookError(
+                            f"vector index {ii} out of range")
+                    v = _Vec([v.comps[ii]], scalar=True)
+                else:
+                    sel = v.comps[len(v) - 1]
+                    for k in range(len(v) - 2, -1, -1):
+                        sel = _amod(i, v.comps[k], sel).where(
+                            i < k + 0.5, v.comps[k], sel)
+                    v = _Vec([sel], scalar=True)
         return v
 
     _FUNCS1 = ("abs", "floor", "ceil", "fract", "sqrt", "inversesqrt",
                "exp", "exp2", "log", "log2", "sign", "sin", "cos", "tan",
+               "asin", "acos", "round", "trunc",
                "normalize", "length", "saturate")
 
     def _primary(self):
@@ -990,13 +1085,15 @@ class _BodyRunner:
             return v
         if re.match(r"^(\d|\.\d)", t):
             return _Vec([float(t.rstrip("u"))], scalar=True)
-        if t in ("vec2", "vec3", "vec4", "float", "int", "uint", "bool"):
-            nc = {"vec2": 2, "vec3": 3, "vec4": 4}.get(t, 1)
+        if t in ("vec2", "vec3", "vec4", "float", "int", "uint", "bool",
+                 "ivec2", "ivec3", "ivec4"):
+            nc = {"vec2": 2, "vec3": 3, "vec4": 4,
+                  "ivec2": 2, "ivec3": 3, "ivec4": 4}.get(t, 1)
             self._expect("(")
-            args = [self._expr()]
+            args = [self._materialize(self._expr())]
             while self._peek() == ",":
                 self._next()
-                args.append(self._expr())
+                args.append(self._materialize(self._expr()))
             self._expect(")")
             comps = []
             for a in args:
@@ -1005,11 +1102,25 @@ class _BodyRunner:
                 comps = comps * nc
             if len(comps) < nc:
                 raise MpvHookError(f"too few components for {t}")
-            return _Vec(comps[:nc], scalar=nc == 1)
+            comps = comps[:nc]
+            if t in ("int", "uint") or t.startswith("ivec"):
+                # GLSL integer conversion truncates toward zero
+                # (+ 0.0 first: bools promote to float)
+                comps = [_amod(c).trunc(c + 0.0) if hasattr(c, "shape")
+                         else float(math.trunc(c)) for c in comps]
+            elif t == "bool":
+                comps = [(c != 0) if hasattr(c, "shape") else bool(c)
+                         for c in comps]
+            return _Vec(comps, scalar=nc == 1)
         if t in self._FUNCS1 or t in (
                 "min", "max", "clamp", "mix", "pow", "mod", "step",
-                "smoothstep", "dot", "distance"):
+                "smoothstep", "dot", "distance", "atan"):
             return self._call(t)
+        if t in ("texture", "textureLod", "texelFetch"):
+            # raw-GLSL sampling of a bound texture by name (the form
+            # RAVU-generated shaders use; reference binds textures as
+            # plain samplers, custom_mpv.c:305)
+            return self._texture_call(t)
         # NAME_tex / NAME_texOff / NAME_pos / NAME_size / NAME_pt
         for suffix in ("_texOff", "_tex", "_pos", "_size", "_pt", "_off"):
             if t.endswith(suffix):
@@ -1051,56 +1162,70 @@ class _BodyRunner:
             self._next()
             args.append(self._expr())
         self._expect(")")
+        # builtins operate on VALUES; positions materialize to their
+        # per-pixel coordinate arrays (e.g. fract(HOOKED_pos * size))
+        args = [self._materialize(a) for a in args]
 
         def lift(f):
             a = args[0]
             return _Vec([f(c) for c in a.comps], scalar=a.scalar)
 
-        def j(f, pyf=None):
+        def j(name, pyf):
+            """Unary math: numpy for host arrays (keeps position-derived
+            chains host-resolvable), jnp for image data, python scalar
+            fallback."""
             def g(x):
                 if hasattr(x, "shape"):
-                    return f(x)
-                return (pyf or (lambda v: float(f(jnp.asarray(v)))))(x)
+                    return getattr(_amod(x), name)(x)
+                return pyf(x)
             return g
 
         if fname in self._FUNCS1:
             table = {
-                "abs": j(jnp.abs, abs), "floor": j(jnp.floor, math.floor),
-                "ceil": j(jnp.ceil, math.ceil),
-                "fract": j(lambda x: x - jnp.floor(x),
-                           lambda x: x - math.floor(x)),
-                "sqrt": j(jnp.sqrt, math.sqrt),
-                "inversesqrt": j(lambda x: 1 / jnp.sqrt(x),
-                                 lambda x: 1 / math.sqrt(x)),
-                "exp": j(jnp.exp, math.exp), "exp2": j(
-                    jnp.exp2, lambda x: 2 ** x),
-                "log": j(jnp.log, math.log),
-                "log2": j(jnp.log2, math.log2),
-                "sign": j(jnp.sign, lambda x: (x > 0) - (x < 0)),
-                "sin": j(jnp.sin, math.sin), "cos": j(jnp.cos, math.cos),
-                "tan": j(jnp.tan, math.tan),
-                "saturate": j(lambda x: jnp.clip(x, 0, 1),
-                              lambda x: min(max(x, 0.0), 1.0)),
+                "abs": j("abs", abs), "floor": j("floor", math.floor),
+                "ceil": j("ceil", math.ceil),
+                "fract": lambda x: x - (
+                    _amod(x).floor(x) if hasattr(x, "shape")
+                    else math.floor(x)),
+                "sqrt": j("sqrt", math.sqrt),
+                "inversesqrt": lambda x: 1 / (
+                    _amod(x).sqrt(x) if hasattr(x, "shape")
+                    else math.sqrt(x)),
+                "exp": j("exp", math.exp),
+                "exp2": j("exp2", lambda x: 2 ** x),
+                "log": j("log", math.log),
+                "log2": j("log2", math.log2),
+                "sign": j("sign", lambda x: (x > 0) - (x < 0)),
+                "sin": j("sin", math.sin), "cos": j("cos", math.cos),
+                "tan": j("tan", math.tan),
+                "asin": j("arcsin", math.asin),
+                "acos": j("arccos", math.acos),
+                "round": j("round", round),
+                "trunc": j("trunc", math.trunc),
+                "saturate": lambda x: (
+                    _amod(x).clip(x, 0, 1) if hasattr(x, "shape")
+                    else min(max(x, 0.0), 1.0)),
             }
             if fname == "length":
                 a = args[0]
                 s = sum(c * c for c in a.comps)
                 return _Vec([s ** 0.5 if not hasattr(s, "shape")
-                             else jnp.sqrt(s)], scalar=True)
+                             else _amod(s).sqrt(s)], scalar=True)
             if fname == "normalize":
                 a = args[0]
                 s = sum(c * c for c in a.comps)
                 inv = (1.0 / math.sqrt(s)) if not hasattr(s, "shape") \
-                    else 1.0 / jnp.sqrt(s)
+                    else 1.0 / _amod(s).sqrt(s)
                 return _Vec([c * inv for c in a.comps])
             return lift(table[fname])
 
         if fname in ("min", "max"):
             a, b = self._broadcast(args[0], args[1])
-            f = jnp.minimum if fname == "min" else jnp.maximum
+            nm = "minimum" if fname == "min" else "maximum"
             pf = min if fname == "min" else max
-            return _Vec([f(x, y) if hasattr(x, "shape") or
-                         hasattr(y, "shape") else pf(x, y)
+            return _Vec([getattr(_amod(x, y), nm)(x, y)
+                         if hasattr(x, "shape") or hasattr(y, "shape")
+                         else pf(x, y)
                          for x, y in zip(a.comps, b.comps)],
                         scalar=a.scalar)
         if fname == "clamp":
@@ -1115,19 +1240,21 @@ class _BodyRunner:
                          zip(a.comps, b.comps, tt.comps)], scalar=a.scalar)
         if fname == "pow":
             a, b = self._broadcast(args[0], args[1])
-            return _Vec([jnp.power(x, y) if hasattr(x, "shape") or
-                         hasattr(y, "shape") else math.pow(x, y)
+            return _Vec([_amod(x, y).power(x, y)
+                         if hasattr(x, "shape") or hasattr(y, "shape")
+                         else math.pow(x, y)
                          for x, y in zip(a.comps, b.comps)],
                         scalar=a.scalar)
         if fname == "mod":
             a, b = self._broadcast(args[0], args[1])
-            return _Vec([jnp.mod(x, y) if hasattr(x, "shape") or
-                         hasattr(y, "shape") else math.fmod(x, y)
+            return _Vec([_amod(x, y).mod(x, y)
+                         if hasattr(x, "shape") or hasattr(y, "shape")
+                         else math.fmod(x, y)
                          for x, y in zip(a.comps, b.comps)],
                         scalar=a.scalar)
         if fname == "step":
             e, x = self._broadcast(args[0], args[1])
-            return _Vec([jnp.where(v < ee, 0.0, 1.0) if
+            return _Vec([_amod(v, ee).where(v < ee, 0.0, 1.0) if
                          hasattr(v, "shape") or hasattr(ee, "shape")
                          else (0.0 if x_ < e_ else 1.0)
                          for ee, v, e_, x_ in
@@ -1140,10 +1267,22 @@ class _BodyRunner:
             out = []
             for a_, b_, v in zip(e0.comps, e1.comps, x.comps):
                 t_ = (v - a_) / (b_ - a_)
-                t_ = jnp.clip(t_, 0.0, 1.0) if hasattr(t_, "shape") \
-                    else min(max(t_, 0.0), 1.0)
+                t_ = _amod(t_).clip(t_, 0.0, 1.0) \
+                    if hasattr(t_, "shape") else min(max(t_, 0.0), 1.0)
                 out.append(t_ * t_ * (3.0 - 2.0 * t_))
             return _Vec(out, scalar=x.scalar)
+        if fname == "atan":
+            if len(args) == 1:
+                a = args[0]
+                return _Vec([_amod(c).arctan(c) if hasattr(c, "shape")
+                             else math.atan(c) for c in a.comps],
+                            scalar=a.scalar)
+            y, x = self._broadcast(args[0], args[1])
+            return _Vec([_amod(a_, b_).arctan2(a_, b_)
+                         if hasattr(a_, "shape") or hasattr(b_, "shape")
+                         else math.atan2(a_, b_)
+                         for a_, b_ in zip(y.comps, x.comps)],
+                        scalar=y.scalar)
         if fname == "dot":
             a, b = self._broadcast(args[0], args[1])
             return _Vec([sum(x * y for x, y in zip(a.comps, b.comps))],
@@ -1152,19 +1291,55 @@ class _BodyRunner:
             a, b = self._broadcast(args[0], args[1])
             s = sum((x - y) ** 2 for x, y in zip(a.comps, b.comps))
             return _Vec([s ** 0.5 if not hasattr(s, "shape")
-                         else jnp.sqrt(s)], scalar=True)
+                         else _amod(s).sqrt(s)], scalar=True)
         raise MpvHookError(f"unsupported function {fname!r}")
 
     def _call_inline(self, fname, *args):
-        import jax.numpy as jnp
         a, b = self._broadcast(args[0], args[1])
-        f = jnp.minimum if fname == "min" else jnp.maximum
+        nm = "minimum" if fname == "min" else "maximum"
         pf = min if fname == "min" else max
-        return _Vec([f(x, y) if hasattr(x, "shape") or hasattr(y, "shape")
+        return _Vec([getattr(_amod(x, y), nm)(x, y)
+                     if hasattr(x, "shape") or hasattr(y, "shape")
                      else pf(x, y) for x, y in zip(a.comps, b.comps)],
                     scalar=a.scalar)
 
     # -- texture access ----------------------------------------------------
+
+    def _sample(self, base, pos):
+        """Sample texture `base` at `pos`: a symbolic _Pos (separable
+        static gather) or an explicit vec2 of normalized coordinates —
+        host-resolvable coords stay static gathers; traced coords
+        lower to one-hot MXU matmuls on bounded builtin //!TEXTUREs."""
+        tv = self.tex[base]
+        if isinstance(pos, _Pos):
+            return tv.sample(pos, (self.H, self.W))
+        if len(pos) < 2:
+            raise MpvHookError("texture coordinates must be a vec2")
+        return tv.sample_coords(pos.comps[0], pos.comps[1],
+                                (self.H, self.W))
+
+    def _texture_call(self, fn):
+        """texture(NAME, pos) / textureLod(NAME, pos, lod) /
+        texelFetch(NAME, ivec2, lod)."""
+        self._expect("(")
+        name = self._next()
+        if name == "HOOKED":
+            name = self.hooked
+        if name not in self.tex:
+            raise MpvHookError(f"{fn} of unknown texture {name!r}")
+        self._expect(",")
+        pos = self._expr()
+        if self._peek() == ",":
+            self._next()
+            self._expr()                     # lod — ignored (no mips)
+        self._expect(")")
+        tv = self.tex[name]
+        if fn == "texelFetch":
+            # integer texel coords -> normalized texel centers
+            pos = self._materialize(pos)
+            cx, cy = pos.comps[0], pos.comps[1]
+            pos = _Vec([(cx + 0.5) / tv.w, (cy + 0.5) / tv.h])
+        return self._sample(name, pos)
 
     def _tex_access(self, base, suffix):
         tv = self.tex[base]
@@ -1178,20 +1353,25 @@ class _BodyRunner:
             self._expect("(")
             pos = self._expr()
             self._expect(")")
-            if not isinstance(pos, _Pos):
-                raise MpvHookError(
-                    "texture coordinates must derive from a *_pos "
-                    "(static affine transforms only)")
-            return tv.sample(pos, (self.H, self.W))
+            return self._sample(base, pos)
         if suffix == "_texOff":
             self._expect("(")
             off = self._expr()
             self._expect(")")
             if isinstance(off, _Pos):
-                raise MpvHookError("texOff takes a constant offset")
+                raise MpvHookError("texOff takes an offset, not a "
+                                   "position")
             vals = off.comps
             if any(hasattr(v, "shape") for v in vals):
-                raise MpvHookError("texOff offset must be static")
+                # per-pixel offsets: lower via explicit coordinates
+                # (host-resolvable ones stay static; traced ones hit
+                # the bounded-LUT dynamic path in sample_coords)
+                base_pos = self._materialize(_Pos(base))
+                ox = vals[0]
+                oy = vals[1] if len(vals) > 1 else ox
+                return self._sample(base, _Vec(
+                    [base_pos.comps[0] + ox / tv.w,
+                     base_pos.comps[1] + oy / tv.h]))
             ox = float(vals[0])
             oy = float(vals[1]) if len(vals) > 1 else ox
             pos = _Pos(base, (1.0, 1.0), (ox / tv.w, oy / tv.h))
@@ -1261,6 +1441,246 @@ class _TexView:
             bot = c + (d - c) * fx[None, :]
             out.append(top + (bot - top) * fy[:, None])
         return _Vec(out)
+
+    # caps for the traced-coordinate (RAVU) path: the one-hot matmul
+    # contraction length must stay MXU-friendly
+    _DYN_AXIS_CAP = 8192     # one traced axis (other axis host-resolvable)
+    _DYN_FLAT_CAP = 4096     # both axes traced -> flattened table
+
+    def sample_coords(self, u, v, out_shape) -> _Vec:
+        """Sample at explicit per-pixel normalized coordinates.
+
+        Three regimes (reference: arbitrary GLSL texture() just works,
+        custom_mpv.c:1594; on TPU a per-pixel gather is pathological so
+        each case picks a gather-free lowering):
+
+        * host-resolvable coords (python floats / numpy / concrete jax
+          arrays — NOT tracers): indices are compile-time constants;
+          numpy fancy-indexing for builtin //!TEXTUREs, separable
+          jnp.take for traced textures.
+        * traced coords into a builtin //!TEXTURE (the RAVU pattern — a
+          small weight LUT indexed by a computed gradient feature):
+          one-/two-hot matrices contracted against the table on the MXU
+          (precision="highest": one-hots select, so bf16 would quantize
+          the *table*).  When one axis is host-resolvable the table is
+          pre-gathered per output column/row on the host, shrinking the
+          contraction to that axis.
+        * traced coords into the hooked image: rejected with a clear
+          error (frame-sized per-pixel gather; no efficient lowering).
+        """
+        import jax.numpy as jnp
+        H, W = out_shape
+        utr, vtr = _is_traced(u), _is_traced(v)
+        linear = self.filter != "NEAREST"
+
+        if not utr and not vtr:
+            u = np.asarray(u, np.float64)
+            v = np.asarray(v, np.float64)
+            if linear:
+                px = u * self.w - 0.5
+                py = v * self.h - 0.5
+                x0 = np.floor(px)
+                y0 = np.floor(py)
+                fx = (px - x0).astype(np.float32)
+                fy = (py - y0).astype(np.float32)
+                c00 = self._take_hw(self._index_np(y0, self.h),
+                                    self._index_np(x0, self.w), out_shape)
+                c01 = self._take_hw(self._index_np(y0, self.h),
+                                    self._index_np(x0 + 1, self.w),
+                                    out_shape)
+                c10 = self._take_hw(self._index_np(y0 + 1, self.h),
+                                    self._index_np(x0, self.w), out_shape)
+                c11 = self._take_hw(self._index_np(y0 + 1, self.h),
+                                    self._index_np(x0 + 1, self.w),
+                                    out_shape)
+                out = []
+                for a, b, c, d in zip(c00.comps, c01.comps,
+                                      c10.comps, c11.comps):
+                    top = a + (b - a) * fx
+                    bot = c + (d - c) * fx
+                    out.append(top + (bot - top) * fy)
+                return _Vec(out)
+            ix = self._index_np(np.floor(u * self.w), self.w)
+            iy = self._index_np(np.floor(v * self.h), self.h)
+            return self._take_hw(iy, ix, out_shape)
+
+        if not self.is_builtin:
+            raise MpvHookError(
+                "data-dependent sampling coordinates are not supported "
+                "on TPU for image-sized textures (requires per-pixel "
+                "gather); only bounded //!TEXTURE LUTs may be indexed "
+                "by computed values")
+
+        table = self.data.astype(np.float32)          # (h, w, C)
+
+        def axis_weights(coord, n):
+            """Traced axis -> (H, W, n) selection weights (two-hot for
+            LINEAR, one-hot for NEAREST), fused into the MXU matmul."""
+            if n > self._DYN_AXIS_CAP:
+                raise MpvHookError(
+                    f"dynamic texture axis too large ({n} > "
+                    f"{self._DYN_AXIS_CAP})")
+            grid = jnp.arange(n, dtype=jnp.int32)
+            if linear:
+                p = coord * n - 0.5
+                lo = jnp.floor(p)
+                f = (p - lo).astype(jnp.float32)
+                i0 = self._index_j(lo, n)
+                i1 = self._index_j(lo + 1.0, n)
+                w0 = (i0[..., None] == grid).astype(jnp.float32)
+                w1 = (i1[..., None] == grid).astype(jnp.float32)
+                return w0 * (1.0 - f[..., None]) + w1 * f[..., None]
+            i0 = self._index_j(jnp.floor(coord * n), n)
+            return (i0[..., None] == grid).astype(jnp.float32)
+
+        def host_slices(coord, n, axis, out_dim, axis_name):
+            """Host axis -> pre-gathered table slices along `axis`.
+            coord must be constant along the other output dimension
+            (scalar, or one value per output column/row); returns the
+            table with `axis` re-indexed to K entries, K in {1, out_dim}.
+            """
+            coord = np.asarray(coord, np.float64).reshape(-1)
+            if coord.size not in (1, out_dim):
+                raise MpvHookError(
+                    f"host {axis_name}-coordinate must be constant per "
+                    f"output {'column' if axis else 'row'} (got "
+                    f"{coord.size} values for {out_dim})")
+            if linear:
+                p = coord * n - 0.5
+                lo = np.floor(p)
+                f = (p - lo).astype(np.float32)
+                t0 = np.take(table, self._index_np(lo, n), axis=axis)
+                t1 = np.take(table, self._index_np(lo + 1, n), axis=axis)
+                fb = f[:, None, None] if axis == 0 else f[None, :, None]
+                return t0 + (t1 - t0) * fb
+            idx = self._index_np(np.floor(coord * n), n)
+            return np.take(table, idx, axis=axis)
+
+        if utr and vtr:
+            n = self.h * self.w
+            if n > self._DYN_FLAT_CAP:
+                raise MpvHookError(
+                    f"dynamic 2D texture too large ({self.h}x{self.w} "
+                    f"= {n} > {self._DYN_FLAT_CAP} texels)")
+            flat = table.reshape(n, self.comps)
+            grid = jnp.arange(n, dtype=jnp.int32)
+
+            def onehot_flat(iy, ix):
+                return ((iy * self.w + ix)[..., None] == grid
+                        ).astype(jnp.float32)
+
+            if linear:
+                px = u * self.w - 0.5
+                py = v * self.h - 0.5
+                x0 = jnp.floor(px)
+                y0 = jnp.floor(py)
+                fx = (px - x0).astype(jnp.float32)
+                fy = (py - y0).astype(jnp.float32)
+                ix0 = self._index_j(x0, self.w)
+                ix1 = self._index_j(x0 + 1.0, self.w)
+                iy0 = self._index_j(y0, self.h)
+                iy1 = self._index_j(y0 + 1.0, self.h)
+                wmat = (onehot_flat(iy0, ix0) * ((1 - fx) *
+                                                 (1 - fy))[..., None] +
+                        onehot_flat(iy0, ix1) * (fx * (1 - fy))[..., None] +
+                        onehot_flat(iy1, ix0) * ((1 - fx) * fy)[..., None] +
+                        onehot_flat(iy1, ix1) * (fx * fy)[..., None])
+            else:
+                wmat = onehot_flat(self._index_j(jnp.floor(v * self.h),
+                                                 self.h),
+                                   self._index_j(jnp.floor(u * self.w),
+                                                 self.w))
+            res = jnp.einsum("abn,nc->abc", wmat, jnp.asarray(flat),
+                             precision="highest")
+        elif vtr:
+            # y traced, x host: pre-gather columns -> (h, W, C)
+            t = host_slices(u, self.w, axis=1, out_dim=W, axis_name="x")
+            if t.shape[1] == 1:
+                t = np.broadcast_to(t, (self.h, W, self.comps))
+            wmat = axis_weights(v, self.h)       # (H, W, h)
+            res = jnp.einsum("abr,rbc->abc", wmat,
+                             jnp.asarray(np.ascontiguousarray(t)),
+                             precision="highest")
+        else:
+            # x traced, y host: pre-gather rows -> (H, w, C)
+            t = host_slices(v, self.h, axis=0, out_dim=H, axis_name="y")
+            if t.shape[0] == 1:
+                t = np.broadcast_to(t, (H, self.w, self.comps))
+            wmat = axis_weights(u, self.w)       # (H, W, w)
+            res = jnp.einsum("abr,arc->abc", wmat,
+                             jnp.asarray(np.ascontiguousarray(t)),
+                             precision="highest")
+
+        comps = [res[..., c] for c in range(self.comps)]
+        while len(comps) < 4:
+            comps.append(jnp.ones_like(comps[0]) if len(comps) == 3
+                         else jnp.zeros_like(comps[0]))
+        return _Vec(comps)
+
+    def _index_np(self, coord, size):
+        """Border-aware integer index (host numpy)."""
+        if self.border == "REPEAT":
+            return np.mod(coord, size).astype(np.int64)
+        if self.border == "MIRROR":
+            period = 2 * size
+            c = np.mod(coord, period)
+            return np.where(c < size, c, period - 1 - c).astype(np.int64)
+        return np.clip(coord, 0, size - 1).astype(np.int64)
+
+    def _index_j(self, coord, size):
+        """Border-aware integer index (traced)."""
+        import jax.numpy as jnp
+        if self.border == "REPEAT":
+            return jnp.mod(coord, size).astype(jnp.int32)
+        if self.border == "MIRROR":
+            period = 2 * size
+            c = jnp.mod(coord, period)
+            return jnp.where(c < size, c, period - 1 - c
+                             ).astype(jnp.int32)
+        return jnp.clip(coord, 0, size - 1).astype(jnp.int32)
+
+    def _take_hw(self, iy, ix, out_shape) -> _Vec:
+        """Static (constant-index) lookup at integer texel coords of
+        broadcastable shapes; exploits separability when possible."""
+        import jax.numpy as jnp
+        H, W = out_shape
+        iy = np.asarray(iy)
+        ix = np.asarray(ix)
+        if self.is_builtin:
+            iyb = np.broadcast_to(iy, (H, W)) if iy.shape != (H, W) \
+                else iy
+            ixb = np.broadcast_to(ix, (H, W)) if ix.shape != (H, W) \
+                else ix
+            block = self.data[iyb, ixb]          # (H, W, C) numpy
+            comps = [jnp.asarray(block[..., c].astype(np.float32))
+                     for c in range(self.comps)]
+        else:
+            # separable = ix constant down columns ((1, W)-ish) and iy
+            # constant along rows ((H, 1)-ish); materialized positions
+            # always are
+            sep_x = ix.size == 1 or \
+                (ix.ndim >= 1 and ix.shape[-1] == ix.size)
+            sep_y = iy.size == 1 or \
+                (iy.ndim == 2 and iy.shape[0] == iy.size)
+            if sep_x and sep_y:
+                yv = np.broadcast_to(iy.reshape(-1), (H,)) \
+                    if iy.size in (1, H) else iy.reshape(-1)
+                xv = np.broadcast_to(ix.reshape(-1), (W,)) \
+                    if ix.size in (1, W) else ix.reshape(-1)
+                rows = jnp.take(self.data, jnp.asarray(yv), axis=-2)
+                block = jnp.take(rows, jnp.asarray(xv), axis=-1)
+            else:
+                iyb = np.broadcast_to(iy, (H, W))
+                ixb = np.broadcast_to(ix, (H, W))
+                flat = jnp.asarray(iyb * self.w + ixb)
+                block = jnp.take(
+                    self.data.reshape(self.data.shape[:-2] + (-1,)),
+                    flat, axis=-1)
+            comps = [block[..., c, :, :] for c in range(self.comps)]
+        while len(comps) < 4:
+            comps.append(jnp.ones_like(comps[0]) if len(comps) == 3
+                         else jnp.zeros_like(comps[0]))
+        return _Vec(comps)
 
     def _gather(self, iy, ix) -> _Vec:
         """Gather rows iy (H,) x cols ix (W,) — separable static take."""

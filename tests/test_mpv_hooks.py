@@ -507,3 +507,299 @@ vec4 hook() {
     out2 = run_hooks([hook2], HookStage.LUMA_INPUT, img, disabled2)
     assert disabled2                     # rejected, frame unchanged
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))
+
+
+# ---------------------------------------------------------------------------
+# RAVU-class hooks: data-dependent sampling of bounded //!TEXTURE LUTs
+# (reference compiles arbitrary GLSL, custom_mpv.c:1594; the TPU lowering
+# is one-/two-hot MXU matmuls against the small weight table). The shader
+# text below is self-authored in the structure RAVU generators emit:
+# structure-tensor eigenanalysis -> quantized (angle, strength, coherence)
+# -> LUT row -> weighted taps; step2 interleaves the 4 subpixels 2x.
+# ---------------------------------------------------------------------------
+
+_RAVU_QA, _RAVU_QS, _RAVU_QC = 8, 4, 3
+_RAVU_ROWS = _RAVU_QA * _RAVU_QS * _RAVU_QC
+_RAVU_TAPS = 3
+_PI = 3.141592653589793
+
+
+def _ravu_lite_shader(lut):
+    hexdata = lut.tobytes().hex()
+    return f"""\
+//!DESC ravu-lite-class step1
+//!HOOK LUMA
+//!BIND HOOKED
+//!BIND ravu_lut
+//!SAVE ravu_int
+//!COMPONENTS 4
+//!WHEN OUTPUT.w HOOKED.w / 1.2 >
+
+#define L(x, y) HOOKED_texOff(vec2(x, y)).x
+
+vec4 hook() {{
+    vec3 abd = vec3(0.0);
+    float gx, gy;
+    gx = (L(0, 1) - L(0, -1)) / 2.0;
+    gy = (L(1, 0) - L(-1, 0)) / 2.0;
+    abd += vec3(gx * gx, gx * gy, gy * gy) * 0.5;
+    gx = (L(1, 1) - L(-1, 1)) / 2.0;
+    gy = (L(1, 1) - L(1, -1)) / 2.0;
+    abd += vec3(gx * gx, gx * gy, gy * gy) * 0.25;
+    gx = (L(-1, -1) - L(1, -1)) / 2.0;
+    gy = (L(-1, 1) - L(-1, -1)) / 2.0;
+    abd += vec3(gx * gx, gx * gy, gy * gy) * 0.25;
+    float a = abd.x, b = abd.y, d = abd.z;
+    float T = a + d, D = a * d - b * b;
+    float delta = sqrt(max(T * T / 4.0 - D, 0.0));
+    float L1 = T / 2.0 + delta, L2 = T / 2.0 - delta;
+    float sqrtL1 = sqrt(L1), sqrtL2 = sqrt(L2);
+    float theta = mix(mod(atan(b, L1 - a) + {_PI}, {_PI}), 0.0, abs(b) < 1.192092896e-7);
+    float lambda = sqrtL1;
+    float mu = mix((sqrtL1 - sqrtL2) / (sqrtL1 + sqrtL2), 0.0, sqrtL1 + sqrtL2 < 1.192092896e-7);
+    float angle = floor(theta / {_PI} * {_RAVU_QA}.0);
+    float strength = mix(mix(0.0, 1.0, lambda >= 0.004), mix(2.0, 3.0, lambda >= 0.05), lambda >= 0.016);
+    float coherence = mix(mix(0.0, 1.0, mu >= 0.25), 2.0, mu >= 0.5);
+    float coord_y = ((angle * {_RAVU_QS}.0 + strength) * {_RAVU_QC}.0 + coherence + 0.5) / {_RAVU_ROWS}.0;
+    vec4 res = vec4(0.0);
+    res += L(-1, -1) * texture(ravu_lut, vec2(0.5 / {_RAVU_TAPS}.0, coord_y));
+    res += L(0, 0) * texture(ravu_lut, vec2(1.5 / {_RAVU_TAPS}.0, coord_y));
+    res += L(1, 1) * texture(ravu_lut, vec2(2.5 / {_RAVU_TAPS}.0, coord_y));
+    return res;
+}}
+
+//!DESC ravu-lite-class step2 (2x interleave)
+//!HOOK LUMA
+//!BIND ravu_int
+//!WIDTH HOOKED.w 2 *
+//!HEIGHT HOOKED.h 2 *
+
+vec4 hook() {{
+    vec2 pos = HOOKED_pos * ravu_int_size;
+    vec2 sub = fract(pos);
+    int idx = int(sub.y > 0.5) * 2 + int(sub.x > 0.5);
+    vec2 tc = (floor(pos) + vec2(0.5)) * ravu_int_pt;
+    vec4 q = ravu_int_tex(tc);
+    return vec4(q[idx], 0.0, 0.0, 1.0);
+}}
+
+//!TEXTURE ravu_lut
+//!SIZE {_RAVU_TAPS} {_RAVU_ROWS}
+//!FORMAT rgba16hf
+//!FILTER NEAREST
+{hexdata}
+"""
+
+
+def _ravu_lite_oracle(img, lut):
+    """numpy mirror of _ravu_lite_shader. img: (H, W) f32."""
+    H, W = img.shape
+    lutf = lut.astype(np.float32)
+
+    def L(x, y):
+        ys = np.clip(np.arange(H) + y, 0, H - 1)
+        xs = np.clip(np.arange(W) + x, 0, W - 1)
+        return img[np.ix_(ys, xs)]
+
+    abd = np.zeros((3, H, W), np.float32)
+    for (gx, gy, w) in [
+        ((L(0, 1) - L(0, -1)) / 2, (L(1, 0) - L(-1, 0)) / 2, 0.5),
+        ((L(1, 1) - L(-1, 1)) / 2, (L(1, 1) - L(1, -1)) / 2, 0.25),
+        ((L(-1, -1) - L(1, -1)) / 2, (L(-1, 1) - L(-1, -1)) / 2, 0.25),
+    ]:
+        abd += np.stack([gx * gx, gx * gy, gy * gy]) * np.float32(w)
+    a, b, d = abd
+    T = a + d
+    D = a * d - b * b
+    delta = np.sqrt(np.maximum(T * T / 4 - D, 0))
+    L1 = T / 2 + delta
+    s1 = np.sqrt(L1)
+    s2 = np.sqrt(T / 2 - delta)
+    theta = np.where(np.abs(b) < 1.192092896e-7, 0.0,
+                     np.mod(np.arctan2(b, L1 - a) + _PI, _PI))
+    mu = np.where(s1 + s2 < 1.192092896e-7, 0.0,
+                  (s1 - s2) / np.where(s1 + s2 == 0, 1, s1 + s2))
+    angle = np.floor(theta / _PI * _RAVU_QA)
+    strength = np.where(s1 >= 0.016, np.where(s1 >= 0.05, 3.0, 2.0),
+                        np.where(s1 >= 0.004, 1.0, 0.0))
+    coherence = np.where(mu >= 0.5, 2.0, np.where(mu >= 0.25, 1.0, 0.0))
+    row = np.clip(((angle * _RAVU_QS + strength) * _RAVU_QC + coherence
+                   ).astype(np.int64), 0, _RAVU_ROWS - 1)
+    res = np.zeros((4, H, W), np.float32)
+    for t, (x, y) in enumerate([(-1, -1), (0, 0), (1, 1)]):
+        res += L(x, y)[None] * np.moveaxis(lutf[row, t, :], -1, 0)
+    out = np.zeros((2 * H, 2 * W), np.float32)
+    out[0::2, 0::2] = res[0]
+    out[0::2, 1::2] = res[1]
+    out[1::2, 0::2] = res[2]
+    out[1::2, 1::2] = res[3]
+    return out
+
+
+def test_ravu_lite_class_hook():
+    """RAVU-lite-class doubling: traced LUT row index (the pattern the
+    r2 translator rejected), NEAREST //!TEXTURE sampled by computed
+    coords, 2-pass SAVE + subpixel interleave with a dynamic vector
+    index — all vs a numpy oracle."""
+    rng = np.random.default_rng(42)
+    lut = rng.uniform(-0.2, 0.5,
+                      (_RAVU_ROWS, _RAVU_TAPS, 4)).astype(np.float16)
+    H, W = 24, 40
+    img = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    hook = user_shader_hook(parse_user_shader(_ravu_lite_shader(lut)))
+    disabled = set()
+    out = run_hooks([hook], HookStage.LUMA_INPUT, jnp.asarray(img[None]),
+                    disabled, dst_w=2 * W, dst_h=2 * H)
+    assert not disabled
+    out = np.asarray(out)
+    assert out.shape == (1, 2 * H, 2 * W)
+    np.testing.assert_allclose(out[0], _ravu_lite_oracle(img, lut),
+                               atol=2e-5)
+
+
+def test_ravu_lite_when_gate_respects_output():
+    """The same hook is a no-op when the render is not upscaling."""
+    rng = np.random.default_rng(1)
+    lut = rng.uniform(-0.2, 0.5,
+                      (_RAVU_ROWS, _RAVU_TAPS, 4)).astype(np.float16)
+    H, W = 16, 24
+    img = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+    hook = user_shader_hook(parse_user_shader(_ravu_lite_shader(lut)))
+    out = run_hooks([hook], HookStage.LUMA_INPUT, img,
+                    dst_w=W, dst_h=H)          # 1x: WHEN fails
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_ravu_zoom_class_hook():
+    """zoom-class: arbitrary-ratio upscale with a LINEAR-filtered LUT
+    indexed by (host subpixel x, traced strength + host subpixel y) and
+    the source sampled at floor()-derived positions (computed but
+    host-resolvable -> static gathers)."""
+    rng = np.random.default_rng(7)
+    ZR, ZC = 4, 16
+    zlut = rng.uniform(0.0, 0.5, (ZR, ZC, 4)).astype(np.float16)
+    shader_text = f"""\
+//!DESC ravu-zoom-class
+//!HOOK LUMA
+//!BIND HOOKED
+//!BIND zoom_lut
+//!WIDTH OUTPUT.w
+//!HEIGHT OUTPUT.h
+
+#define S(x, y) HOOKED_tex((base + vec2(x, y) + vec2(0.5)) * HOOKED_pt).x
+
+vec4 hook() {{
+    vec2 pos = HOOKED_pos * HOOKED_size - vec2(0.5);
+    vec2 base = floor(pos);
+    vec2 sub = pos - base;
+    float gx = S(1.0, 0.0) - S(-1.0, 0.0);
+    float gy = S(0.0, 1.0) - S(0.0, -1.0);
+    float strength = min(floor(sqrt(gx * gx + gy * gy) * 4.0), 3.0);
+    vec4 w = texture(zoom_lut, vec2(sub.x, (strength + sub.y) / {ZR}.0));
+    float res = S(0.0, 0.0) * w.x + S(1.0, 0.0) * w.y + S(0.0, 1.0) * w.z + S(1.0, 1.0) * w.w;
+    return vec4(res, 0.0, 0.0, 1.0);
+}}
+
+//!TEXTURE zoom_lut
+//!SIZE {ZC} {ZR}
+//!FORMAT rgba16hf
+//!FILTER LINEAR
+{zlut.tobytes().hex()}
+"""
+    H, W, OH, OW = 24, 40, 40, 64
+    img = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    hook = user_shader_hook(parse_user_shader(shader_text))
+    disabled = set()
+    out = np.asarray(run_hooks([hook], HookStage.LUMA_INPUT,
+                               jnp.asarray(img[None]), disabled,
+                               dst_w=OW, dst_h=OH))
+    assert not disabled
+    assert out.shape == (1, OH, OW)
+
+    # oracle
+    zl = zlut.astype(np.float32)
+    ux = ((np.arange(OW) + 0.5) / OW).astype(np.float32)
+    uy = ((np.arange(OH) + 0.5) / OH).astype(np.float32)
+    posx = ux * W - 0.5
+    posy = uy * H - 0.5
+    bx = np.floor(posx)[None, :]
+    by = np.floor(posy)[:, None]
+    sx = (posx - np.floor(posx))[None, :]
+    sy = (posy - np.floor(posy))[:, None]
+
+    def S(x, y):
+        px, py = bx + x, by + y
+        x0, y0 = np.floor(px), np.floor(py)
+        fx = (px - x0).astype(np.float32)
+        fy = (py - y0).astype(np.float32)
+
+        def at(iy, ix):
+            return img[np.clip(iy, 0, H - 1).astype(np.int64),
+                       np.clip(ix, 0, W - 1).astype(np.int64)]
+        top = at(y0, x0) + (at(y0, x0 + 1) - at(y0, x0)) * fx
+        bot = at(y0 + 1, x0) + (at(y0 + 1, x0 + 1) - at(y0 + 1, x0)) * fx
+        return top + (bot - top) * fy
+
+    gx = S(1, 0) - S(-1, 0)
+    gy = S(0, 1) - S(0, -1)
+    strength = np.minimum(np.floor(np.sqrt(gx * gx + gy * gy) * 4.0), 3.0)
+    cy = (strength + sy) / ZR
+    cx = np.broadcast_to(sx, cy.shape)
+    px, py = cx * ZC - 0.5, cy * ZR - 0.5
+    x0, y0 = np.floor(px), np.floor(py)
+    fx = (px - x0).astype(np.float32)[..., None]
+    fy = (py - y0).astype(np.float32)[..., None]
+
+    def lat(iy, ix):
+        return zl[np.clip(iy, 0, ZR - 1).astype(np.int64),
+                  np.clip(ix, 0, ZC - 1).astype(np.int64)]
+    top = lat(y0, x0) + (lat(y0, x0 + 1) - lat(y0, x0)) * fx
+    bot = lat(y0 + 1, x0) + (lat(y0 + 1, x0 + 1) - lat(y0 + 1, x0)) * fx
+    w4 = top + (bot - top) * fy
+    ref = (S(0, 0) * w4[..., 0] + S(1, 0) * w4[..., 1] +
+           S(0, 1) * w4[..., 2] + S(1, 1) * w4[..., 3])
+    np.testing.assert_allclose(out[0], ref, atol=5e-5)
+
+
+def test_dynamic_sampling_of_image_texture_still_rejected():
+    """Traced coords into a frame-sized texture keep the clear error
+    (auto-disable), and an oversized dynamic //!TEXTURE is refused."""
+    src = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    return HOOKED_tex(HOOKED_pos + c.xy * HOOKED_pt);
+}
+"""
+    hook = user_shader_hook(src)
+    img = jnp.asarray(np.random.default_rng(0)
+                      .random((3, 16, 24), np.float32))
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+    # dynamic 2D (both axes traced) lookup beyond the flat cap
+    big = np.zeros((128, 64, 4), np.float16)     # 8192 > 4096 texels
+    src2 = f"""\
+//!HOOK MAIN
+//!BIND HOOKED
+//!BIND big_lut
+vec4 hook()
+{{
+    vec4 c = HOOKED_texOff(0);
+    return texture(big_lut, c.xy);
+}}
+
+//!TEXTURE big_lut
+//!SIZE 64 128
+//!FORMAT rgba16hf
+{big.tobytes().hex()}
+"""
+    hook2 = user_shader_hook(parse_user_shader(src2))
+    disabled2 = set()
+    out2 = run_hooks([hook2], HookStage.RGB, img, disabled2)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))
+    assert hook2.signature in disabled2

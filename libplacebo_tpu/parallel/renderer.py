@@ -419,8 +419,13 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                   and not params.disable_linear_scaling)
     use_sigmoid = (use_linear and params.sigmoid is not None
                    and not src_color.is_hdr())
+    # same ICC forcing as the single-chip renderer: a profile replaces
+    # the nominal transfer, so the conversion pass must run even between
+    # nominally-equal colorspaces (renderer.c:2271)
     need_color_map = (src_color.primaries != dst_color.primaries or
-                      src_color.transfer != dst_color.transfer)
+                      src_color.transfer != dst_color.transfer or
+                      target.icc is not None or
+                      frame_icc is not None)
     from ..ops.tone_dynamic import DYNAMIC_TONE_FUNCTIONS
     _tm_fn = params.tone_mapping_function
     use_peak = (params.peak_detect is not None and src_color.is_hdr()

@@ -951,8 +951,15 @@ class Renderer:
             if params.cone is not None:
                 img = ops_color.cone_distort(img, src_color, params.cone,
                                              already_linear=use_linear)
+            # ICC profiles replace the nominal transfer on their side of
+            # the pipeline, so their presence forces the conversion pass
+            # even between nominally-equal colorspaces (reference
+            # pl_icc_decode/encode bracket the color pipeline whenever a
+            # profile exists, renderer.c:2271)
             need_color_map = (src_color.primaries != dst_color.primaries or
-                              src_color.transfer != dst_color.transfer)
+                              src_color.transfer != dst_color.transfer or
+                              target.icc is not None or
+                              frame_icc is not None)
             new_state = peak_state
             fused_tail = None
             if need_color_map:

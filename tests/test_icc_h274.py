@@ -516,3 +516,113 @@ def test_icc_knobs_through_renderer():
     frame = frame_from_rgb(rng.random((3, 16, 16)).astype(np.float32))
     out = Renderer().render(frame, Target(w=16, h=16, icc=prof), o.params)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# Real-world profiles, golden-pinned against lcms2 (the library the
+# reference validates through, shaders/icc.c:523,624-687). Fixtures in
+# tests/golden/icc/ are REAL binaries: lcms2's built-in sRGB v4, the
+# same saved as v2.1 ('para' curves become 'curv' tables — the other
+# parser path), and Display P3 (D65 + P3 primaries + IEC 61966-2.1
+# curve). icc_golden.npz holds float-precision RGB->PCS(XYZ) transforms
+# computed by cmsCreateTransform (relative colorimetric, NOOPTIMIZE).
+# Regenerate with tools/golden/gen_icc_golden.py.
+# ---------------------------------------------------------------------------
+
+import os
+
+_ICC_DIR = os.path.join(os.path.dirname(__file__), "golden", "icc")
+_ICC_NPZ = os.path.join(os.path.dirname(__file__), "golden",
+                        "icc_golden.npz")
+
+
+@pytest.mark.parametrize("name,version,tol", [
+    ("srgb_v4", 4, 5e-7),        # parametric ('para') curves
+    ("srgb_v2", 2, 2e-5),        # 4096-entry 'curv' tables
+    ("display_p3", 4, 5e-7),
+])
+def test_real_profile_matches_lcms2_golden(name, version, tol):
+    with open(os.path.join(_ICC_DIR, f"{name}.icc"), "rb") as f:
+        data = f.read()
+    golden = np.load(_ICC_NPZ)
+    prof = icc_mod.parse_icc(data)
+    assert prof.version == version
+    assert prof.pcs == "XYZ"
+    assert prof.rgb2xyz is not None and len(prof.trc) == 3
+
+    rgb = golden["rgb_in"].astype(np.float64)
+    xyz = prof.decode(rgb) @ prof.rgb2xyz.T
+    np.testing.assert_allclose(xyz, golden[f"{name}_xyz"], atol=tol)
+
+    # white is chromatically adapted to the D50 PCS (ICC v4 §6.3.4)
+    white = xyz[np.all(rgb == 1.0, axis=1)][0]
+    np.testing.assert_allclose(white, [0.9642, 1.0, 0.8249], atol=2e-4)
+
+
+def test_real_profile_primaries_inference():
+    """containing_primaries on the real Display P3 profile lands in the
+    P3 gamut region (wider than sRGB along red/green)."""
+    with open(os.path.join(_ICC_DIR, "display_p3.icc"), "rb") as f:
+        p3 = icc_mod.parse_icc(f.read())
+    with open(os.path.join(_ICC_DIR, "srgb_v4.icc"), "rb") as f:
+        srgb = icc_mod.parse_icc(f.read())
+    pr3, prs = p3.containing_primaries(), srgb.containing_primaries()
+    # the P3 red is further toward the spectral locus than sRGB's
+    assert pr3.red.x > prs.red.x + 0.02
+    assert pr3.green.y > prs.green.y + 0.05
+    # both whites are D65
+    np.testing.assert_allclose([prs.white.x, prs.white.y],
+                               [0.3127, 0.3290], atol=2e-3)
+    np.testing.assert_allclose([pr3.white.x, pr3.white.y],
+                               [0.3127, 0.3290], atol=2e-3)
+
+
+def test_real_srgb_v2_and_v4_agree():
+    """The v2 downgrade (table curves) and v4 (parametric) describe the
+    same device: transforms agree to table-quantization precision."""
+    profs = []
+    for name in ("srgb_v4", "srgb_v2"):
+        with open(os.path.join(_ICC_DIR, f"{name}.icc"), "rb") as f:
+            profs.append(icc_mod.parse_icc(f.read()))
+    rgb = np.random.default_rng(3).uniform(0, 1, (256, 3))
+    a = profs[0].decode(rgb) @ profs[0].rgb2xyz.T
+    b = profs[1].decode(rgb) @ profs[1].rgb2xyz.T
+    np.testing.assert_allclose(a, b, atol=3e-5)
+
+
+def test_real_profile_through_render_target():
+    """The real Display P3 binary drives a full render (Target.icc):
+    sRGB-encoded input rendered to a P3 display-profile target differs
+    from the no-ICC render exactly where P3 != sRGB encoding."""
+    from libplacebo_tpu.core.colorspace import ColorSpace
+    from libplacebo_tpu.render.frame import Frame, Plane
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    with open(os.path.join(_ICC_DIR, "display_p3.icc"), "rb") as f:
+        prof = icc_mod.parse_icc(f.read())
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (3, 24, 32)).astype(np.float32)
+    frame = Frame(planes=[Plane(jnp.asarray(img),
+                                component_mapping=(0, 1, 2))],
+                  repr=__import__("libplacebo_tpu.core.colorspace",
+                                  fromlist=["ColorRepr"]).ColorRepr(
+                      sys="rgb", levels="full"),
+                  color=ColorSpace(primaries="bt709", transfer="srgb"))
+    params = RenderParams()
+    out_icc = np.asarray(Renderer().render(
+        frame, Target(w=32, h=24, icc=prof,
+                      color=ColorSpace(primaries="bt709",
+                                       transfer="srgb")), params))
+    out_plain = np.asarray(Renderer().render(
+        frame, Target(w=32, h=24,
+                      color=ColorSpace(primaries="bt709",
+                                       transfer="srgb")), params))
+    assert out_icc.shape == out_plain.shape
+    assert np.isfinite(out_icc).all()
+    # P3 is a wider gamut: saturated sRGB colors re-encode to less
+    # saturated P3 device values -> a real, bounded difference (large
+    # for pure primaries, e.g. sRGB blue -> P3 device ~(0,0.06,0.96))
+    d = np.abs(out_icc - out_plain)
+    assert d.max() > 5e-3
+    assert d.max() < 0.6
+    assert d.mean() < 0.08

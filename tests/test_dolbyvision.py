@@ -4,6 +4,7 @@ FFmpeg's dovi_rpu.c)."""
 import numpy as np
 import pytest
 
+from libplacebo_tpu.utils import dolbyvision as dovi
 from libplacebo_tpu.utils.dolbyvision import (DoviRpu, RpuCurve,
                                               RpuError, RpuExtBlock,
                                               hdr_metadata_from_rpu,
@@ -211,3 +212,158 @@ def test_rpu_ext_blocks_cmv4():
     from libplacebo_tpu.core.colorspace import HdrMetadata
     hdr = hdr_metadata_from_rpu(HdrMetadata(), write_rpu(rpu))
     assert abs(hdr.max_pq_y - 3210 / 4095) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Non-self-referential fixtures: tests/golden/dovi/*.bin are encoded by
+# an INDEPENDENT second implementation of the RPU syntax
+# (tools/golden/gen_dovi_rpu_fixtures.py — byte-cursor writer transcribed
+# from the field order FFmpeg's dovi_rpudec.c implements), wrapped like
+# real captures: unspec-62 NAL header, emulation-prevention bytes, and
+# a CRC32+0x80 trailer the parser must tolerate. The JSON beside each
+# .bin is the encoder's input — every field below is pinned against it.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+_DOVI_DIR = os.path.join(os.path.dirname(__file__), "golden", "dovi")
+
+
+def _load(name):
+    with open(os.path.join(_DOVI_DIR, f"{name}.bin"), "rb") as f:
+        buf = f.read()
+    with open(os.path.join(_DOVI_DIR, f"{name}.json")) as f:
+        cfg = json.load(f)
+    return buf, cfg
+
+
+def _check_fields(rpu, cfg):
+    assert rpu.vdr_rpu_profile == cfg["vdr_rpu_profile"]
+    assert rpu.vdr_rpu_level == cfg["vdr_rpu_level"]
+    assert rpu.coef_log2_denom == cfg["coef_log2_denom"]
+    assert rpu.vdr_rpu_normalized_idc == cfg["vdr_rpu_normalized_idc"]
+    assert rpu.bl_video_full_range_flag == cfg["bl_video_full_range_flag"]
+    assert rpu.bl_bit_depth == cfg["bl_bit_depth"]
+    assert rpu.el_bit_depth == cfg["el_bit_depth"]
+    assert rpu.vdr_bit_depth == cfg["vdr_bit_depth"]
+    assert rpu.disable_residual_flag == cfg["disable_residual_flag"]
+    assert rpu.dm_metadata_present == cfg["dm_metadata_present"]
+    for cur, exp in zip(rpu.curves, cfg["curves"]):
+        assert list(cur.pivots) == exp["pivots"]
+        assert cur.num_pivots == len(exp["pivots"])
+        for i, piece in enumerate(exp["pieces"]):
+            if piece["kind"] == "poly":
+                assert cur.mapping_idc[i] == 0
+                assert cur.poly_order[i] == len(piece["coef"]) - 1
+                assert list(cur.poly_coef[i]) == piece["coef"]
+            else:
+                assert cur.mapping_idc[i] == 1
+                assert cur.mmr_order[i] == len(piece["rows"])
+                assert cur.mmr_constant[i] == piece["constant"]
+                assert [list(r) for r in cur.mmr_coef[i]] == piece["rows"]
+    dm = cfg["dm"]
+    assert list(rpu.ycc_to_rgb_matrix) == dm["ycc_to_rgb_matrix"]
+    assert list(rpu.ycc_to_rgb_offset) == dm["ycc_to_rgb_offset"]
+    assert list(rpu.rgb_to_lms_matrix) == dm["rgb_to_lms_matrix"]
+    assert rpu.signal_eotf == dm["signal_eotf"]
+    assert rpu.signal_bit_depth == dm["signal_bit_depth"]
+    assert rpu.signal_color_space == dm["signal_color_space"]
+    assert rpu.signal_full_range_flag == dm["signal_full_range_flag"]
+    assert rpu.source_min_pq == dm["source_min_pq"]
+    assert rpu.source_max_pq == dm["source_max_pq"]
+    assert rpu.source_diagonal == dm["source_diagonal"]
+    assert rpu.scene_refresh_flag == dm["scene_refresh_flag"]
+    assert len(rpu.ext_blocks) == len(dm["ext_blocks"])
+    for blk, exp in zip(rpu.ext_blocks, dm["ext_blocks"]):
+        assert blk.level == exp["level"]
+        for k, v in exp.items():
+            if k == "level":
+                continue
+            got = getattr(blk, k)
+            got = list(got) if isinstance(got, tuple) else got
+            assert got == v, (blk.level, k, got, v)
+
+
+def test_fixture_profile5_iptpqc2():
+    buf, cfg = _load("profile5")
+    rpu = dovi.parse_rpu(buf)
+    _check_fields(rpu, cfg)
+    assert rpu.nlq is None
+    assert rpu.signal_color_space == 2          # IPT carriage
+    # chroma curves are MMR — the defining feature of profile 5
+    assert rpu.curves[1].mapping_idc == (1,)
+    assert rpu.curves[2].mapping_idc == (1,)
+    assert rpu.curves[2].mmr_order == (2,)
+
+
+def test_fixture_profile7_fel_nlq():
+    buf, cfg = _load("profile7")
+    rpu = dovi.parse_rpu(buf)
+    _check_fields(rpu, cfg)
+    assert rpu.nlq is not None
+    exp = cfg["nlq"]
+    assert rpu.nlq.method_idc == exp["method_idc"]
+    assert list(rpu.nlq.pivots) == exp["pivots"]
+    assert list(rpu.nlq.nlq_offset) == exp["nlq_offset"]
+    assert list(rpu.nlq.vdr_in_max) == exp["vdr_in_max"]
+    assert list(rpu.nlq.dz_slope) == exp["dz_slope"]
+    assert list(rpu.nlq.dz_threshold) == exp["dz_threshold"]
+
+
+def test_fixture_profile81_cmv4():
+    buf, cfg = _load("profile81")
+    rpu = dovi.parse_rpu(buf)
+    _check_fields(rpu, cfg)
+    assert rpu.nlq is None
+    # 4-piece luma reshaping curve
+    assert rpu.curves[0].num_pivots == 5
+    assert all(i == 0 for i in rpu.curves[0].mapping_idc)
+
+
+def test_fixture_rpu_to_dovi_scaling():
+    """pl_map_dovi_metadata scaling on the independently-encoded
+    profile-5 fixture: fixed-point -> float with the exact divisors."""
+    buf, cfg = _load("profile5")
+    md = dovi.rpu_to_dovi(dovi.parse_rpu(buf))
+    D = cfg["coef_log2_denom"]
+    # luma poly [0, 1.0]
+    np.testing.assert_allclose(md.comp[0]["poly_coeffs"][0],
+                               (0.0, 1.0, 0.0), atol=2 ** -D)
+    # chroma 1 MMR constant 0.5, first row
+    np.testing.assert_allclose(md.comp[1]["mmr_constant"][0], 0.5,
+                               atol=2 ** -D)
+    np.testing.assert_allclose(
+        md.comp[1]["mmr_coeffs"][0][0],
+        (0.1, -0.2, 0.05, 0.3, -0.01, 0.002, -0.004), atol=2 ** -D)
+    # pivots normalized by 2^bl_bit_depth - 1
+    np.testing.assert_allclose(md.comp[0]["pivots"], (0.0, 1.0))
+    # matrices by their fixed denominators
+    np.testing.assert_allclose(md.nonlinear[0], (1.0, 0.0, 12900 / 8192))
+    np.testing.assert_allclose(md.nonlinear_offset,
+                               (0.0, 0.5, 0.5), atol=1e-7)
+
+
+def test_fixture_hdr_metadata_l1():
+    """L1 brightness from the profile-8.1 fixture maps per
+    pl_hdr_metadata_from_dovi_rpu (values / 4095)."""
+    from libplacebo_tpu.core.colorspace import HdrMetadata
+    buf, cfg = _load("profile81")
+    hdr = dovi.hdr_metadata_from_rpu(HdrMetadata(), buf)
+    l1 = cfg["dm"]["ext_blocks"][0]
+    assert abs(hdr.max_pq_y - l1["max_pq"] / 4095.0) < 1e-9
+    assert abs(hdr.avg_pq_y - l1["avg_pq"] / 4095.0) < 1e-9
+
+
+def test_fixture_emulation_and_trailer():
+    """The fixtures are wrapped like captures: the NAL-layer emulation
+    prevention bytes and the CRC32+0x80 trailer must not perturb
+    parsing (byte-identical fields vs the unwrapped rbsp)."""
+    buf, _ = _load("profile7")
+    # the wrapper really did insert emulation bytes
+    assert b"\x00\x00\x03" in buf
+    rpu_wrapped = dovi.parse_rpu(buf)
+    # hand-unwrap: strip NAL header + trailer, keep EBSP (parse_rpu
+    # strips emulation itself)
+    rpu_body = dovi.parse_rpu(buf[2:])
+    assert rpu_wrapped == rpu_body

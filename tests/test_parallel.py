@@ -748,3 +748,67 @@ def test_sharded_rich_overlays_fallback_matches_renderer(devices):
     # the overlay regions themselves: exact
     np.testing.assert_allclose(out[0][:, 4:8, 181:185],
                                ref[:, 4:8, 181:185], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Collective-cost guard (VERDICT r2 #9): the halo pipeline's ICI traffic
+# must stay O(halo) — row exchanges via collective-permute, scalar/
+# histogram reductions via small all-reduce, and NEVER a frame-sized
+# all-gather (which would pass every parity test while silently costing
+# n_devices x memory + bandwidth). MULTICHIP_PERF.json records the
+# numbers (tools/multichip_perf.py); this test pins the property.
+# ---------------------------------------------------------------------------
+
+def test_halo_pipeline_collectives_stay_o_halo(devices):
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem,
+                                                CSP_BT2100_PQ, CSP_SRGB)
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import collective_stats, \
+        compile_text
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    data, spatial = 2, 4
+    mesh = make_mesh(data=data, spatial=spatial)
+    src_h, src_w = 64 * spatial, 192
+    dst_h, dst_w = 2 * src_h, 2 * src_w
+    batch = 2 * data
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(batch):
+        y = (rng.random((src_h, src_w)) * 219 + 16).astype(np.uint8)
+        u = (rng.random((src_h // 2, src_w // 2)) * 224 + 16
+             ).astype(np.uint8)
+        v = (rng.random((src_h // 2, src_w // 2)) * 224 + 16
+             ).astype(np.uint8)
+        frames.append(frame_from_yuv420p(
+            y, u, v, color=CSP_BT2100_PQ,
+            repr=ColorRepr(sys=ColorSystem.BT_2020_NC,
+                           levels=ColorLevels.LIMITED,
+                           bits=BitEncoding(8, 8, 0))))
+    f0 = frames[0]
+    target = Target(w=dst_w, h=dst_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="ewa_lanczos",
+                          peak_detect=PeakDetectParams(percentile=99.5))
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, batch)
+    stats = collective_stats(compile_text(step, state, *xs))
+
+    # 1. nothing frame-sized: no all-gather / all-to-all at all
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+    # 2. halo exchanges exist and each moves far less than one local
+    #    output block (B_local, 3, dst_rows_local, dst_w)
+    assert stats.get("collective-permute", {}).get("count", 0) > 0
+    local_out_bytes = (batch // data) * 3 * (dst_h // spatial) * dst_w * 4
+    assert stats["collective-permute"]["max_bytes"] <= local_out_bytes / 4, \
+        stats
+    # 3. reductions are statistics-sized (histogram bins), not images
+    assert stats.get("all-reduce", {}).get("max_bytes", 0) <= 4096, stats

@@ -316,6 +316,29 @@ def _scaling_eval(v, lut):
     return q(lo_i) * (1.0 - f) + q(hi_i) * f
 
 
+def subsample_nearest(x, sub_x, sub_y, ph, pw):
+    """Nearest-neighbour subsample of a full-res plane to a chroma grid
+    (reference: texelFetch at pos << sub, film_grain_av1.c:812) — feeds
+    the chroma grain's luma term.
+
+    Row (sublane) stride slicing is cheap on TPU, but a LANE-dim
+    stride-2 slice of a *per-frame* tensor is pathological: MEASURED
+    5.0 ms at 1080p->540p inside the render loop (XLA lowers the lane
+    compaction as shift/select passes it cannot hoist), vs 0.12 ms for
+    the same compaction as a one-hot column-select matmul on the MXU
+    (exact — a single 1.0 per output column)."""
+    if sub_y:
+        x = x[..., ::1 << sub_y, :]
+    x = x[..., :ph, :]
+    if sub_x:
+        w = x.shape[-1]
+        cols = jnp.arange(pw, dtype=jnp.int32) << sub_x
+        sel = (jnp.arange(w, dtype=jnp.int32)[:, None] == cols[None, :]
+               ).astype(jnp.float32)
+        return jnp.matmul(x, sel, precision="highest")
+    return x[..., :pw]
+
+
 def _take_rows(table, idx):
     """Row gather as a one-hot MXU matmul — exact (one 1.0 per row) and
     far faster than XLA's native row gather for (<=256, tile) tables."""

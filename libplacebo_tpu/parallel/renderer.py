@@ -559,9 +559,11 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 cfg_g = grain_cfgs[i]
                 luma = None
                 if 0 not in mapping and luma_full is not None:
-                    luma = luma_full[..., ::1 << cfg_g.sub_y,
-                                     ::1 << cfg_g.sub_x][..., :pl_rows,
-                                                         :shape[-1]]
+                    # MXU column-select subsample (lane-dim strided
+                    # slices cost ~5 ms/frame; see subsample_nearest)
+                    luma = ops_fg.subsample_nearest(
+                        luma_full, cfg_g.sub_x, cfg_g.sub_y,
+                        pl_rows, shape[-1])
                 data = ops_fg.apply_av1_grain(
                     data, grain_tables[i], cfg_g, scaling_shift,
                     luma=luma, row0=row0)

@@ -105,11 +105,15 @@ def main():
     ]
     if "--ablate" in sys.argv:
         variants += [
+            # film_grain defaults True and the frame carries grain data,
+            # so the no-grain ablations must opt out explicitly
             ("deband_only", RenderParams(upscaler="ewa_lanczos",
-                                         deband=base["deband"])),
+                                         deband=base["deband"],
+                                         film_grain=False)),
             ("grain_only", RenderParams(upscaler="ewa_lanczos",
                                         film_grain=True)),
-            ("neither", RenderParams(upscaler="ewa_lanczos")),
+            ("neither", RenderParams(upscaler="ewa_lanczos",
+                                     film_grain=False)),
         ]
     for name, params in variants:
         fn, args = build(params)

@@ -60,8 +60,8 @@ _CHUNK = 64       # sheared-width padding granularity
 _LANE = 128
 
 
-def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
-                 scale, cols):
+def _kernel_body(x_ref, out_ref, pending, *, taps, max_off,
+                 scale, cols, shift, W, H):
     """One grid step = `cols` sheared columns, processed as a
     straight-line unrolled chain (the BlockSpec pipeline double-buffers
     the multi-column DMAs; a chunked fori_loop variant compiled 10x
@@ -71,11 +71,15 @@ def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
     ~5 min to ~1 min).
 
     x_ref/out_ref: (cols, C, Hp) — column-major sheared layout
-    mask_ref:      (cols, 1, Hp) — validity of each (column, row)
     pending:       (max_off, C, Hp) VMEM scratch, slot s = error landing
                    s+1 columns ahead of the *current* column (persists
                    across the sequential grid like the reference's shmem
                    ring buffer)
+
+    Validity of each (column, row) — sheared column j holds image row y
+    at j = x + y*shift, so y is valid iff j-y*shift in [0, W) and
+    y < H — is computed in-register from iota (r3: passing it as a
+    (Wsp, 1, Hp) f32 operand cost a 71 MB HBM read per 4K frame).
     """
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -83,13 +87,17 @@ def _kernel_body(x_ref, mask_ref, out_ref, pending, *, taps, max_off,
 
     C, Hp = x_ref.shape[1], x_ref.shape[2]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, Hp), 1)
+    j0 = pl.program_id(0) * cols
     # keep the rolling window in registers within the step; touch the
     # VMEM scratch only at the step boundary
     window = [pending[s] for s in range(max_off)]
     for k in range(cols):
         cur = x_ref[k] + window[0]                     # (C, Hp)
         quant = jnp.round(cur * scale) * (1.0 / scale)
-        err = (cur - quant) * mask_ref[k]
+        j = j0 + k
+        off = row_ids * shift
+        valid = (j >= off) & (j < off + W) & (row_ids < H)
+        err = jnp.where(valid, cur - quant, 0.0)
         out_ref[k] = quant
 
         # contributions per destination slot (error landing off columns
@@ -142,17 +150,15 @@ def error_diffusion_pallas(img, new_depth: int,
     use_kshear = os.environ.get("LPTPU_PALLAS_SHEAR", "1") != "0"
     Ws = W + (H - 1) * shift
     if use_kshear:
-        chunk = _LANE * K // np.gcd(_LANE, K)   # lcm: kernel + ED grid
+        from .shear import shear_chunks
+        gw = shear_chunks(shift) * _LANE
+        base = _LANE * K // np.gcd(_LANE, K)    # lcm: kernel + ED grid
+        chunk = base * gw // np.gcd(base, gw)   # ... + shear G-blocks
     else:
         chunk = max(_CHUNK, K)
     Wsp = (Ws + chunk - 1) // chunk * chunk
     Hp = (H + _LANE - 1) // _LANE * _LANE
     row_offsets = np.arange(H) * shift
-    # validity mask computed on device from iota — embedding the
-    # (H, Ws) mask as a program constant ballooned compile times
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 1)
-    off = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 0) * shift
-    valid_j = ((col >= off) & (col < off + W)).astype(jnp.float32)
 
     def _bit_shear(arr, shifts, width, inverse=False):
         """Roll each row y of (..., H, width) by shifts[y] (or back)."""
@@ -169,12 +175,17 @@ def error_diffusion_pallas(img, new_depth: int,
 
     if use_kshear:
         from .shear import shear_to_colmaj
-        Wp = (W + _LANE - 1) // _LANE * _LANE
+        Wp = (W + gw - 1) // gw * gw
         xcm = jnp.pad(jnp.moveaxis(x, 2, 0),
                       ((0, Wp - W), (0, 0), (0, Hp - H)))
         colmaj = shear_to_colmaj(xcm, Wsp, shift, W, H,
                                  interpret=interpret)
     else:
+        # validity mask computed on device from iota — embedding the
+        # (H, Ws) mask as a program constant ballooned compile times
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 1)
+        off = jax.lax.broadcasted_iota(jnp.int32, (H, Ws), 0) * shift
+        valid_j = ((col >= off) & (col < off + W)).astype(jnp.float32)
         xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Ws - W)))
         sheared = _bit_shear(xpad, row_offsets, Ws)
         sheared = sheared * valid_j
@@ -182,18 +193,15 @@ def error_diffusion_pallas(img, new_depth: int,
         # layout: (Ws, C, Hp) column-major for lane-friendly math
         colmaj = jnp.moveaxis(sheared, 2, 0)                    # (Ws, C, H)
         colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
-    maskcm = jnp.moveaxis(valid_j, 1, 0)
-    maskcm = jnp.pad(maskcm, ((0, Wsp - Ws), (0, Hp - H)))[:, None, :]
 
     body = functools.partial(_kernel_body, taps=tuple(taps),
-                             max_off=max_off, scale=scale, cols=K)
+                             max_off=max_off, scale=scale, cols=K,
+                             shift=shift, W=W, H=H)
     out_cm = pl.pallas_call(
         body,
         grid=(Wsp // K,),
         in_specs=[
             pl.BlockSpec((K, C, Hp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1, Hp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, C, Hp), lambda i: (i, 0, 0),
@@ -201,7 +209,7 @@ def error_diffusion_pallas(img, new_depth: int,
         out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((max_off, C, Hp), jnp.float32)],
         interpret=interpret,
-    )(colmaj, maskcm)
+    )(colmaj)
 
     if use_kshear:
         from .shear import unshear_from_colmaj

@@ -11,16 +11,25 @@ HBM read + ONE HBM write.
 
 How the per-row shift maps onto TPU blocks: with 128-row lane chunks,
 the shift s*y splits into a block-aligned part s*h*128 (h = row-chunk
-index) absorbed by the BlockSpec index map — each output block reads
-s+1 adjacent 128-column input chunks at a base offset of (+-)s*h
-blocks — and an in-block part s*y_loc <= s*127 realized as
-bit-decomposed rolls along the *leading* (untiled) axis of the
-concatenated (s+1)*128-column VMEM window: a roll along dim 0 of a
+index) absorbed by the BlockSpec index maps, and an in-block part
+s*y_loc <= s*127 realized as bit-decomposed rolls along the *leading*
+(untiled) axis of the fetched VMEM window: a roll along dim 0 of a
 (N, C, 128) array is a vreg-granular slice+concat, and the per-lane
 bit masks come from a broadcasted iota over the lane (row) axis.
-Block indices that fall off the array edge are clamped; every position
-whose true source is out of range is masked to zero in-kernel, so the
-clamped (duplicate) loads never leak data.
+
+Fetch amplification (r3): the first version passed the input s+1
+times with single-128-column-chunk blocks — every input chunk was
+DMA'd s+1 times (3x HBM fetch for s=2, ~4 ms of the 6.7 ms 4K ED
+frame).  Now each grid step produces G = 2s chunks of output and
+fetches TWO G-chunk blocks; because G is a multiple of s, the
+(G+s)-chunk source window always fits in the fetched 2G chunks
+(its start offset c0 mod G is a multiple of s, hence <= G-s), cutting
+fetch amplification to 2x and the per-chunk roll work from (s+1)x to
+(G+s)/G = 1.5x.  The window is carved out of the concatenated blocks
+with a dynamic slice along the untiled leading axis.  Block indices
+that fall off the array edge are clamped; every position whose true
+source is out of range is masked to zero in-kernel, so the clamped
+(duplicate) loads never leak data.
 
 Reference analog: the shear IS the wavefront transform of
 src/shaders/dithering.c:326-507 (which instead serializes through a
@@ -36,9 +45,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shear_to_colmaj", "unshear_from_colmaj"]
+__all__ = ["shear_to_colmaj", "unshear_from_colmaj", "shear_chunks"]
 
 _LANE = 128
+
+
+def shear_chunks(s: int) -> int:
+    """Output chunks per grid step (must be a multiple of s so the
+    dynamic source window never crosses the two fetched blocks)."""
+    return 2 * s
 
 
 def _roll0(arr, amt: int):
@@ -59,66 +74,90 @@ def _active_bits(s: int):
     return [b for b in range(seen.bit_length()) if (seen >> b) & 1]
 
 
-def _shear_body(*refs, s: int, W: int, H: int, forward: bool):
-    nc = s + 1
-    chunks, out_ref = refs[:nc], refs[nc]
-    j = pl.program_id(0)
+def _shear_body(ref0, ref1, out_ref, *, s: int, G: int, W: int, H: int,
+                forward: bool):
+    jg = pl.program_id(0)
     h = pl.program_id(1)
-    A = jnp.concatenate([c[...] for c in chunks], axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, A.shape, 2)
+    A = jnp.concatenate([ref0[...], ref1[...]], axis=0)   # (2G*128, C, 128)
+
+    # source window start (chunk units) and its offset inside the two
+    # fetched G-blocks; with G = 2s the offset delta = c0 mod G is a
+    # multiple of s and <= G-s, i.e. exactly 0 or s — so the window is
+    # one of two STATIC slices (Mosaic has no dynamic_slice on values;
+    # a where-select between the two resident windows lowers fine)
+    if forward:
+        c0 = jg * G - s * h - s
+    else:
+        c0 = jg * G + s * h
+    delta = jax.lax.rem(jax.lax.rem(c0, G) + G, G)
+    win0 = A[:(G + s) * _LANE]
+    win1 = A[s * _LANE:(G + 2 * s) * _LANE]
+    Awin = jnp.where(delta == 0, win0, win1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, Awin.shape, 2)
     sh = s * lane
-    B = A
+    B = Awin
     for b in _active_bits(s):
         amt = 1 << b
         rolled = _roll0(B, amt if forward else -amt)
         B = jnp.where(((sh >> b) & 1) == 1, rolled, B)
     if forward:
-        out = B[s * _LANE:(s + 1) * _LANE]
+        # rolls move data upward; the first s*128 entries hold wrap
+        # garbage, the output lives in the top G chunks
+        out = B[s * _LANE:(G + s) * _LANE]
     else:
-        out = B[:_LANE]
+        out = B[:G * _LANE]
 
     l_ids = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
     y_loc = jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
     ygl = h * _LANE + y_loc
     if forward:
         # out[l, c, y] = img[c, y, src], src = w_global - s*y_global
-        src = (j - s * h) * _LANE + l_ids - s * y_loc
+        src = (jg * G - s * h) * _LANE + l_ids - s * y_loc
         valid = (src >= 0) & (src < W) & (ygl < H)
     else:
         # out[l, c, y] = colmaj[l + s*y_global, c, y]; positions past the
         # true image (w >= W or y >= H) are pad, zeroed for cleanliness
-        w = j * _LANE + l_ids
+        w = jg * G * _LANE + l_ids
         valid = (w < W) & (ygl < H)
     out_ref[...] = jnp.where(valid, out, 0.0)
 
 
 def _call(x, W_out: int, s: int, W: int, H: int, forward: bool,
           interpret: bool):
+    G = shear_chunks(s)
+    GW = G * _LANE
     Win, C, Hp = x.shape
-    assert Win % _LANE == 0 and Hp % _LANE == 0 and W_out % _LANE == 0
-    nin = Win // _LANE
-    body = functools.partial(_shear_body, s=s, W=W, H=H, forward=forward)
+    assert Hp % _LANE == 0 and W_out % _LANE == 0
+    W_pad = (W_out + GW - 1) // GW * GW
+    if Win % GW:
+        x = jnp.pad(x, ((0, GW - Win % GW), (0, 0), (0, 0)))
+        Win = x.shape[0]
+    nin = Win // GW
+    body = functools.partial(_shear_body, s=s, G=G, W=W, H=H,
+                             forward=forward)
 
     def in_map(t):
         if forward:
-            # A covers src columns [(j - s*h - s)*128, (j - s*h + 1)*128)
-            return lambda j, h, t=t: (jnp.clip(j - s * h - s + t, 0,
-                                               nin - 1), 0, h)
-        # A covers sheared columns [(j + s*h)*128, (j + s*h + s + 1)*128)
-        return lambda j, h, t=t: (jnp.clip(j + s * h + t, 0, nin - 1),
-                                  0, h)
+            # window starts at chunk jg*G - s*h - s
+            return lambda jg, h, t=t: (
+                jnp.clip((jg * G - s * h - s) // G + t, 0, nin - 1), 0, h)
+        # window starts at chunk jg*G + s*h
+        return lambda jg, h, t=t: (
+            jnp.clip((jg * G + s * h) // G + t, 0, nin - 1), 0, h)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         body,
-        grid=(W_out // _LANE, Hp // _LANE),
-        in_specs=[pl.BlockSpec((_LANE, C, _LANE), in_map(t),
+        grid=(W_pad // GW, Hp // _LANE),
+        in_specs=[pl.BlockSpec((GW, C, _LANE), in_map(t),
                                memory_space=pltpu.VMEM)
-                  for t in range(s + 1)],
-        out_specs=pl.BlockSpec((_LANE, C, _LANE), lambda j, h: (j, 0, h),
+                  for t in range(2)],
+        out_specs=pl.BlockSpec((GW, C, _LANE), lambda jg, h: (jg, 0, h),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((W_out, C, Hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((W_pad, C, Hp), jnp.float32),
         interpret=interpret,
-    )(*([x] * (s + 1)))
+    )(x, x)
+    return out if W_pad == W_out else out[:W_out]
 
 
 def shear_to_colmaj(xcm, Wsp: int, s: int, W: int, H: int,

@@ -164,6 +164,101 @@ class ShaderTexture:
 
 
 @dataclass
+class BufferVar:
+    """One //!VAR declaration inside a //!BUFFER block."""
+    name: str
+    type: str                           # float|int|uint|bool|vecN|ivecN|matN
+    dim_a: int = 0                      # 0 = not an array
+
+
+@dataclass
+class ShaderBuffer:
+    """A //!BUFFER block (reference parse_buf, custom_mpv.c:500-616):
+    named uniform (read-only, std140) or STORAGE (read-write, std430)
+    buffer whose //!VAR members become global identifiers in the hook
+    bodies.  TPU translation: members are traced values threaded
+    through the pass store; STORAGE writes (plain assignment of a
+    spatially-uniform value, or atomicAdd summed over invocations)
+    become visible to subsequent passes within the same frame.  Unlike
+    the reference's persistent GPU buffer, values reset to the initial
+    data each frame — the functional pipeline has no cross-frame
+    mutable state channel (peak detection, the one reference feature
+    needing it, has its own dedicated state)."""
+    name: str
+    storage: bool = False
+    vars: List[BufferVar] = field(default_factory=list)
+    values: Dict[str, object] = field(default_factory=dict)
+
+
+# GLSL scalar/vector/matrix sizes for buffer layout: type ->
+# (components, column count) — matrices are column arrays
+_BUF_TYPES = {
+    "float": (1, 0), "int": (1, 0), "uint": (1, 0), "bool": (1, 0),
+    "vec2": (2, 0), "vec3": (3, 0), "vec4": (4, 0),
+    "ivec2": (2, 0), "ivec3": (3, 0), "ivec4": (4, 0),
+    "uvec2": (2, 0), "uvec3": (3, 0), "uvec4": (4, 0),
+    "bvec2": (2, 0), "bvec3": (3, 0), "bvec4": (4, 0),
+    "mat2": (2, 2), "mat3": (3, 3), "mat4": (4, 4),
+    "mat2x3": (3, 2), "mat3x2": (2, 3), "mat2x4": (4, 2),
+    "mat4x2": (2, 4), "mat3x4": (4, 3), "mat4x3": (3, 4),
+}
+
+
+def _buf_align(comps: int, std430: bool) -> int:
+    """Base alignment of a scalar/vecN in bytes (std140 == std430 for
+    non-array, non-struct members: vec3 aligns like vec4)."""
+    return 4 * {1: 1, 2: 2, 3: 4, 4: 4}[comps]
+
+
+def _decode_buffer(vars: List[BufferVar], raw: bytes, std430: bool):
+    """Decode the hex payload of a //!BUFFER per std140 (uniform) /
+    std430 (storage) layout rules into {name: float | np.ndarray}.
+    Empty payloads (legal for STORAGE) decode to zeros."""
+    values: Dict[str, object] = {}
+    off = 0
+    zeros = len(raw) == 0
+    for v in vars:
+        if v.type not in _BUF_TYPES:
+            raise MpvHookError(f"unsupported buffer var type {v.type!r}")
+        comps, ncols = _BUF_TYPES[v.type]
+        is_int = v.type[0] in "iub"     # int/uint/bool/ivec/uvec/bvec
+        align = _buf_align(comps, std430)
+        nelem = max(v.dim_a, 1) * max(ncols, 1)
+        stride = align if std430 else max(align, 16)
+        if v.dim_a == 0 and ncols == 0:
+            # plain scalar/vector: natural alignment in both layouts
+            off = (off + align - 1) // align * align
+            if zeros:
+                arr = np.zeros(comps, np.float32)
+            else:
+                dt = "<i4" if is_int else "<f4"
+                arr = np.frombuffer(raw, dt, comps, off).astype(np.float64)
+            off += comps * 4
+            values[v.name] = float(arr[0]) if comps == 1 else \
+                arr.astype(np.float32)
+            continue
+        # arrays and matrices: element stride rounds to 16 under std140
+        off = (off + stride - 1) // stride * stride
+        rows = []
+        for _ in range(nelem):
+            if zeros:
+                rows.append(np.zeros(comps, np.float32))
+            else:
+                dt = "<i4" if is_int else "<f4"
+                rows.append(np.frombuffer(raw, dt, comps, off)
+                            .astype(np.float64).astype(np.float32))
+            off += stride
+        arr = np.stack(rows)
+        if ncols and v.dim_a:
+            arr = arr.reshape(v.dim_a, ncols, comps)
+        values[v.name] = arr
+    if not zeros and off > len(raw) + 3:
+        raise MpvHookError(
+            f"BUFFER payload too short: got {len(raw)}, need {off}")
+    return values
+
+
+@dataclass
 class ShaderParam:
     """Reference pl_hook_par (custom_mpv.c:687)."""
     name: str
@@ -181,6 +276,7 @@ class UserShader:
     passes: List[ShaderPass] = field(default_factory=list)
     textures: Dict[str, ShaderTexture] = field(default_factory=dict)
     params: Dict[str, ShaderParam] = field(default_factory=dict)
+    buffers: Dict[str, ShaderBuffer] = field(default_factory=dict)
     name: str = "user shader"
 
 
@@ -342,10 +438,36 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
             shader.textures[tname] = ShaderTexture(
                 name=tname, data=data, filter=filt, border=border)
         elif head.startswith("BUFFER"):
-            # storage buffers have no TPU counterpart (they exist for
-            # compute-shader scratch); parse + skip the block
-            read_block_lines()
-            read_body()
+            dirs = read_block_lines()
+            buf = ShaderBuffer(name=dirs[0].partition(" ")[2].strip())
+            for d in dirs[1:]:
+                key, _, rest = d.partition(" ")
+                rest = rest.strip()
+                if key == "BUFFER":
+                    buf.name = rest
+                elif key == "STORAGE":
+                    buf.storage = True
+                elif key == "VAR":
+                    vtype, _, vname = rest.partition(" ")
+                    vname = vname.strip()
+                    dim = 0
+                    if "[" in vname:
+                        vname, _, dpart = vname.partition("[")
+                        dim = int(dpart.rstrip("]").strip())
+                        if dim < 1:
+                            raise MpvHookError(
+                                f"invalid array dimension {dim}")
+                    buf.vars.append(BufferVar(name=vname.strip(),
+                                              type=vtype.strip(),
+                                              dim_a=dim))
+                else:
+                    raise MpvHookError(f"bad BUFFER directive {key!r}")
+            payload = read_body().strip().replace("\n", "").replace(" ", "")
+            raw = bytes.fromhex(payload)
+            if raw and not buf.storage and not buf.vars:
+                raise MpvHookError(f"BUFFER {buf.name}: data but no VARs")
+            buf.values = _decode_buffer(buf.vars, raw, std430=buf.storage)
+            shader.buffers[buf.name] = buf
         elif head.startswith("PARAM"):
             dirs = read_block_lines()
             pname = dirs[0].partition(" ")[2].strip()
@@ -550,12 +672,17 @@ class _BodyRunner:
 
     def __init__(self, textures: Dict[str, "_TexView"],
                  hooked: str, params: Dict[str, float],
-                 defines: Dict[str, str], out_shape: Tuple[int, int]):
+                 defines: Dict[str, str], out_shape: Tuple[int, int],
+                 buf_vals: Optional[Dict[str, object]] = None,
+                 buf_writable: Optional[set] = None):
         self.tex = textures
         self.hooked = hooked
         self.params = params
         self.defines = defines
         self.H, self.W = out_shape
+        # //!BUFFER members: flat GLSL-style global namespace
+        self.buf_vals = buf_vals or {}
+        self.buf_writable = buf_writable or set()
 
     # -- value helpers ---------------------------------------------------
 
@@ -615,9 +742,41 @@ class _BodyRunner:
         self.pos = 0
         self.vars: Dict[str, _Vec] = {}
         self.arrays: Dict[str, List[_Vec]] = {}
+        # //!BUFFER members enter as pre-bound globals (locals may
+        # shadow by declaration, matching GLSL scoping)
+        self._buf_names = set()
+        for bname, val in self.buf_vals.items():
+            self._buf_names.add(bname)
+            if isinstance(val, list):
+                self.arrays[bname] = [
+                    v if isinstance(v, _Vec) else
+                    _Vec(list(np.atleast_1d(v)), scalar=np.ndim(v) == 0)
+                    for v in val]
+            elif isinstance(val, np.ndarray) and val.ndim >= 2:
+                self.arrays[bname] = [_Vec(list(row)) for row in val]
+            elif isinstance(val, np.ndarray) and val.ndim == 1:
+                self.vars[bname] = _Vec(list(val), scalar=val.size == 1)
+            elif isinstance(val, _Vec):
+                self.vars[bname] = val
+            else:
+                self.vars[bname] = _Vec([val], scalar=True)
         ret = self._run_statements()
         if ret is None:
             raise MpvHookError("hook() did not return")
+        # collect final values of writable (STORAGE) members
+        self.buf_writes: Dict[str, object] = {}
+        for bname in self._buf_names & self.buf_writable:
+            if bname in self.arrays:
+                self.buf_writes[bname] = self.arrays[bname]
+            else:
+                v = self.vars[bname]
+                for c in v.comps:
+                    if hasattr(c, "shape") and int(np.prod(c.shape)) > 1:
+                        raise MpvHookError(
+                            f"storage var {bname!r} assigned a per-pixel "
+                            "value (a data race in GLSL too) — reduce it "
+                            "first or use atomicAdd")
+                self.buf_writes[bname] = v
         return ret
 
     def _peek(self, k=0):
@@ -859,8 +1018,18 @@ class _BodyRunner:
                 name = self._next()
             self._expect(";")
             return None
+        if t == "atomicAdd":
+            # expression statement (the usual form: return value unused)
+            self._next()
+            self._atomic_add()
+            self._expect(";")
+            return None
         if t in self.arrays and self._peek(1) == "[":
             # array element assignment: NAME[static_idx] op= expr;
+            if t in getattr(self, "_buf_names", ()) and \
+                    t not in self.buf_writable:
+                raise MpvHookError(
+                    f"cannot assign to uniform buffer member {t!r}")
             self._next()
             self._next()
             idx = self._static_index(t)
@@ -880,6 +1049,10 @@ class _BodyRunner:
         name = self._next()
         if name not in self.vars:
             raise MpvHookError(f"unsupported statement at {name!r}")
+        if name in getattr(self, "_buf_names", ()) and \
+                name not in self.buf_writable:
+            raise MpvHookError(
+                f"cannot assign to uniform buffer member {name!r}")
         swz = None
         if self._peek() == ".":
             self._next()
@@ -1116,6 +1289,8 @@ class _BodyRunner:
                 "min", "max", "clamp", "mix", "pow", "mod", "step",
                 "smoothstep", "dot", "distance", "atan"):
             return self._call(t)
+        if t == "atomicAdd":
+            return self._atomic_add()
         if t in ("texture", "textureLod", "texelFetch"):
             # raw-GLSL sampling of a bound texture by name (the form
             # RAVU-generated shaders use; reference binds textures as
@@ -1139,6 +1314,47 @@ class _BodyRunner:
         if t in self.params:
             return _Vec([float(self.params[t])], scalar=True)
         raise MpvHookError(f"unknown identifier {t!r}")
+
+    def _atomic_add(self):
+        """atomicAdd(member[, idx], value) on a STORAGE buffer member.
+        hook() runs once per output pixel, so the reference's atomic
+        accumulation over all invocations translates to a sum of the
+        value expression over the output grid (a TPU-native reduction
+        instead of memory contention).  Returns the value the member
+        held before this pass's adds, like GLSL returns the pre-add
+        value (deterministic here where GLSL's is scheduling-defined)."""
+        import jax.numpy as jnp
+        self._expect("(")
+        name = self._next()
+        if name not in getattr(self, "_buf_names", ()):
+            raise MpvHookError(
+                f"atomicAdd target {name!r} is not a buffer member")
+        if name not in self.buf_writable:
+            raise MpvHookError(
+                f"atomicAdd on read-only (uniform) buffer member {name!r}")
+        idx = None
+        if self._peek() == "[":
+            self._next()
+            idx = self._static_index(name)
+            self._expect("]")
+        self._expect(",")
+        val = self._materialize(self._expr())
+        self._expect(")")
+        if not val.scalar and len(val) != 1:
+            raise MpvHookError("atomicAdd value must be scalar")
+        c = val.comps[0]
+        if hasattr(c, "shape"):
+            total = jnp.sum(jnp.broadcast_to(c, (self.H, self.W)))
+        else:
+            total = float(c) * self.H * self.W
+        if idx is not None:
+            old = self.arrays[name][idx]
+            self.arrays[name][idx] = _Vec(
+                [old.comps[0] + total], scalar=True)
+        else:
+            old = self.vars[name]
+            self.vars[name] = _Vec([old.comps[0] + total], scalar=True)
+        return _Vec([old.comps[0]], scalar=True)
 
     def _static_index(self, name: str) -> int:
         """Parse an array index; must fold to a host constant (unrolled
@@ -1781,7 +1997,8 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
         views[tname] = _TexView(tname, tex.data, tex.filter, tex.border,
                                 is_builtin=True)
     for tname, arr in store.items():
-        views[tname] = _TexView(tname, arr)
+        if not tname.startswith("__"):      # "__buffers__" is not a tex
+            views[tname] = _TexView(tname, arr)
 
     sizes = {name: (tv.h, tv.w) for name, tv in views.items()}
     sizes["HOOKED"] = (H, W)
@@ -1817,9 +2034,34 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
         bind_views = {hooked: views[hooked]}
     bind_views.setdefault(hooked, views[hooked])
 
+    # //!BUFFER members: current values live in the per-frame store
+    # (initialized from the parsed payload the first time a pass of
+    # this shader runs each frame); STORAGE writes flow to later passes
+    buf_vals = None
+    buf_writable = None
+    if shader.buffers:
+        key = "__buffers__"
+        if key not in store:
+            init: Dict[str, object] = {}
+            for buf in shader.buffers.values():
+                for bv in buf.vars:
+                    val = buf.values[bv.name]
+                    if isinstance(val, np.ndarray) and val.ndim >= 2:
+                        init[bv.name] = [_Vec(list(r)) for r in
+                                         val.reshape(val.shape[0], -1)]
+                    else:
+                        init[bv.name] = val
+            store[key] = init
+        buf_vals = store[key]
+        buf_writable = {bv.name for buf in shader.buffers.values()
+                        if buf.storage for bv in buf.vars}
+
     runner = _BodyRunner(bind_views, hooked, par_vals, defines,
-                         (out_h, out_w))
+                         (out_h, out_w), buf_vals=buf_vals,
+                         buf_writable=buf_writable)
     result = runner.run(p.body)
+    if shader.buffers:
+        store["__buffers__"].update(runner.buf_writes)
 
     comps = p.components or img.shape[-3]
     out = jnp.stack(result.comps[:comps], axis=-3)

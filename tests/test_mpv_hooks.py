@@ -803,3 +803,145 @@ vec4 hook()
     out2 = run_hooks([hook2], HookStage.RGB, img, disabled2)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))
     assert hook2.signature in disabled2
+
+
+# ---------------------------------------------------------------------------
+# //!BUFFER blocks (reference parse_buf, custom_mpv.c:500-616)
+# ---------------------------------------------------------------------------
+
+def _f32_hex(*vals):
+    return b"".join(np.float32(v).tobytes() for v in vals).hex()
+
+
+def _uniform_buffer_shader():
+    # std140: gain@0, tint@16 (vec3 aligns 16), lut[2] stride 16 @32/48
+    import struct
+    payload = bytearray(64)
+    struct.pack_into("<f", payload, 0, 2.0)              # gain
+    struct.pack_into("<3f", payload, 16, 0.1, 0.2, 0.3)  # tint
+    struct.pack_into("<f", payload, 32, 0.05)            # lut[0]
+    struct.pack_into("<f", payload, 48, 0.07)            # lut[1]
+    return f"""\
+//!BUFFER params_buf
+//!VAR float gain
+//!VAR vec3 tint
+//!VAR float lut[2]
+{bytes(payload).hex()}
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC apply uniform-buffer gain/tint/lut
+
+vec4 hook()
+{{
+    vec4 c = HOOKED_texOff(0);
+    return vec4(c.x * gain + lut[0], c.y + tint.y + lut[1],
+                c.z + tint.z, 1.0);
+}}
+"""
+
+
+def test_buffer_uniform_parse_std140():
+    sh = parse_user_shader(_uniform_buffer_shader())
+    buf = sh.buffers["params_buf"]
+    assert not buf.storage
+    assert [v.name for v in buf.vars] == ["gain", "tint", "lut"]
+    assert buf.values["gain"] == pytest.approx(2.0)
+    np.testing.assert_allclose(buf.values["tint"], [0.1, 0.2, 0.3],
+                               rtol=1e-6)
+    np.testing.assert_allclose(buf.values["lut"].ravel(), [0.05, 0.07],
+                               rtol=1e-6)
+
+
+def test_buffer_uniform_vars_in_body():
+    hook = user_shader_hook(_uniform_buffer_shader())
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((3, 8, 12)).astype(np.float32))
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    ref = np.asarray(img)
+    exp = np.stack([ref[0] * 2.0 + 0.05, ref[1] + 0.2 + 0.07,
+                    ref[2] + 0.3])
+    np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-6)
+
+
+STORAGE_AVG_SHADER = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float total
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC accumulate luma sum (atomicAdd over all invocations)
+
+vec4 hook()
+{
+    atomicAdd(total, HOOKED_texOff(0).x);
+    return HOOKED_texOff(0);
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC subtract the frame-average of channel 0
+
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    float avg = total / (HOOKED_size.x * HOOKED_size.y);
+    return vec4(c.x - avg, c.y, c.z, 1.0);
+}
+"""
+
+
+def test_buffer_storage_atomic_add_across_passes():
+    """A STORAGE buffer written by pass 1 (atomicAdd = sum over the
+    output grid) is visible to pass 2 within the same frame."""
+    hook = user_shader_hook(STORAGE_AVG_SHADER)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((3, 6, 10)).astype(np.float32))
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    ref = np.asarray(img)
+    exp = ref.copy()
+    exp[0] = ref[0] - ref[0].mean()
+    np.testing.assert_allclose(out, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_buffer_storage_resets_each_frame():
+    """Unlike the reference's persistent GPU buffer, values re-init
+    per frame (documented deviation) — two renders give equal output."""
+    hook = user_shader_hook(STORAGE_AVG_SHADER)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((3, 6, 10)).astype(np.float32))
+    a = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    b = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_buffer_uniform_assignment_rejected():
+    bad = _uniform_buffer_shader().replace(
+        "vec4 c = HOOKED_texOff(0);",
+        "vec4 c = HOOKED_texOff(0); gain = 3.0;")
+    hook = user_shader_hook(bad)
+    img = jnp.zeros((3, 4, 4), jnp.float32)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    # hook auto-disabled with the clean error, image unchanged
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
+def test_buffer_storage_per_pixel_write_rejected():
+    bad = STORAGE_AVG_SHADER.replace(
+        "atomicAdd(total, HOOKED_texOff(0).x);",
+        "total = HOOKED_texOff(0).x;")
+    hook = user_shader_hook(bad)
+    img = jnp.zeros((3, 4, 4), jnp.float32)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
+def test_buffer_storage_empty_payload_zero_init():
+    sh = parse_user_shader(STORAGE_AVG_SHADER)
+    assert sh.buffers["stats"].storage
+    assert sh.buffers["stats"].values["total"] == 0.0

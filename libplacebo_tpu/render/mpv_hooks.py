@@ -742,6 +742,12 @@ class _BodyRunner:
         self.pos = 0
         self.vars: Dict[str, _Vec] = {}
         self.arrays: Dict[str, List[_Vec]] = {}
+        # early-return predication state: _mask_stack holds the active
+        # per-pixel path conditions (one per enclosing traced if-branch);
+        # _pending_rets collects (mask, vec4) for lanes that returned
+        # early.  Merged first-return-wins at the end of run().
+        self._mask_stack: List[object] = []
+        self._pending_rets: List[tuple] = []
         # //!BUFFER members enter as pre-bound globals (locals may
         # shadow by declaration, matching GLSL scoping)
         self._buf_names = set()
@@ -761,8 +767,22 @@ class _BodyRunner:
             else:
                 self.vars[bname] = _Vec([val], scalar=True)
         ret = self._run_statements()
+        if ret is None and self._pending_rets:
+            # every lane returned via conditional paths (e.g. an
+            # if/else where both branches return).  GLSL leaves lanes
+            # not covered by any return undefined; we fall back to the
+            # LAST conditional return's value for them, matching the
+            # common fully-covered patterns exactly.
+            _, ret = self._pending_rets.pop()
         if ret is None:
             raise MpvHookError("hook() did not return")
+        # merge early returns (first return wins, so apply in reverse)
+        for mask, val in reversed(self._pending_rets):
+            a, b = self._broadcast(val, ret)
+            ret = _Vec([_amod(mask, x, y).where(mask, x, y)
+                        for x, y in zip(a.comps, b.comps)],
+                       scalar=a.scalar)
+        self._pending_rets = []
         # collect final values of writable (STORAGE) members
         self.buf_writes: Dict[str, object] = {}
         for bname in self._buf_names & self.buf_writable:
@@ -883,10 +903,36 @@ class _BodyRunner:
             i += stepv
         self.pos = body_end
 
+    def _run_branch(self, mask):
+        """Run one if-branch under a traced path condition.  Returns the
+        branch's return value (or None); when it returns early, the
+        remaining tokens of the branch are skipped so the caller lands
+        at the branch end either way."""
+        start = self.pos
+        self._mask_stack.append(mask)
+        try:
+            ret = self._run_block()
+        finally:
+            self._mask_stack.pop()
+        if ret is not None:
+            self.pos = start
+            self._skip_block()
+        return ret
+
+    def _register_return(self, cond, val):
+        """Record an early return for lanes where `cond` AND every
+        enclosing traced-branch condition holds."""
+        mask = cond
+        for m in self._mask_stack:
+            mask = _amod(mask, m).logical_and(mask, m)
+        self._pending_rets.append((mask, val))
+
     def _if_stmt(self):
         """if/else: executed directly for static (host) conditions;
         per-pixel conditions run BOTH branches and merge every assigned
-        variable with jnp.where (standard trace-time predication)."""
+        variable with jnp.where (standard trace-time predication).
+        Early `return`s in traced branches become masked pending
+        returns, merged first-return-wins at the end of the hook."""
         import jax.numpy as jnp
         self._expect("if")
         self._expect("(")
@@ -906,20 +952,27 @@ class _BodyRunner:
                 self._skip_block()
             return ret
 
-        # traced condition: predicated execution of both branches
+        # traced condition: predicated execution of both branches.  A
+        # `return` inside a branch becomes a pending (mask, value) pair
+        # (lanes where the path condition holds take that value; the
+        # remaining lanes keep executing) — standard trace-time
+        # predication of early returns.
         snapshot = dict(self.vars)
-        ret = self._run_block()
+        ret = self._run_branch(c)
         if ret is not None:
-            raise MpvHookError(
-                "return inside a per-pixel if is unsupported")
+            self._register_return(c, ret)
+            # returned lanes' variable state is unreachable; keep the
+            # pre-if state for the merge below
+            self.vars = dict(snapshot)
         vars_then = self.vars
         self.vars = dict(snapshot)
         if self._peek() == "else":
             self._next()
-            ret = self._run_block()
+            not_c = _amod(c).logical_not(c)
+            ret = self._run_branch(not_c)
             if ret is not None:
-                raise MpvHookError(
-                    "return inside a per-pixel if is unsupported")
+                self._register_return(not_c, ret)
+                self.vars = dict(snapshot)
         vars_else = self.vars
         merged = dict(vars_else)
         for k, tv in vars_then.items():

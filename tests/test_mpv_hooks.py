@@ -327,6 +327,118 @@ def test_per_pixel_if_hook():
     np.testing.assert_allclose(out, expect, atol=1e-6)
 
 
+EARLY_RETURN_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    float luma = dot(c.rgb, vec3(0.299, 0.587, 0.114));
+    if (luma > 0.5)
+        return vec4(c.rgb * 0.25, 1.0);
+    vec3 t = c.rgb + 0.1;
+    if (luma < 0.2) {
+        t = t * 2.0;
+        return vec4(t, 1.0);
+    }
+    return vec4(t * 0.5, 1.0);
+}
+"""
+
+
+def test_per_pixel_early_return():
+    """Adaptive-sharpen-class early returns: lanes exit at the first
+    satisfied per-pixel condition (reference compiles arbitrary GLSL,
+    custom_mpv.c:1594)."""
+    hook = user_shader_hook(EARLY_RETURN_HOOK)
+    img = _img(5, 7, seed=9)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    luma = (0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2])[None]
+    t = x + 0.1
+    expect = np.where(luma > 0.5, x * 0.25,
+                      np.where(luma < 0.2, t * 2.0, t * 0.5))
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+BOTH_RETURN_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (c.r > 0.5) { return c * 2.0; } else { return c * 0.5; }
+}
+"""
+
+
+def test_per_pixel_if_else_both_return():
+    hook = user_shader_hook(BOTH_RETURN_HOOK)
+    img = _img(4, 6, seed=10)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    expect = np.where(x[0][None] > 0.5, x * 2.0, x * 0.5)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+NESTED_RETURN_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (c.r > 0.3) {
+        if (c.g > 0.5)
+            return vec4(1.0, 0.0, 0.0, 1.0);
+        c.b = c.b + 0.5;
+    }
+    return vec4(c.rgb, 1.0);
+}
+"""
+
+
+def test_nested_per_pixel_early_return():
+    hook = user_shader_hook(NESTED_RETURN_HOOK)
+    img = _img(5, 6, seed=11)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    r, g, b = x[0], x[1], x[2]
+    inner = (r > 0.3) & (g > 0.5)
+    b2 = np.where(r > 0.3, b + 0.5, b)
+    expect = np.where(inner[None], np.array([1.0, 0.0, 0.0])[:, None, None],
+                      np.stack([r, g, b2]))
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+LOOP_RETURN_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    for (int i = 0; i < 3; i++) {
+        if (c.r > 0.8 - 0.25 * float(i))
+            return vec4(0.1 * float(i + 1));
+    }
+    return vec4(c.rgb, 1.0);
+}
+"""
+
+
+def test_early_return_inside_loop():
+    """First-return-wins across unrolled loop iterations."""
+    hook = user_shader_hook(LOOP_RETURN_HOOK)
+    img = _img(5, 7, seed=12)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    r = x[0][None]
+    expect = np.where(r > 0.8, 0.1,
+                      np.where(r > 0.55, 0.2,
+                               np.where(r > 0.3, 0.3,
+                                        np.concatenate([x[:3]]))))
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
 STATIC_IF_HOOK = """\
 //!PARAM mode
 //!TYPE DEFINE

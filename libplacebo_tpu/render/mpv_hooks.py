@@ -35,6 +35,16 @@ own TPU lowering:
 Data-dependent coordinates into *image-sized* textures (a true
 per-pixel gather) are rejected with a clear error and auto-disabled by
 the hook engine rather than failing frames, mirroring renderer.c:64-65.
+
+`//!COMPUTE` hooks (the KrigBilateral-class cooperative-tile family,
+reference custom_mpv.c:265-285,1482-1503) run in the same interpreter:
+`void hook()` entry, `gl_*InvocationID`/`gl_WorkGroup*` bound to host
+coordinate grids (one invocation per output pixel), output assembled
+from `imageStore(out_image, ...)` calls, `barrier()` a no-op, and
+workgroup-shared arrays handled by replaying their cooperative fill
+loop at every read — the shared tile is never materialized, and each
+read lowers to the same separable static gather as a fragment texOff
+tap (see the _BodyRunner docstring for why this is exact).
 """
 from __future__ import annotations
 
@@ -151,8 +161,10 @@ class ShaderPass:
     height: Optional[list] = None
     cond: Optional[list] = None         # shexpr (None = true)
     is_compute: bool = False
-    block_w: int = 0
+    block_w: int = 0                    # pixels per workgroup
     block_h: int = 0
+    threads_w: int = 0                  # actual threads (0 = block)
+    threads_h: int = 0
 
 
 @dataclass
@@ -390,9 +402,17 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
                 elif key == "COMPONENTS":
                     p.components = int(rest)
                 elif key == "COMPUTE":
+                    # reference custom_mpv.c:265-285: bw bh [tw th]
                     parts = rest.split()
+                    if len(parts) not in (2, 4):
+                        raise MpvHookError("Error while parsing COMPUTE!")
                     p.is_compute = True
                     p.block_w, p.block_h = int(parts[0]), int(parts[1])
+                    if len(parts) == 4:
+                        p.threads_w = int(parts[2])
+                        p.threads_h = int(parts[3])
+                    else:
+                        p.threads_w, p.threads_h = p.block_w, p.block_h
                 else:
                     raise MpvHookError(f"Unrecognized command {key!r}!")
             p.body = read_body()
@@ -667,14 +687,37 @@ def _expand_defines(body: str, max_rounds: int = 16) -> str:
     return body
 
 
+# sentinel for a bare `return;` inside a compute `void hook()`
+_VOID_RETURN = object()
+
+
 class _BodyRunner:
-    """Executes a restricted-GLSL `vec4 hook()` body on traced arrays."""
+    """Executes a restricted-GLSL `vec4 hook()` body on traced arrays.
+
+    Compute hooks (`//!COMPUTE`, reference custom_mpv.c:265-285,1482-1503)
+    run the same interpreter in *compute mode*: one invocation per output
+    pixel, `gl_*InvocationID`/`gl_WorkGroup*` bound to host coordinate
+    grids (position-derived, so sampling stays a static gather), output
+    assembled from `imageStore(out_image, ...)` calls, `barrier()` a
+    no-op.  Workgroup-shared arrays are handled by *transparent replay*:
+    the canonical cooperative-fill loop
+
+        for (uint id = gl_LocalInvocationIndex; id < N; id += wg_size)
+            cache[id] = <pure function of id and gl_WorkGroupID>;
+
+    is captured (not executed), and every later `cache[idx]` read
+    re-evaluates the fill body with `id := idx` — exact semantics
+    (each slot is written once as a pure function of its index; the
+    barrier merely publishes it), with the shared tile never
+    materialized.  Reads at workgroup-local offsets therefore lower to
+    the same separable static gathers as fragment-hook texOff taps."""
 
     def __init__(self, textures: Dict[str, "_TexView"],
                  hooked: str, params: Dict[str, float],
                  defines: Dict[str, str], out_shape: Tuple[int, int],
                  buf_vals: Optional[Dict[str, object]] = None,
-                 buf_writable: Optional[set] = None):
+                 buf_writable: Optional[set] = None,
+                 compute: Optional[Tuple[int, int]] = None):
         self.tex = textures
         self.hooked = hooked
         self.params = params
@@ -683,6 +726,8 @@ class _BodyRunner:
         # //!BUFFER members: flat GLSL-style global namespace
         self.buf_vals = buf_vals or {}
         self.buf_writable = buf_writable or set()
+        self.compute = compute          # (threads_w, threads_h) or None
+        self.shared: Dict[str, dict] = {}
 
     # -- value helpers ---------------------------------------------------
 
@@ -726,7 +771,17 @@ class _BodyRunner:
         body = _expand_defines(body)
         if re.search(r"^\s*#", body, re.M):
             raise MpvHookError("unsupported preprocessor directive")
-        m = re.search(r"vec4\s+hook\s*\(\s*\)\s*{", body)
+        if self.compute is not None:
+            # workgroup-shared declarations live at global scope; strip
+            # them (replayed on demand, never materialized)
+            for sm in re.finditer(
+                    r"\bshared\s+(float|int|uint|vec2|vec3|vec4)\s+"
+                    r"(\w+)\s*\[[^\]]*\]\s*;", body):
+                self.shared[sm.group(2)] = {"type": sm.group(1)}
+            body = re.sub(r"\bshared\s+[^;]*;", " ", body)
+            m = re.search(r"(?:void|vec4)\s+hook\s*\(\s*\)\s*{", body)
+        else:
+            m = re.search(r"vec4\s+hook\s*\(\s*\)\s*{", body)
         if not m:
             raise MpvHookError("no `vec4 hook()` entry point found")
         depth = 1
@@ -748,6 +803,14 @@ class _BodyRunner:
         # early.  Merged first-return-wins at the end of run().
         self._mask_stack: List[object] = []
         self._pending_rets: List[tuple] = []
+        # compute-mode state: recorded imageStores, captured shared
+        # fill loops, and the "returned early" lane mask
+        self._image_stores: List[tuple] = []
+        self._shared_fill: Dict[str, tuple] = {}
+        self._replay: Optional[dict] = None
+        self._dead = None
+        if self.compute is not None:
+            self._bind_invocation_vars()
         # //!BUFFER members enter as pre-bound globals (locals may
         # shadow by declaration, matching GLSL scoping)
         self._buf_names = set()
@@ -767,6 +830,12 @@ class _BodyRunner:
             else:
                 self.vars[bname] = _Vec([val], scalar=True)
         ret = self._run_statements()
+        if self.compute is not None:
+            if ret is not None and ret is not _VOID_RETURN:
+                raise MpvHookError("compute hook() must return void")
+            ret = self._assemble_stores()
+            self._collect_buf_writes()
+            return ret
         if ret is None and self._pending_rets:
             # every lane returned via conditional paths (e.g. an
             # if/else where both branches return).  GLSL leaves lanes
@@ -783,7 +852,11 @@ class _BodyRunner:
                         for x, y in zip(a.comps, b.comps)],
                        scalar=a.scalar)
         self._pending_rets = []
-        # collect final values of writable (STORAGE) members
+        self._collect_buf_writes()
+        return ret
+
+    def _collect_buf_writes(self):
+        """Collect final values of writable (STORAGE) buffer members."""
         self.buf_writes: Dict[str, object] = {}
         for bname in self._buf_names & self.buf_writable:
             if bname in self.arrays:
@@ -797,7 +870,211 @@ class _BodyRunner:
                             "value (a data race in GLSL too) — reduce it "
                             "first or use atomicAdd")
                 self.buf_writes[bname] = v
-        return ret
+
+    # -- compute-mode machinery -------------------------------------------
+
+    def _bind_invocation_vars(self):
+        """Bind the GLSL compute built-ins as host coordinate grids
+        (one invocation per output pixel; x kept (1, W)-shaped and y
+        (H, 1)-shaped so derived sampling coords stay separable)."""
+        tw, th = self.compute
+        X = np.arange(self.W, dtype=np.float64)[None, :]
+        Y = np.arange(self.H, dtype=np.float64)[:, None]
+        self.vars["gl_GlobalInvocationID"] = _Vec([X, Y, 0.0])
+        self.vars["gl_LocalInvocationID"] = _Vec([X % tw, Y % th, 0.0])
+        self.vars["gl_WorkGroupID"] = _Vec([X // tw, Y // th, 0.0])
+        self.vars["gl_WorkGroupSize"] = _Vec(
+            [float(tw), float(th), 1.0])
+        self.vars["gl_NumWorkGroups"] = _Vec(
+            [float(-(-self.W // tw)), float(-(-self.H // th)), 1.0])
+        self.vars["gl_LocalInvocationIndex"] = _Vec(
+            [(Y % th) * tw + (X % tw)], scalar=True)
+
+    def _capture_shared_fill(self, var):
+        """Capture (don't execute) a cooperative shared-fill loop whose
+        start depends on the invocation; called by _for_stmt after the
+        init expression.  Records the body span for replay keyed by
+        every shared array the body assigns."""
+        cvar = self._next()
+        if cvar != var:
+            raise MpvHookError("for-loop condition must test the "
+                               "loop var")
+        self._next()                              # comparison op
+        self._expr()                              # bound (ignored)
+        self._expect(";")
+        ivar = self._next()
+        if ivar != var:
+            raise MpvHookError("for-loop increment must update the "
+                               "loop var")
+        itok = self._next()
+        if itok in ("+=", "-="):
+            self._expr()
+        elif itok not in ("++", "--"):
+            raise MpvHookError(f"unsupported loop increment {itok!r}")
+        self._expect(")")
+        start = self.pos
+        self._skip_block()
+        end = self.pos
+        wrote = set()
+        k = start
+        while k < end - 1:
+            if self.toks[k] in self.shared and self.toks[k + 1] == "[":
+                d, j = 1, k + 2
+                while j < end and d:
+                    if self.toks[j] == "[":
+                        d += 1
+                    elif self.toks[j] == "]":
+                        d -= 1
+                    j += 1
+                if j < end and self.toks[j] == "=" and \
+                        self.toks[j + 1] != "=":
+                    wrote.add(self.toks[k])
+            k += 1
+        if not wrote:
+            raise MpvHookError(
+                "a for loop with invocation-dependent bounds must be a "
+                "cooperative shared-array fill")
+        for nm in wrote:
+            self._shared_fill[nm] = (var, start, end)
+
+    def _shared_read(self, name, idxv):
+        """Read shared[idx] by replaying the captured fill body with the
+        loop variable bound to idx (see class docstring)."""
+        spec = self._shared_fill.get(name)
+        if spec is None:
+            raise MpvHookError(
+                f"shared array {name!r} read before its fill loop")
+        ridx = idxv.comps[0]
+        if _is_traced(ridx):
+            raise MpvHookError(
+                "data-dependent shared-memory indices are not supported "
+                "on TPU (per-pixel gather); indices must derive from "
+                "invocation IDs / constants")
+        var, start, end = spec
+        saved = (self.pos, dict(self.vars),
+                 {k: list(v) for k, v in self.arrays.items()},
+                 self._replay)
+        self._replay = {"target": name, "idx": np.asarray(ridx),
+                        "value": None}
+        self.vars[var] = _Vec([ridx], scalar=True)
+        self.pos = start
+        try:
+            if self._run_block() is not None:
+                raise MpvHookError("return inside a fill loop is "
+                                   "unsupported")
+            val = self._replay["value"]
+        finally:
+            self.pos, self.vars, self.arrays, self._replay = saved
+        if val is None:
+            raise MpvHookError(
+                f"fill loop never assigned {name}[{var}]")
+        return val
+
+    def _shared_write(self, name):
+        """`name[idx] = expr;` with name a shared array: outside replay
+        this must be inside a captured fill loop (never reached —
+        capture skips the body); during replay of `name`, record the
+        value when the write index matches the requested slot."""
+        self._next()
+        self._expect("[")
+        idxv = self._materialize(self._expr())
+        self._expect("]")
+        op = self._next()
+        if op != "=":
+            raise MpvHookError(
+                f"shared arrays support only plain assignment, got "
+                f"{op!r}")
+        val = self._expr()
+        self._expect(";")
+        rp = self._replay
+        if rp is None:
+            raise MpvHookError(
+                "shared-array writes must occur inside a cooperative "
+                "fill loop (for (id = <invocation>; id < N; id += S))")
+        if rp["target"] != name:
+            return None                 # other array's fill: skip
+        if _is_traced(idxv.comps[0]):
+            raise MpvHookError(
+                f"data-dependent write index into shared {name!r}")
+        wi = np.asarray(idxv.comps[0])
+        try:
+            match = np.array_equal(*np.broadcast_arrays(wi, rp["idx"]))
+        except ValueError:
+            match = False
+        if not match:
+            raise MpvHookError(
+                f"fill loop writes {name!r} at an index other than the "
+                "loop variable — pattern too complex to replay")
+        rp["value"] = val
+        return None
+
+    def _image_store(self):
+        """imageStore(out_image, ivec2 pos, vec4 val) — recorded, then
+        assembled into the pass output at the end of run()."""
+        self._expect("(")
+        name = self._next()
+        if name != "out_image":
+            raise MpvHookError(
+                f"imageStore target must be out_image, got {name!r}")
+        self._expect(",")
+        pos = self._materialize(self._expr())
+        self._expect(",")
+        val = self._materialize(self._expr())
+        self._expect(")")
+        if len(pos) < 2:
+            raise MpvHookError("imageStore position must be an ivec2")
+        px, py = pos.comps[0], pos.comps[1]
+        if _is_traced(px) or _is_traced(py):
+            raise MpvHookError(
+                "data-dependent imageStore coordinates are not "
+                "supported on TPU (per-pixel scatter)")
+        mask = self._dead if self._dead is None else _amod(
+            self._dead).logical_not(self._dead)
+        for m in self._mask_stack:
+            mask = m if mask is None else _amod(mask, m).logical_and(
+                mask, m)
+        self._image_stores.append(
+            (mask, np.asarray(px, np.float64), np.asarray(py, np.float64),
+             self._to_vec4(val)))
+
+    def _assemble_stores(self):
+        """Merge recorded imageStores into the (4, H, W) output.  The
+        common store-at-own-pixel case is a direct (masked) merge;
+        other host-known patterns become XLA scatters; pixels no store
+        covers are 0 (undefined in GLSL)."""
+        import jax.numpy as jnp
+        if not self._image_stores:
+            raise MpvHookError(
+                "compute hook() never called imageStore(out_image, ...)")
+        H, W = self.H, self.W
+        Xg = np.broadcast_to(np.arange(W, dtype=np.int64)[None, :],
+                             (H, W))
+        Yg = np.broadcast_to(np.arange(H, dtype=np.int64)[:, None],
+                             (H, W))
+        out = None
+        for mask, px, py, val in self._image_stores:
+            pxb = np.broadcast_to(px, (H, W)).astype(np.int64)
+            pyb = np.broadcast_to(py, (H, W)).astype(np.int64)
+            comps = [jnp.broadcast_to(c, (H, W)) if hasattr(c, "shape")
+                     else jnp.full((H, W), float(c), jnp.float32)
+                     for c in val.comps]
+            if np.array_equal(pxb, Xg) and np.array_equal(pyb, Yg):
+                if mask is None:
+                    out = comps
+                else:
+                    prev = out or [jnp.zeros((H, W), jnp.float32)] * 4
+                    out = [jnp.where(mask, c, p)
+                           for c, p in zip(comps, prev)]
+                continue
+            if mask is not None:
+                raise MpvHookError(
+                    "conditional imageStore at non-invocation "
+                    "coordinates is not supported")
+            valid = ((pxb >= 0) & (pxb < W) & (pyb >= 0) & (pyb < H))
+            prev = out or [jnp.zeros((H, W), jnp.float32)] * 4
+            out = [p.at[pyb[valid], pxb[valid]].set(c[valid])
+                   for c, p in zip(comps, prev)]
+        return _Vec(out)
 
     def _peek(self, k=0):
         return self.toks[self.pos + k] if self.pos + k < len(self.toks) \
@@ -813,7 +1090,8 @@ class _BodyRunner:
         if got != t:
             raise MpvHookError(f"expected {t!r}, got {got!r}")
 
-    _TYPES = ("float", "int", "uint", "bool", "vec2", "vec3", "vec4")
+    _TYPES = ("float", "int", "uint", "bool", "vec2", "vec3", "vec4",
+              "ivec2", "ivec3", "ivec4", "uvec2", "uvec3", "uvec4")
 
     def _skip_block(self):
         """Advance past one statement or a balanced {...} block."""
@@ -855,6 +1133,11 @@ class _BodyRunner:
         init = self._expr()
         self._expect(";")
         if not init.scalar or hasattr(init.comps[0], "shape"):
+            if self.compute is not None and self.shared and \
+                    not _is_traced(init.comps[0]):
+                # invocation-dependent start = the cooperative
+                # shared-fill idiom; capture for replay instead
+                return self._capture_shared_fill(var)
             raise MpvHookError("for-loop bounds must be static")
         cvar = self._next()
         if cvar != var:
@@ -925,6 +1208,12 @@ class _BodyRunner:
         mask = cond
         for m in self._mask_stack:
             mask = _amod(mask, m).logical_and(mask, m)
+        if val is _VOID_RETURN:
+            # compute-mode `if (...) return;` — the usual OOB guard:
+            # returned lanes simply stop storing
+            self._dead = mask if self._dead is None else \
+                _amod(self._dead, mask).logical_or(self._dead, mask)
+            return
         self._pending_rets.append((mask, val))
 
     def _if_stmt(self):
@@ -1009,9 +1298,33 @@ class _BodyRunner:
         t = self._peek()
         if t == "return":
             self._next()
+            if self._peek() == ";":
+                # bare `return;` — only meaningful in a void hook()
+                self._next()
+                if self.compute is None:
+                    raise MpvHookError("return without a value")
+                return _VOID_RETURN
             v = self._expr()
             self._expect(";")
             return self._to_vec4(v)
+        if t in ("barrier", "memoryBarrierShared", "groupMemoryBarrier",
+                 "memoryBarrier") and self.compute is not None:
+            # shared slots are pure functions of their index (replayed
+            # on read), so publication is a no-op
+            self._next()
+            self._expect("(")
+            self._expect(")")
+            self._expect(";")
+            return None
+        if t == "imageStore":
+            if self.compute is None:
+                raise MpvHookError("imageStore outside a compute hook")
+            self._next()
+            self._image_store()
+            self._expect(";")
+            return None
+        if t in self.shared and self._peek(1) == "[":
+            return self._shared_write(t)
         if t == ";":
             self._next()
             return None
@@ -1059,10 +1372,21 @@ class _BodyRunner:
                 return None
             # one or more comma-separated declarators:
             #   float gx, gy;  /  float a = abd.x, b = abd.y;
+            # integer declarations truncate (GLSL int semantics — makes
+            # `int y = id / W;` integer division in compute fill math)
+            int_decl = t in ("int", "uint") or \
+                t.startswith(("ivec", "uvec"))
             while True:
                 if self._peek() == "=":
                     self._next()
-                    self.vars[name] = self._expr()
+                    v = self._expr()
+                    if int_decl:
+                        v = self._materialize(v)
+                        v = _Vec([_amod(c).trunc(c + 0.0)
+                                  if hasattr(c, "shape")
+                                  else float(math.trunc(c))
+                                  for c in v.comps], scalar=v.scalar)
+                    self.vars[name] = v
                 else:
                     self.vars[name] = _Vec([0.0], scalar=True)
                 if self._peek() != ",":
@@ -1312,9 +1636,10 @@ class _BodyRunner:
         if re.match(r"^(\d|\.\d)", t):
             return _Vec([float(t.rstrip("u"))], scalar=True)
         if t in ("vec2", "vec3", "vec4", "float", "int", "uint", "bool",
-                 "ivec2", "ivec3", "ivec4"):
+                 "ivec2", "ivec3", "ivec4", "uvec2", "uvec3", "uvec4"):
             nc = {"vec2": 2, "vec3": 3, "vec4": 4,
-                  "ivec2": 2, "ivec3": 3, "ivec4": 4}.get(t, 1)
+                  "ivec2": 2, "ivec3": 3, "ivec4": 4,
+                  "uvec2": 2, "uvec3": 3, "uvec4": 4}.get(t, 1)
             self._expect("(")
             args = [self._materialize(self._expr())]
             while self._peek() == ",":
@@ -1329,7 +1654,7 @@ class _BodyRunner:
             if len(comps) < nc:
                 raise MpvHookError(f"too few components for {t}")
             comps = comps[:nc]
-            if t in ("int", "uint") or t.startswith("ivec"):
+            if t in ("int", "uint") or t.startswith(("ivec", "uvec")):
                 # GLSL integer conversion truncates toward zero
                 # (+ 0.0 first: bools promote to float)
                 comps = [_amod(c).trunc(c + 0.0) if hasattr(c, "shape")
@@ -1357,6 +1682,11 @@ class _BodyRunner:
                     base = self.hooked
                 if base in self.tex:
                     return self._tex_access(base, suffix)
+        if t in self.shared:
+            self._expect("[")
+            idxv = self._materialize(self._expr())
+            self._expect("]")
+            return self._shared_read(t, idxv)
         if t in self.arrays:
             self._expect("[")
             idx = self._static_index(t)
@@ -1926,7 +2256,19 @@ class _TexView:
         else:
             # separable = ix constant down columns ((1, W)-ish) and iy
             # constant along rows ((H, 1)-ish); materialized positions
-            # always are
+            # always are.  Full (H, W) index grids whose VALUES are
+            # separable (the compute-hook workgroup arithmetic produces
+            # these: e.g. (id % TW) is (H, W)-shaped but constant down
+            # columns) collapse to 1-D first — a cheap host check that
+            # turns a frame-sized gather into two jnp.take calls.
+            if ix.ndim == 2 and ix.shape == (H, W) and \
+                    np.array_equal(ix, np.broadcast_to(ix[:1, :],
+                                                       ix.shape)):
+                ix = ix[0]
+            if iy.ndim == 2 and iy.shape == (H, W) and \
+                    np.array_equal(iy, np.broadcast_to(iy[:, :1],
+                                                       iy.shape)):
+                iy = iy[:, :1]
             sep_x = ix.size == 1 or \
                 (ix.ndim >= 1 and ix.shape[-1] == ix.size)
             sep_y = iy.size == 1 or \
@@ -2109,9 +2451,17 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
         buf_writable = {bv.name for buf in shader.buffers.values()
                         if buf.storage for bv in buf.vars}
 
+    compute = None
+    if p.is_compute:
+        if (p.threads_w, p.threads_h) != (p.block_w, p.block_h):
+            raise MpvHookError(
+                "COMPUTE with an explicit thread count differing from "
+                "the block size (multi-pixel invocations) is not "
+                "supported")
+        compute = (p.threads_w, p.threads_h)
     runner = _BodyRunner(bind_views, hooked, par_vals, defines,
                          (out_h, out_w), buf_vals=buf_vals,
-                         buf_writable=buf_writable)
+                         buf_writable=buf_writable, compute=compute)
     result = runner.run(p.body)
     if shader.buffers:
         store["__buffers__"].update(runner.buf_writes)

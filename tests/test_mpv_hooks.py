@@ -1057,3 +1057,164 @@ def test_buffer_storage_empty_payload_zero_init():
     sh = parse_user_shader(STORAGE_AVG_SHADER)
     assert sh.buffers["stats"].storage
     assert sh.buffers["stats"].values["total"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# //!COMPUTE hooks (reference custom_mpv.c:265-285 parse, 1482-1503
+# dispatch).  One invocation per output pixel; gl_* built-ins are host
+# coordinate grids; workgroup-shared arrays replay their cooperative
+# fill loop at each read (see _BodyRunner docstring).
+# ---------------------------------------------------------------------------
+
+COMPUTE_IDENTITY_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 8 8
+void hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy), c * 2.0);
+}
+"""
+
+
+def test_compute_identity_store():
+    hook = user_shader_hook(COMPUTE_IDENTITY_HOOK)
+    img = _img(9, 13, seed=3)           # not a multiple of the block
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    np.testing.assert_allclose(out, 2 * np.asarray(img), atol=1e-6)
+
+
+COMPUTE_IDS_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 8 4
+void hook()
+{
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy),
+               vec4(float(gl_LocalInvocationID.x),
+                    float(gl_WorkGroupID.y),
+                    float(gl_LocalInvocationIndex),
+                    float(gl_WorkGroupSize.x)) / 64.0);
+}
+"""
+
+
+def test_compute_invocation_ids():
+    hook = user_shader_hook(COMPUTE_IDS_HOOK)
+    h, w = 7, 19
+    img = _img(h, w, seed=1)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    X, Y = np.meshgrid(np.arange(w), np.arange(h))
+    np.testing.assert_allclose(out[0], (X % 8) / 64.0, atol=1e-6)
+    np.testing.assert_allclose(out[1], (Y // 4) / 64.0, atol=1e-6)
+    np.testing.assert_allclose(out[2], ((Y % 4) * 8 + X % 8) / 64.0,
+                               atol=1e-6)
+
+
+# Krig-class cooperative tile cache: strided shared fill + barrier +
+# neighborhood reads + per-pixel store.
+COMPUTE_SHARED_BLUR_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 16 8
+#define TW 16
+#define TH 8
+#define PAD 1
+#define SW (TW + 2*PAD)
+#define SH (TH + 2*PAD)
+shared float cache[SW*SH];
+void hook()
+{
+    ivec2 base = ivec2(gl_WorkGroupID.xy) * ivec2(TW, TH)
+                 - ivec2(PAD, PAD);
+    for (uint id = gl_LocalInvocationIndex; id < uint(SW*SH);
+         id += uint(TW*TH)) {
+        ivec2 rel = ivec2(int(id) % SW, int(id) / SW);
+        vec2 c = (vec2(base + rel) + vec2(0.5)) * HOOKED_pt;
+        cache[int(id)] = HOOKED_tex(c).x;
+    }
+    barrier();
+    int idx = (int(gl_LocalInvocationID.y) + PAD) * SW
+              + int(gl_LocalInvocationID.x) + PAD;
+    float sum = 0.0;
+    for (int dy = -1; dy <= 1; dy++) {
+        for (int dx = -1; dx <= 1; dx++) {
+            sum += cache[idx + dy * SW + dx];
+        }
+    }
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy),
+               vec4(sum / 9.0, 0.0, 0.0, 1.0));
+}
+"""
+
+
+def test_compute_shared_fill_replay():
+    hook = user_shader_hook(COMPUTE_SHARED_BLUR_HOOK)
+    h, w = 24, 37                       # partial workgroups at edges
+    img = _img(h, w, seed=5)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)[0]
+    pad = np.pad(x, 1, mode="edge")     # CLAMP border
+    expect = sum(pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+    np.testing.assert_allclose(out[0], expect, atol=1e-5)
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-6)
+
+
+COMPUTE_GUARD_HOOK = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 8 8
+void hook()
+{
+    if (gl_GlobalInvocationID.x >= 4u) {
+        return;
+    }
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy),
+               HOOKED_texOff(0));
+}
+"""
+
+
+def test_compute_oob_guard_bare_return():
+    """`if (...) return;` suppresses later stores on returned lanes;
+    unstored pixels read 0 (undefined in GLSL, zeroed here)."""
+    hook = user_shader_hook(COMPUTE_GUARD_HOOK)
+    img = _img(6, 8, seed=9)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img))
+    x = np.asarray(img)
+    np.testing.assert_allclose(out[:, :, :4], x[:, :, :4], atol=1e-6)
+    np.testing.assert_allclose(out[:, :, 4:], 0.0, atol=1e-6)
+
+
+def test_compute_threads_neq_block_rejected():
+    bad = COMPUTE_IDENTITY_HOOK.replace("//!COMPUTE 8 8",
+                                        "//!COMPUTE 32 8 16 8")
+    hook = user_shader_hook(bad)
+    img = _img(6, 8, seed=2)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
+def test_compute_hook_inside_renderer():
+    """A compute hook runs inside the jit-traced render pipeline."""
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+
+    rng = np.random.default_rng(11)
+    img = rng.random((16, 24, 3)).astype(np.float32)
+    hook = user_shader_hook(COMPUTE_IDENTITY_HOOK.replace(
+        "c * 2.0", "c * 0.5"))
+    rr = Renderer()
+    frame = frame_from_rgb(img)
+    tgt = Target(w=24, h=16)
+    base = np.asarray(rr.render(frame, tgt,
+                                RenderParams(peak_detect=None)))
+    hooked = np.asarray(rr.render(
+        frame, tgt, RenderParams(peak_detect=None, hooks=(hook,))))
+    assert np.isfinite(hooked).all()
+    assert not np.allclose(base, hooked)

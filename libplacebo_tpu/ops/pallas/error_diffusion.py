@@ -61,7 +61,7 @@ _LANE = 128
 
 
 def _kernel_body(x_ref, out_ref, pending, *, taps, max_off,
-                 scale, cols, shift, W, H):
+                 scale, cols, shift, W, H, code_dt):
     """One grid step = `cols` sheared columns, processed as a
     straight-line unrolled chain (the BlockSpec pipeline double-buffers
     the multi-column DMAs; a chunked fori_loop variant compiled 10x
@@ -80,6 +80,12 @@ def _kernel_body(x_ref, out_ref, pending, *, taps, max_off,
     at j = x + y*shift, so y is valid iff j-y*shift in [0, W) and
     y < H — is computed in-register from iota (r3: passing it as a
     (Wsp, 1, Hp) f32 operand cost a 71 MB HBM read per 4K frame).
+
+    MEASURED DEAD END (late r3, don't redo): re-viewing the (C, Hp)
+    per-column data as (C*Hp/128, 128) to pack tile sublanes full
+    (flat rolls = lane roll + sublane carry + the existing row mask)
+    REGRESSED 6.9 -> 8.9 ms at 4K — the wavefront is not limited by
+    sublane occupancy, and the extra carry ops per dy are pure loss.
     """
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -93,12 +99,18 @@ def _kernel_body(x_ref, out_ref, pending, *, taps, max_off,
     window = [pending[s] for s in range(max_off)]
     for k in range(cols):
         cur = x_ref[k] + window[0]                     # (C, Hp)
-        quant = jnp.round(cur * scale) * (1.0 / scale)
+        # the quantized value IS an integer code: store the code
+        # (int16/int32) instead of the f32 value — the unshear pass and
+        # its write then move 2-4x fewer bytes; the final convert
+        # (code * 1/scale, fused with the clip + relayout in XLA)
+        # reproduces today's f32 arithmetic bit-exactly
+        rounded = jnp.round(cur * scale)
+        quant = rounded * (1.0 / scale)
         j = j0 + k
         off = row_ids * shift
         valid = (j >= off) & (j < off + W) & (row_ids < H)
         err = jnp.where(valid, cur - quant, 0.0)
-        out_ref[k] = quant
+        out_ref[k] = rounded.astype(code_dt)
 
         # contributions per destination slot (error landing off columns
         # ahead lands in slot off-1 after the implicit shift).  The
@@ -194,9 +206,19 @@ def error_diffusion_pallas(img, new_depth: int,
         colmaj = jnp.moveaxis(sheared, 2, 0)                    # (Ws, C, H)
         colmaj = jnp.pad(colmaj, ((0, Wsp - Ws), (0, 0), (0, Hp - H)))
 
+    # quantization codes ride int16 (int32 for >15-bit depths) through
+    # the wavefront write + the whole unshear leg — 2-4x less HBM
+    # traffic on the 2.13x-wide sheared array, bit-exact (the code is
+    # integral and |code| << 32768; the final code * (1/scale) + clip
+    # is the same f32 arithmetic as before).  LPTPU_ED_INT_CODES=0
+    # opts back into f32 (process-start-only, like other LPTPU_ flags).
+    if os.environ.get("LPTPU_ED_INT_CODES", "1") != "0":
+        code_dt = jnp.int16 if scale < 32000.0 else jnp.int32
+    else:
+        code_dt = jnp.float32
     body = functools.partial(_kernel_body, taps=tuple(taps),
                              max_off=max_off, scale=scale, cols=K,
-                             shift=shift, W=W, H=H)
+                             shift=shift, W=W, H=H, code_dt=code_dt)
     out_cm = pl.pallas_call(
         body,
         grid=(Wsp // K,),
@@ -206,7 +228,7 @@ def error_diffusion_pallas(img, new_depth: int,
         ],
         out_specs=pl.BlockSpec((K, C, Hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Wsp, C, Hp), code_dt),
         scratch_shapes=[pltpu.VMEM((max_off, C, Hp), jnp.float32)],
         interpret=interpret,
     )(colmaj)
@@ -215,10 +237,11 @@ def error_diffusion_pallas(img, new_depth: int,
         from .shear import unshear_from_colmaj
         xcm_out = unshear_from_colmaj(out_cm, Wp, shift, W, H,
                                       interpret=interpret)
-        out = jnp.moveaxis(xcm_out, 0, 2)[:, :H, :W]            # (C, H, W)
+        codes = jnp.moveaxis(xcm_out, 0, 2)[:, :H, :W]          # (C, H, W)
     else:
         # unshear with the inverse bit-rolls
         out_sheared = jnp.moveaxis(out_cm[:Ws, :, :H], 0, 2)    # (C, H, Ws)
-        out = _bit_shear(out_sheared, row_offsets, Ws,
-                         inverse=True)[..., :W]
+        codes = _bit_shear(out_sheared, row_offsets, Ws,
+                           inverse=True)[..., :W]
+    out = codes.astype(jnp.float32) * (1.0 / scale)
     return jnp.clip(out, 0.0, 1.0).reshape(*lead, H, W)

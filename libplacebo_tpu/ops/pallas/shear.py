@@ -120,7 +120,7 @@ def _shear_body(ref0, ref1, out_ref, *, s: int, G: int, W: int, H: int,
         # true image (w >= W or y >= H) are pad, zeroed for cleanliness
         w = jg * G * _LANE + l_ids
         valid = (w < W) & (ygl < H)
-    out_ref[...] = jnp.where(valid, out, 0.0)
+    out_ref[...] = jnp.where(valid, out, jnp.zeros_like(out))
 
 
 def _call(x, W_out: int, s: int, W: int, H: int, forward: bool,
@@ -154,7 +154,7 @@ def _call(x, W_out: int, s: int, W: int, H: int, forward: bool,
                   for t in range(2)],
         out_specs=pl.BlockSpec((GW, C, _LANE), lambda jg, h: (jg, 0, h),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((W_pad, C, Hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((W_pad, C, Hp), x.dtype),
         interpret=interpret,
     )(x, x)
     return out if W_pad == W_out else out[:W_out]

@@ -812,3 +812,47 @@ def test_halo_pipeline_collectives_stay_o_halo(devices):
         stats
     # 3. reductions are statistics-sized (histogram bins), not images
     assert stats.get("all-reduce", {}).get("max_bytes", 0) <= 4096, stats
+
+
+def test_sharded_compute_hook_gspmd_matches_renderer(devices):
+    """//!COMPUTE hooks (shared-tile replay + imageStore) also run
+    multi-chip via the GSPMD fallback and match single-chip."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    hook_text = """//!HOOK LUMA
+//!BIND HOOKED
+//!DESC test compute sharpen
+//!COMPUTE 16 8
+#define SW 18
+shared float tile[180];
+void hook() {
+    ivec2 base = ivec2(gl_WorkGroupID.xy) * ivec2(16, 8) - ivec2(1, 1);
+    for (uint id = gl_LocalInvocationIndex; id < 180u; id += 128u) {
+        ivec2 rel = ivec2(int(id) % SW, int(id) / SW);
+        tile[int(id)] =
+            HOOKED_tex((vec2(base + rel) + vec2(0.5)) * HOOKED_pt).x;
+    }
+    barrier();
+    int c = (int(gl_LocalInvocationID.y) + 1) * SW
+            + int(gl_LocalInvocationID.x) + 1;
+    float lap = 4.0 * tile[c] - tile[c-1] - tile[c+1]
+              - tile[c-SW] - tile[c+SW];
+    vec4 px = HOOKED_texOff(0);
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy),
+               vec4(px.x + 0.25 * lap, px.yzw));
+}
+"""
+    hook = user_shader_hook(parse_user_shader(hook_text))
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,))
+    frames = _flagship_frames(2, src_h, src_w, seed=52)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    for b, f in enumerate(frames):
+        ref = _single_chip(f, target, params)
+        diff = np.abs(out[b] - ref)
+        assert diff.max() < 3e-2, diff.max()
+        assert diff.mean() < 1e-5, diff.mean()

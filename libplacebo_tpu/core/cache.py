@@ -201,3 +201,38 @@ def set_xla_cache_dir(path: str):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+_default_cache_enabled = False
+
+
+def enable_default_xla_cache():
+    """Enable the persistent XLA compilation cache at a default
+    per-user path unless the user configured one (or opted out).
+
+    Cold Mosaic compiles of the error-diffusion kernels run minutes on
+    small hosts (ops/pallas/error_diffusion.py:26-35); making the disk
+    cache opt-OUT turns that into a one-time cost per machine.  Called
+    at TpuContext init.  Override the location with
+    LPTPU_XLA_CACHE_DIR=<path>, disable with LPTPU_XLA_CACHE_DIR=0.
+    A user-set jax_compilation_cache_dir is always respected."""
+    global _default_cache_enabled
+    if _default_cache_enabled:
+        return
+    _default_cache_enabled = True
+    import os
+    import jax
+    env = os.environ.get("LPTPU_XLA_CACHE_DIR")
+    if env == "0" or env == "":
+        return
+    if env is None and jax.config.jax_compilation_cache_dir:
+        return                          # user already configured one
+    path = env or os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")),
+        "libplacebo_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return                          # unwritable: stay silent, no cache
+    set_xla_cache_dir(path)

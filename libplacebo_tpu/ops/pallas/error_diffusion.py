@@ -110,7 +110,11 @@ def _kernel_body(x_ref, out_ref, pending, *, taps, max_off,
         off = row_ids * shift
         valid = (j >= off) & (j < off + W) & (row_ids < H)
         err = jnp.where(valid, cur - quant, 0.0)
-        out_ref[k] = rounded.astype(code_dt)
+        # clamp before the int cast: f32->int conversion of out-of-range
+        # values is undefined in XLA (could wrap), while the old f32
+        # path saturated overshoot via the final jnp.clip.  quant/err
+        # stay unclamped so in-range arithmetic is bit-identical.
+        out_ref[k] = jnp.clip(rounded, 0.0, scale).astype(code_dt)
 
         # contributions per destination slot (error landing off columns
         # ahead lands in slot off-1 after the implicit shift).  The

@@ -17,7 +17,7 @@ import enum
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
-__all__ = ["HookStage", "Hook", "HookParams", "run_hooks"]
+__all__ = ["HookStage", "Hook", "HookParams", "HookRect", "run_hooks"]
 
 
 class HookStage(enum.Flag):
@@ -26,6 +26,7 @@ class HookStage(enum.Flag):
     LUMA_INPUT = enum.auto()     # raw luma plane
     CHROMA_INPUT = enum.auto()   # raw chroma planes
     ALPHA_INPUT = enum.auto()
+    XYZ_INPUT = enum.auto()      # raw planes of an XYZ-encoded frame
     CHROMA_SCALED = enum.auto()  # chroma after merge to luma grid
     ALPHA_SCALED = enum.auto()
     NATIVE = enum.auto()         # combined plane image, pre-decode
@@ -40,6 +41,33 @@ class HookStage(enum.Flag):
 
 
 @dataclass
+class HookRect:
+    """Accumulated sampling-rect transform declared by hooks (the
+    reference's pl_hook_res.rect channel: each pass updates the hooked
+    texture's rect as `new = scale * old + offset`, custom_mpv.c:
+    1533-1551).  The renderer owns one per compensable hook site; hook
+    implementations (mpv //!OFFSET) call apply_pass per executed pass.
+    The renderer consumes only the residual offset — the pure scale part
+    is re-derived from the image shapes it already tracks."""
+    ox: float = 0.0
+    oy: float = 0.0
+    align: bool = False          # //!OFFSET ALIGN: pin to the ref grid
+
+    def apply_pass(self, scale_x: float, scale_y: float,
+                   off=(0.0, 0.0), align: bool = False) -> None:
+        # rect_n = s_n * rect_{n-1} + o_n  =>  acc = s * acc + o
+        self.ox = self.ox * scale_x + off[0]
+        self.oy = self.oy * scale_y + off[1]
+        if align:
+            # reference: ALIGN shifts the rect to exactly the scaled
+            # src_rect — the accumulated offset is discarded and the
+            # plane pins to the reference grid (custom_mpv.c:1544-1550)
+            self.align = True
+            self.ox = 0.0
+            self.oy = 0.0
+
+
+@dataclass
 class HookParams:
     """What a hook sees (reference pl_hook_params, custom.h:167-259)."""
     stage: HookStage
@@ -49,6 +77,14 @@ class HookParams:
     dst_h: int = 0
     components: int = 3
     parameters: Dict[str, float] = field(default_factory=dict)
+    # sampling-rect accumulator for stages where the renderer can
+    # compensate declared offsets; None elsewhere (declaring an offset
+    # there is then a clean error -> auto-disable)
+    rect: Optional[HookRect] = None
+    # persistent cross-frame hook state (SAVE textures / STORAGE
+    # buffers): carried-in values keyed by (hook signature, name)
+    state_in: Optional[Dict] = None
+    state_out: Optional[Dict] = None
 
 
 @dataclass

@@ -294,7 +294,8 @@ class UserShader:
 
 # stage-name mapping (reference mp_stage_to_pl, custom_mpv.c:832-874)
 _STAGE_MAP = {
-    "RGB": HookStage.RGB_INPUT, "LUMA": HookStage.LUMA_INPUT,
+    "RGB": HookStage.RGB_INPUT, "XYZ": HookStage.XYZ_INPUT,
+    "LUMA": HookStage.LUMA_INPUT,
     "CHROMA": HookStage.CHROMA_INPUT, "ALPHA": HookStage.ALPHA_INPUT,
     "CHROMA_SCALED": HookStage.CHROMA_SCALED,
     "ALPHA_SCALED": HookStage.ALPHA_SCALED,
@@ -1205,6 +1206,11 @@ class _BodyRunner:
     def _register_return(self, cond, val):
         """Record an early return for lanes where `cond` AND every
         enclosing traced-branch condition holds."""
+        if self.compute is not None and val is not _VOID_RETURN:
+            # a conditional `return <value>;` in a compute shader would
+            # otherwise be silently dropped (the compute path never
+            # consults _pending_rets) — reject it like the top-level case
+            raise MpvHookError("compute hook() must return void")
         mask = cond
         for m in self._mask_stack:
             mask = _amod(mask, m).logical_and(mask, m)
@@ -1247,24 +1253,40 @@ class _BodyRunner:
         # remaining lanes keep executing) — standard trace-time
         # predication of early returns.
         snapshot = dict(self.vars)
+        # STORAGE buffer members are exempt from the where-merge below:
+        # atomicAdd already applies the lane mask to its contribution, so
+        # branch effects compose SEQUENTIALLY (then-branch adds feed the
+        # else branch), and they survive the post-return state reset
+        # (GLSL lanes that add then return did add)
+        bufw = {k for k in (self.buf_writable or ()) if k in self.vars}
+
+        def buf_state():
+            return {k: self.vars[k] for k in bufw}
         ret = self._run_branch(c)
         if ret is not None:
             self._register_return(c, ret)
             # returned lanes' variable state is unreachable; keep the
             # pre-if state for the merge below
+            kept = buf_state()
             self.vars = dict(snapshot)
+            self.vars.update(kept)
         vars_then = self.vars
         self.vars = dict(snapshot)
+        self.vars.update({k: vars_then[k] for k in bufw})
         if self._peek() == "else":
             self._next()
             not_c = _amod(c).logical_not(c)
             ret = self._run_branch(not_c)
             if ret is not None:
                 self._register_return(not_c, ret)
+                kept = buf_state()
                 self.vars = dict(snapshot)
+                self.vars.update(kept)
         vars_else = self.vars
         merged = dict(vars_else)
         for k, tv in vars_then.items():
+            if k in bufw:
+                continue        # composed sequentially (see above)
             ev = vars_else.get(k)
             if ev is None:
                 continue        # declared only inside the then-branch
@@ -1726,10 +1748,27 @@ class _BodyRunner:
         if not val.scalar and len(val) != 1:
             raise MpvHookError("atomicAdd value must be scalar")
         c = val.comps[0]
-        if hasattr(c, "shape"):
-            total = jnp.sum(jnp.broadcast_to(c, (self.H, self.W)))
+        # only ACTIVE lanes contribute: lanes killed by a compute-mode
+        # early `return;` (_dead) or excluded by enclosing traced
+        # if-branches (_mask_stack) must not add — GLSL's atomicAdd
+        # simply never executes for them
+        mask = self._dead if self._dead is None else _amod(
+            self._dead).logical_not(self._dead)
+        for m in self._mask_stack:
+            mask = m if mask is None else _amod(mask, m).logical_and(
+                mask, m)
+        if mask is None:
+            if hasattr(c, "shape"):
+                total = jnp.sum(jnp.broadcast_to(c, (self.H, self.W)))
+            else:
+                total = float(c) * self.H * self.W
         else:
-            total = float(c) * self.H * self.W
+            am = _amod(mask, c)
+            contrib = am.broadcast_to(am.where(mask, c, 0.0),
+                                      (self.H, self.W))
+            total = am.sum(contrib)
+            if am is np:
+                total = float(total)
         if idx is not None:
             old = self.arrays[name][idx]
             self.arrays[name][idx] = _Vec(
@@ -2467,9 +2506,14 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
         store["__buffers__"].update(runner.buf_writes)
 
     comps = p.components or img.shape[-3]
-    out = jnp.stack(result.comps[:comps], axis=-3)
-    out = jnp.broadcast_to(
-        out, img.shape[:-3] + (comps, out_h, out_w)) if False else out
+
+    def to_hw(c):
+        # uniform values (e.g. a buffer total) broadcast to the grid
+        if hasattr(c, "shape"):
+            return jnp.broadcast_to(jnp.asarray(c, jnp.float32),
+                                    (out_h, out_w))
+        return jnp.full((out_h, out_w), float(c), jnp.float32)
+    out = jnp.stack([to_hw(c) for c in result.comps[:comps]], axis=-3)
 
     if p.save_tex and p.save_tex != "HOOKED":
         store[p.save_tex] = out

@@ -570,6 +570,10 @@ class Renderer:
         # misbehaving user hooks, auto-disabled by signature
         # (reference rr->disabled_hooks, renderer.c:64-65)
         self._disabled_hooks: set = set()
+        # persistent XLA compile cache, on by default (opt out with
+        # LPTPU_XLA_CACHE_DIR=0) — cold Mosaic compiles are minutes
+        from ..core.cache import enable_default_xla_cache
+        enable_default_xla_cache()
         # optional telemetry (reference pl_render_params.info_callback);
         # when set, renders are synced and timed into rolling windows
         self.telemetry = None
@@ -586,10 +590,11 @@ class Renderer:
         return ref_i
 
     @staticmethod
-    def _plane_hook_stage(mapping):
+    def _plane_hook_stage(mapping, repr_sys=None):
         """Which per-plane input hook stage a plane feeds (reference
-        PL_HOOK_{LUMA,CHROMA,ALPHA,RGB}_INPUT, renderer.c:1431)."""
+        PL_HOOK_{LUMA,CHROMA,ALPHA,RGB,XYZ}_INPUT, renderer.c:1431)."""
         from .hooks import HookStage
+        from ..core.colorspace import ColorSystem
         ms = set(mapping)
         if ms == {0}:
             return HookStage.LUMA_INPUT, HookStage.LUMA_INPUT
@@ -598,6 +603,10 @@ class Renderer:
         if ms == {3}:
             return HookStage.ALPHA_INPUT, HookStage.ALPHA_SCALED
         if {0, 1, 2} <= ms:
+            # XYZ-encoded frames' combined planes hook at XYZ, not RGB
+            # (reference PLANE_XYZ -> PL_HOOK_XYZ_INPUT, renderer.c:1436)
+            if repr_sys == ColorSystem.XYZ:
+                return HookStage.XYZ_INPUT, None
             return HookStage.RGB_INPUT, None
         return None, None
 
@@ -665,7 +674,8 @@ class Renderer:
                     data, grain_tables[i], cfg_g, scaling_shift, luma=luma)
             # per-plane input hooks; these may RESIZE the plane (e.g.
             # FSRCNNX doubles luma before the main scaler)
-            stage_in, stage_scaled = self._plane_hook_stage(mapping)
+            stage_in, stage_scaled = self._plane_hook_stage(mapping,
+                                                            repr_sys)
             if params.hooks and stage_in is not None:
                 data = run_hooks(params.hooks, stage_in, data,
                                  self._disabled_hooks, **(hook_ctx or {}))

@@ -95,6 +95,10 @@ class TpuContext:
         self.log = log or default_log()
         self.cache = cache or Cache()
         self._failed = False
+        # persistent XLA compile cache, on by default (opt out with
+        # LPTPU_XLA_CACHE_DIR=0) — cold Mosaic compiles are minutes
+        from .core.cache import enable_default_xla_cache
+        enable_default_xla_cache()
         kind = self.devices[0].device_kind if self.devices else "cpu"
         is_tpu = "tpu" in str(kind).lower() or "TPU" in str(kind)
         self.limits = TpuLimits(

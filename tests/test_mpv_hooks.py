@@ -1218,3 +1218,133 @@ def test_compute_hook_inside_renderer():
         frame, tgt, RenderParams(peak_detect=None, hooks=(hook,))))
     assert np.isfinite(hooked).all()
     assert not np.allclose(base, hooked)
+
+
+# ---------------------------------------------------------------------------
+# atomicAdd predication (round-4 advisor fix): lanes excluded by a
+# compute-mode early `return;` or by enclosing traced if-branches must
+# not contribute — GLSL never executes the add for them.
+# ---------------------------------------------------------------------------
+
+ATOMIC_GUARDED_COMPUTE = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float total
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 8 8
+void hook()
+{
+    if (gl_GlobalInvocationID.x >= 5.0) return;
+    atomicAdd(total, 1.0);
+    imageStore(out_image, ivec2(gl_GlobalInvocationID.xy),
+               HOOKED_texOff(0));
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    return vec4(total, 0.0, 0.0, 1.0);
+}
+"""
+
+
+def test_atomic_add_respects_compute_dead_mask():
+    """A guard excluding lanes before atomicAdd(total, 1.0) must count
+    only the surviving lanes (was: all H*W lanes)."""
+    hook = user_shader_hook(ATOMIC_GUARDED_COMPUTE)
+    img = _img(6, 10, seed=3)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    # 5 surviving columns x 6 rows = 30 adds of 1.0
+    np.testing.assert_allclose(out[0], 30.0, rtol=1e-6)
+
+
+ATOMIC_TRACED_IF = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float total
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    }
+    return c;
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    return vec4(total, 0.0, 0.0, 1.0);
+}
+"""
+
+
+def test_atomic_add_respects_traced_if_mask():
+    """atomicAdd inside a per-pixel (traced) if-branch counts only the
+    lanes where the condition holds."""
+    hook = user_shader_hook(ATOMIC_TRACED_IF)
+    img = _img(6, 10, seed=4)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    expect = float(np.sum(np.asarray(img)[0] > 0.5))
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+ATOMIC_IF_ELSE_BOTH = ATOMIC_TRACED_IF.replace(
+    """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    }""",
+    """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    } else {
+        atomicAdd(total, 10.0);
+    }""")
+
+
+def test_atomic_add_traced_if_else_composes():
+    """Adds in BOTH branches of a traced if/else compose sequentially
+    (then-count*1 + else-count*10)."""
+    hook = user_shader_hook(ATOMIC_IF_ELSE_BOTH)
+    img = _img(6, 10, seed=5)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    n_then = float(np.sum(np.asarray(img)[0] > 0.5))
+    n_else = 60.0 - n_then
+    np.testing.assert_allclose(out[0], n_then + 10.0 * n_else, rtol=1e-5)
+
+
+def test_atomic_add_survives_branch_return():
+    """Lanes that atomicAdd and then `return <value>;` still added."""
+    shader = ATOMIC_TRACED_IF.replace(
+        """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    }""",
+        """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+        return c;
+    }""")
+    hook = user_shader_hook(shader)
+    img = _img(6, 10, seed=6)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    expect = float(np.sum(np.asarray(img)[0] > 0.5))
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+def test_compute_conditional_value_return_rejected():
+    """A conditional `return <value>;` inside a compute shader is a
+    clear error (was: silently dropped)."""
+    bad = COMPUTE_IDENTITY_HOOK.replace(
+        "vec4 c = HOOKED_texOff(0);",
+        "vec4 c = HOOKED_texOff(0);\n"
+        "    if (c.x > 0.5) return c;")
+    hook = user_shader_hook(bad)
+    img = _img(6, 8, seed=7)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled

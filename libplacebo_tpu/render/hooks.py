@@ -66,6 +66,15 @@ class HookRect:
             self.ox = 0.0
             self.oy = 0.0
 
+    def rotate(self, k: int) -> None:
+        """Transform the accumulated offset through a rot90(k) of the
+        image (NATIVE-stage offsets precede the renderer's rotation;
+        the crop they shift lives in rotated space).  Under np.rot90
+        with k=1 a point (x, y) maps to (y, W-1-x), so an offset
+        VECTOR maps (dx, dy) -> (dy, -dx) per quarter turn."""
+        for _ in range(int(k) % 4):
+            self.ox, self.oy = self.oy, -self.ox
+
 
 @dataclass
 class HookParams:

@@ -2401,6 +2401,10 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
             store = {}
         stage_name = _STAGE_NAME.get(hp.stage)
         cur = img
+        # //!OFFSET rect updates apply transactionally: only after every
+        # pass at this stage succeeded (a raising pass auto-disables the
+        # whole hook and must leave the renderer's rect untouched)
+        rect_updates: List[tuple] = []
         for p in shader.passes:
             applies = any(
                 t == stage_name or
@@ -2409,7 +2413,10 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
             if not applies:
                 continue
             cur = _run_pass(shader, p, cur, stage_name, store, par_vals,
-                            defines, hp)
+                            defines, hp, rect_updates)
+        if hp.rect is not None:
+            for upd in rect_updates:
+                hp.rect.apply_pass(*upd)
         return cur
 
     h = Hook(stages=stages, func=func, name=shader.name,
@@ -2419,7 +2426,7 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
 
 
 def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
-              store, par_vals, defines, hp=None):
+              store, par_vals, defines, hp=None, rect_updates=None):
     import jax.numpy as jnp
     H, W = img.shape[-2], img.shape[-1]
 
@@ -2504,6 +2511,31 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
     result = runner.run(p.body)
     if shader.buffers:
         store["__buffers__"].update(runner.buf_writes)
+
+    # //!OFFSET / ALIGN: declared rect shifts feed the renderer's
+    # sampling-rect accumulator so downstream scaling compensates
+    # (reference custom_mpv.c:1533-1551)
+    writes_hooked = p.save_tex in (None, "HOOKED")
+    declares_off = p.offset != (0.0, 0.0) or p.offset_align
+    if declares_off and not writes_hooked:
+        raise MpvHookError(
+            "//!OFFSET on a pass that SAVEs to a named texture is not "
+            "supported (only the HOOKED rect is tracked)")
+    if writes_hooked:
+        if declares_off and (hp is None or
+                             getattr(hp, "rect", None) is None):
+            raise MpvHookError(
+                f"//!OFFSET declared at stage {stage_name}, where the "
+                "renderer cannot compensate the sampling rect "
+                "(supported at the per-plane input stages and "
+                "NATIVE/MAIN/LINEAR/SIGMOID/PREKERNEL)")
+        if rect_updates is not None and hp is not None and \
+                getattr(hp, "rect", None) is not None:
+            # a resizing pass also SCALES any previously-accumulated
+            # offset (rect_n = s * rect_{n-1} + o) — recorded even with
+            # no declared offset
+            rect_updates.append((out_w / W, out_h / H, p.offset,
+                                 p.offset_align))
 
     comps = p.components or img.shape[-3]
 

@@ -620,7 +620,7 @@ class Renderer:
         alignment to the reference grid and channel stacking (reference
         pass_read_image, renderer.c:1553: plane_deband ->
         plane_film_grain -> plane hooks -> sampler)."""
-        from .hooks import run_hooks
+        from .hooks import HookRect, run_hooks
         plane_metas, repr_sys = frame_meta
         ref_i = self._ref_plane_index(plane_metas)
         luma_full = None
@@ -676,33 +676,54 @@ class Renderer:
             # FSRCNNX doubles luma before the main scaler)
             stage_in, stage_scaled = self._plane_hook_stage(mapping,
                                                             repr_sys)
+            # //!OFFSET accumulator for this plane's hooks (reference:
+            # each pass texture carries a rect, custom_mpv.c:1533-1551)
+            hr = HookRect()
             if params.hooks and stage_in is not None:
                 data = run_hooks(params.hooks, stage_in, data,
-                                 self._disabled_hooks, **(hook_ctx or {}))
+                                 self._disabled_hooks, rect=hr,
+                                 **(hook_ctx or {}))
             processed.append((shape, mapping, sx, sy, data,
-                              stage_scaled))
+                              stage_scaled, hr))
 
         # the reference grid: the (possibly hook-resized) ref plane
         H, W = (processed[ref_i][4].shape[-2],
                 processed[ref_i][4].shape[-1])
+        # the ref plane's own declared offset shifts the MAIN crop
+        # instead (the combined image's rect comes from the ref plane in
+        # the reference too); it is never resampled at merge
+        hr_ref = processed[ref_i][6]
+        if hr_ref.align:
+            hr_ref.ox = hr_ref.oy = 0.0     # aligning the ref to itself
+        ref_off = (hr_ref.ox, hr_ref.oy)
         # direction-aware plane scaler selection (reference
         # sample_src_info, renderer.c:632-645: plane_upscaler/
         # plane_downscaler override the main scalers; None inherits)
         up_cfg = _find_scaler(params.plane_upscaler or params.upscaler)
         down_cfg = _find_scaler(params.plane_downscaler or params.downscaler)
         channels = {}
-        for (shape, mapping, sx, sy, data, stage_scaled) in processed:
+        for (shape, mapping, sx, sy, data, stage_scaled, hr) in processed:
             ph, pw = data.shape[-2], data.shape[-1]
-            if (ph, pw) == (H, W) and (sx or sy) and \
-                    not params.correct_subpixel_offsets:
+            if hr.align:
+                # //!OFFSET ALIGN pins this plane to the reference grid:
+                # the chroma-siting offset is discarded (reference
+                # custom_mpv.c:1544-1550 re-anchors the rect to the
+                # scaled src_rect)
+                sx = sy = 0.0
+            # this plane's declared offset relative to the (possibly
+            # offset) reference grid, in THIS plane's texels
+            ox = 0.0 if hr is hr_ref else hr.ox - ref_off[0] * pw / W
+            oy = 0.0 if hr is hr_ref else hr.oy - ref_off[1] * ph / H
+            if (ph, pw) == (H, W) and (sx or sy) and not ox and not oy \
+                    and not params.correct_subpixel_offsets:
                 # reference default: a pure subpixel siting offset on a
                 # same-size plane snaps to the nearest texel instead of
                 # resampling (renderer.h:322)
                 pass
-            elif (ph, pw) != (H, W) or sx or sy:
+            elif (ph, pw) != (H, W) or sx or sy or ox or oy:
                 cfg = down_cfg if (ph > H or pw > W) else up_cfg
-                s0x = -sx * pw / W
-                s0y = -sy * ph / H
+                s0x = -sx * pw / W + ox
+                s0y = -sy * ph / H + oy
                 rect = RectF(s0x, s0y, s0x + pw, s0y + ph)
                 if cfg.polar:
                     # inherited EWA configs run the real polar sampler
@@ -723,7 +744,7 @@ class Renderer:
                 channels[ch] = data[..., ci, :, :]
         order = sorted(channels)
         img = jnp.stack([channels[c] for c in order], axis=-3)
-        return img, order, (H, W)
+        return img, order, (H, W), ref_off
 
     def _grain_cfgs(self, plane_metas, frame_repr, frame_grain):
         """Per-plane static grain configs (None = no grain)."""
@@ -827,7 +848,7 @@ class Renderer:
             dst_w = int(round(dst_crop.w))
             dst_h = int(round(dst_crop.h))
             hook_ctx = dict(dst_w=dst_w, dst_h=dst_h)
-            img, order, (H_act, W_act) = self._merge_planes(
+            img, order, (H_act, W_act), ref_off = self._merge_planes(
                 planes, (plane_metas, frame_repr.sys), params,
                 grain_cfgs, grain_tables, scaling_shift,
                 field=field, first_field=first_field,
@@ -854,9 +875,23 @@ class Renderer:
                 from ..core.colorspace import AlphaMode
                 if frame_repr.alpha == AlphaMode.PREMULTIPLIED:
                     img = img / jnp.maximum(alpha, 1e-6)
-            from .hooks import HookStage, run_hooks
+            from .hooks import HookRect, HookStage, run_hooks
+            # main-image sampling-rect accumulator (//!OFFSET): seeded
+            # with the ref plane's declared offset, extended by the
+            # NATIVE..PREKERNEL hook stages, consumed by the main crop
+            hr_main = HookRect()
+            hr_main.ox, hr_main.oy = ref_off
+            h_pre, w_pre = img.shape[-2], img.shape[-1]
             img = run_hooks(params.hooks, HookStage.NATIVE, img,
-                            self._disabled_hooks, **hook_ctx)
+                            self._disabled_hooks, rect=hr_main,
+                            **hook_ctx)
+            # NATIVE hooks may resize: fold the scale into the crop
+            # (pre-rotation axes; the crop lives in rotated space, so a
+            # quarter turn swaps which axis each factor applies to)
+            sx_n = img.shape[-1] / w_pre
+            sy_n = img.shape[-2] / h_pre
+            if rotation % 2:
+                sx_n, sy_n = sy_n, sx_n
             img = ops_color.decode_color(
                 img, frame_repr, src_color.primaries,
                 dovi_packed=dovi_packed,
@@ -867,18 +902,36 @@ class Renderer:
                 img = jnp.rot90(img, k=int(rotation), axes=(-2, -1))
                 if has_alpha:
                     alpha = jnp.rot90(alpha, k=int(rotation), axes=(-2, -1))
+                hr_main.rotate(rotation)
+            h_rot, w_rot = img.shape[-2], img.shape[-1]
             img = run_hooks(params.hooks, HookStage.RGB, img,
-                            self._disabled_hooks, **hook_ctx)
+                            self._disabled_hooks, rect=hr_main,
+                            **hook_ctx)
             if params.lut is not None and params.lut_type == "native":
                 from ..ops import lut as ops_lut
                 img = ops_lut.apply_lut(img, params.lut)
 
+            def _crop_with_hooks(c, img_now):
+                """Fold main-stage hook resizes + accumulated //!OFFSET
+                into the sampling crop: crop' = S_total * crop + acc
+                (reference rect math, custom_mpv.c:1533-1541)."""
+                sx = sx_n * (img_now.shape[-1] / w_rot)
+                sy = sy_n * (img_now.shape[-2] / h_rot)
+                if (sx, sy) == (1.0, 1.0) and \
+                        not hr_main.ox and not hr_main.oy:
+                    return c
+                return RectF(c.x0 * sx + hr_main.ox,
+                             c.y0 * sy + hr_main.oy,
+                             c.x1 * sx + hr_main.ox,
+                             c.y1 * sy + hr_main.oy)
+
             # ---- pass_scale_main
-            src_h = crop_eff.y1 - crop_eff.y0
-            src_w = crop_eff.x1 - crop_eff.x0
+            crop_probe = _crop_with_hooks(crop_eff, img)
+            src_h = crop_probe.y1 - crop_probe.y0
+            src_w = crop_probe.x1 - crop_probe.x0
             needs_scale = (abs(src_h - dst_h) > 1e-6 or
                            abs(src_w - dst_w) > 1e-6 or
-                           crop_eff.x0 != 0 or crop_eff.y0 != 0)
+                           crop_probe.x0 != 0 or crop_probe.y0 != 0)
             upscaling = dst_w > src_w or dst_h > src_h
 
             use_linear = (params.linear_scaling and needs_scale
@@ -888,15 +941,25 @@ class Renderer:
             if use_linear:
                 img = linearize_src(img)
                 img = run_hooks(params.hooks, HookStage.LINEAR, img,
-                                self._disabled_hooks, **hook_ctx)
+                                self._disabled_hooks, rect=hr_main,
+                                **hook_ctx)
                 if use_sigmoid:
                     sig = SigmoidParams(*params.sigmoid)
                     img = ops_color.sigmoidize(img, sig)
                     img = run_hooks(params.hooks, HookStage.SIGMOID, img,
-                                    self._disabled_hooks, **hook_ctx)
+                                    self._disabled_hooks, rect=hr_main,
+                                    **hook_ctx)
 
             img = run_hooks(params.hooks, HookStage.PRE_KERNEL, img,
-                            self._disabled_hooks, **hook_ctx)
+                            self._disabled_hooks, rect=hr_main,
+                            **hook_ctx)
+            # final sampling crop: all main-stage hook resizes + offsets
+            # folded in; LINEAR..PREKERNEL hooks may have extended it
+            crop_eff = _crop_with_hooks(crop_eff, img)
+            if not needs_scale and (crop_eff.x0 or crop_eff.y0 or
+                                    abs(crop_eff.h - dst_h) > 1e-6 or
+                                    abs(crop_eff.w - dst_w) > 1e-6):
+                needs_scale = True
             phased = None
             if needs_scale:
                 up = _find_scaler(params.upscaler)

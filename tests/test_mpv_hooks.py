@@ -1348,3 +1348,270 @@ def test_compute_conditional_value_return_rejected():
     out = run_hooks([hook], HookStage.RGB, img, disabled)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img))
     assert hook.signature in disabled
+
+
+# ---------------------------------------------------------------------------
+# //!OFFSET (+ ALIGN) — reference custom_mpv.c:1533-1551: a pass's
+# declared offset shifts the hooked texture's sampling rect so the main
+# scaler compensates.  Oracle: rect_new = s*rect_old + offset, i.e. a
+# doubling pass with OFFSET -0.5 -0.5 equals the same hook without the
+# offset rendered with the source crop pre-shifted by -0.25 texels.
+# ---------------------------------------------------------------------------
+
+LUMA_DOUBLER_OFFSET = """\
+//!HOOK LUMA
+//!BIND HOOKED
+//!WIDTH LUMA.w 2 *
+//!HEIGHT LUMA.h 2 *
+//!OFFSET -0.5 -0.5
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+"""
+
+
+def _render(frame, target, params):
+    from libplacebo_tpu.render.renderer import Renderer
+    r = Renderer()
+    out = np.asarray(r._render_once(frame, target, params))
+    return out, r
+
+
+def _yuv_frame_gray_chroma(seed=0, h=64, w=96):
+    """Random luma, CONSTANT (gray) chroma: constant planes are
+    resample-shift-invariant, so a luma-texture //!OFFSET becomes
+    exactly equivalent to a crop shift (the reference shifts only the
+    hooked plane's rect, NOT the other planes — a plain crop shift
+    would move chroma too, renderer.c:1823-1838)."""
+    from libplacebo_tpu.core.colorspace import (BitEncoding, ColorLevels,
+                                                ColorRepr, ColorSystem)
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    rng = np.random.default_rng(seed)
+    y = (rng.random((h, w)) * 219 + 16).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    return frame_from_yuv420p(
+        y, u, v, repr=ColorRepr(sys=ColorSystem.BT_709,
+                                levels=ColorLevels.LIMITED,
+                                bits=BitEncoding(8, 8, 0)))
+
+
+def test_offset_on_doubling_hook_shifts_crop():
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    h, w = 32, 48
+    target = Target(w=2 * w, h=2 * h, color=CSP_SRGB, bit_depth=0)
+
+    hook_off = user_shader_hook(LUMA_DOUBLER_OFFSET)
+    hook_plain = user_shader_hook(
+        LUMA_DOUBLER_OFFSET.replace("//!OFFSET -0.5 -0.5\n", ""))
+
+    frame = _yuv_frame_gray_chroma(seed=9, h=h, w=w)
+    out, r = _render(frame, target, RenderParams(
+        upscaler="lanczos", hooks=(hook_off,)))
+    assert not r._disabled_hooks
+
+    # oracle: same hook w/o offset, crop pre-shifted by offset/scale
+    # (rect_new = 2*rect + (-0.5)  <=>  crop shifted by -0.25)
+    frame2 = _yuv_frame_gray_chroma(seed=9, h=h, w=w)
+    frame2.crop = RectF(-0.25, -0.25, w - 0.25, h - 0.25)
+    oracle, r2 = _render(frame2, target, RenderParams(
+        upscaler="lanczos", hooks=(hook_plain,)))
+    assert not r2._disabled_hooks
+    np.testing.assert_allclose(out, oracle, atol=2e-6)
+
+    # regression: ignoring the offset (old behavior) WOULD be caught —
+    # the unshifted render differs everywhere that matters
+    frame3 = _yuv_frame_gray_chroma(seed=9, h=h, w=w)
+    ignored, _ = _render(frame3, target, RenderParams(
+        upscaler="lanczos", hooks=(hook_plain,)))
+    assert np.abs(out - ignored).max() > 1e-3
+
+
+MAIN_IDENTITY_OFFSET = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!OFFSET 0.5 0.0
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+"""
+
+
+def test_offset_at_main_stage():
+    """A non-resizing MAIN pass with an offset == crop shifted 1:1."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    h, w = 32, 48
+    target = Target(w=2 * w, h=2 * h, color=CSP_SRGB, bit_depth=0)
+    hook = user_shader_hook(MAIN_IDENTITY_OFFSET)
+    hook_plain = user_shader_hook(
+        MAIN_IDENTITY_OFFSET.replace("//!OFFSET 0.5 0.0\n", ""))
+
+    frame = _yuv_frame(seed=10, h=h, w=w)
+    out, r = _render(frame, target,
+                     RenderParams(upscaler="lanczos", hooks=(hook,)))
+    assert not r._disabled_hooks
+    frame2 = _yuv_frame(seed=10, h=h, w=w)
+    frame2.crop = RectF(0.5, 0.0, w + 0.5, float(h))
+    oracle, _ = _render(frame2, target, RenderParams(
+        upscaler="lanczos", hooks=(hook_plain,)))
+    np.testing.assert_array_equal(out, oracle)
+
+
+def test_offset_align_pins_chroma_to_ref_grid():
+    """//!OFFSET ALIGN on a chroma hook discards the chroma siting
+    offset (reference custom_mpv.c:1544-1550 re-anchors the rect)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    h, w = 32, 48
+    target = Target(w=2 * w, h=2 * h, color=CSP_SRGB, bit_depth=0)
+    align_hook = user_shader_hook("""\
+//!HOOK CHROMA
+//!BIND HOOKED
+//!OFFSET ALIGN
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+""")
+    plain_hook = user_shader_hook("""\
+//!HOOK CHROMA
+//!BIND HOOKED
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+""")
+    frame = _yuv_frame(seed=11, h=h, w=w)
+    frame.set_chroma_location("top_left")
+    out, r = _render(frame, target, RenderParams(
+        upscaler="lanczos", hooks=(align_hook,)))
+    assert not r._disabled_hooks
+
+    # oracle: identical pass chain, but the frame sited dead-center
+    # (zero siting offset)
+    frame2 = _yuv_frame(seed=11, h=h, w=w)
+    frame2.set_chroma_location("center")
+    oracle, _ = _render(frame2, target, RenderParams(
+        upscaler="lanczos", hooks=(plain_hook,)))
+    np.testing.assert_array_equal(out, oracle)
+
+    # and the siting offset is real: without ALIGN the render differs
+    frame3 = _yuv_frame(seed=11, h=h, w=w)
+    frame3.set_chroma_location("top_left")
+    sited, _ = _render(frame3, target, RenderParams(
+        upscaler="lanczos", hooks=(plain_hook,)))
+    assert np.abs(out - sited).max() > 1e-5
+
+
+def test_offset_at_unsupported_stage_auto_disables():
+    """OFFSET where the renderer cannot compensate (POSTKERNEL) is a
+    clean error -> auto-disable, NOT a silent misalignment."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    hook = user_shader_hook("""\
+//!HOOK POSTKERNEL
+//!BIND HOOKED
+//!OFFSET -0.5 -0.5
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+""")
+    h, w = 32, 48
+    frame = _yuv_frame(seed=12, h=h, w=w)
+    target = Target(w=2 * w, h=2 * h, color=CSP_SRGB, bit_depth=0)
+    out, r = _render(frame, target, RenderParams(
+        upscaler="lanczos", hooks=(hook,)))
+    assert r._disabled_hooks, "OFFSET at POSTKERNEL must auto-disable"
+    ref, _ = _render(_yuv_frame(seed=12, h=h, w=w), target,
+                     RenderParams(upscaler="lanczos"))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_offset_on_save_pass_auto_disables():
+    hook = user_shader_hook("""\
+//!HOOK MAIN
+//!BIND HOOKED
+//!SAVE SOMETEX
+//!OFFSET -0.5 -0.5
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+
+//!HOOK MAIN
+//!BIND SOMETEX
+vec4 hook() {
+    return SOMETEX_tex(HOOKED_pos);
+}
+""")
+    img = _img(8, 12, seed=13)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
+def test_hook_rect_compose_and_rotate():
+    from libplacebo_tpu.render.hooks import HookRect
+    hr = HookRect()
+    hr.apply_pass(2.0, 2.0, (-0.5, -0.5))       # double + offset
+    hr.apply_pass(1.0, 1.0, (0.25, 0.0))        # 1:1 + offset
+    assert (hr.ox, hr.oy) == (-0.25, -0.5)
+    hr.apply_pass(3.0, 3.0)                      # scale-only pass
+    assert (hr.ox, hr.oy) == (-0.75, -1.5)
+    # align resets the accumulation and marks the plane pinned
+    hr.apply_pass(1.0, 1.0, align=True)
+    assert hr.align and (hr.ox, hr.oy) == (0.0, 0.0)
+    # rotation: offset vector (dx, dy) -> (dy, -dx) per quarter turn
+    hr2 = HookRect(ox=1.0, oy=2.0)
+    hr2.rotate(1)
+    assert (hr2.ox, hr2.oy) == (2.0, -1.0)
+    hr2.rotate(3)
+    assert (hr2.ox, hr2.oy) == (1.0, 2.0)
+
+
+def test_offset_at_native_rotates_with_frame():
+    """A NATIVE-stage offset precedes the renderer's rotation; the crop
+    lives in rotated space, so the offset vector transforms
+    (dx, dy) -> (dy, -dx) per quarter turn."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF
+    from libplacebo_tpu.core.common import Rotation
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    h, w = 32, 48
+    hook = user_shader_hook("""\
+//!HOOK NATIVE
+//!BIND HOOKED
+//!OFFSET 0.5 0.0
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+""")
+    hook_plain = user_shader_hook("""\
+//!HOOK NATIVE
+//!BIND HOOKED
+vec4 hook() {
+    return HOOKED_tex(HOOKED_pos);
+}
+""")
+    target = Target(w=2 * h, h=2 * w, color=CSP_SRGB, bit_depth=0)
+    frame = _yuv_frame_gray_chroma(seed=14, h=h, w=w)
+    frame.rotation = Rotation(1)
+    frame.crop = RectF(0, 0, h, w)       # crop in rotated space
+    out, r = _render(frame, target, RenderParams(
+        upscaler="lanczos", hooks=(hook,)))
+    assert not r._disabled_hooks
+
+    # oracle: rotated-space crop shifted by rotate(1)(0.5, 0) = (0, -0.5)
+    frame2 = _yuv_frame_gray_chroma(seed=14, h=h, w=w)
+    frame2.rotation = Rotation(1)
+    frame2.crop = RectF(0, -0.5, h, w - 0.5)
+    oracle, _ = _render(frame2, target, RenderParams(
+        upscaler="lanczos", hooks=(hook_plain,)))
+    np.testing.assert_allclose(out, oracle, atol=2e-6)

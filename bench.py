@@ -24,16 +24,16 @@ def main():
 
     fn, args = graft.entry()
 
-    def chained(state, grain, temporal, ovl, dv, y, u, v, n):
+    def chained(state, grain, temporal, ovl, dv, hs, y, u, v, n):
         def body(i, carry):
             state, out = carry
             # microscopic dependency on the previous frame's output
             # serializes the chain without changing the math; peak state
             # carries across frames like real playback
-            out, state = fn(state, grain, temporal, ovl, dv,
-                            y + out[0, 0, 0] * 1e-12, u, v)
+            out, state, _ = fn(state, grain, temporal, ovl, dv, hs,
+                               y + out[0, 0, 0] * 1e-12, u, v)
             return (state, out)
-        out0, state = fn(state, grain, temporal, ovl, dv, y, u, v)
+        out0, state, _ = fn(state, grain, temporal, ovl, dv, hs, y, u, v)
         _, out = jax.lax.fori_loop(0, n, body, (state, out0))
         return out
 

@@ -194,10 +194,33 @@ def cache_create(params: Optional[CacheParams] = None) -> Cache:
     return Cache(params)
 
 
+def _machine_key() -> str:
+    """Stable per-machine key for the XLA cache path: CPU AOT entries
+    are machine-feature-specific (loading another machine's entries
+    makes XLA warn about SIGILL risk and recompile)."""
+    import hashlib
+    import platform
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(sig.encode()).hexdigest()[:12]
+
+
 def set_xla_cache_dir(path: str):
     """Enable JAX's persistent compilation cache (the analog of the
-    reference caching compiled SPIR-V / pipeline blobs)."""
+    reference caching compiled SPIR-V / pipeline blobs).  The directory
+    is scoped by a machine key — like the reference's pipeline caches,
+    entries are only valid on matching hardware."""
+    import os
     import jax
+    path = os.path.join(path, _machine_key())
+    os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -900,12 +900,20 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
     sh_img = NamedSharding(mesh, P("data", None, "spatial", None))
     sh_state = NamedSharding(mesh, P("data", None))
 
+    # cross-frame hook state (STORAGE textures/buffers): per-batch-lane,
+    # like the peak state — the 'data' axis is frame-parallel and each
+    # lane carries its own temporal state
+    hook_specs = tuple(
+        (h, tuple(sorted(getattr(h, "state_spec", None) or ())))
+        for h in params.hooks if getattr(h, "state_spec", None))
+
     def _constrain(p):
         return jax.lax.with_sharding_constraint(p, sh_img)
 
     @jax.jit
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                  next_planes, overlay_datas, target_data, *planes):
+                  next_planes, overlay_datas, target_data, hook_states,
+                  *planes):
         state = jax.lax.with_sharding_constraint(state, sh_state)
         planes = tuple(_constrain(p) for p in planes)
         if prev_planes is not None:
@@ -915,15 +923,15 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
         temporal = (prev_planes, next_planes)
         if target_data is not None:
             temporal = temporal + (_constrain(target_data),)
-        out, new_state = jax.vmap(pipeline)(
+        out, new_state, hs_out = jax.vmap(pipeline)(
             state, grain_tables, temporal, overlay_datas, dovi_packed,
-            *planes)
+            hook_states, *planes)
         return _constrain(out), \
-            jax.lax.with_sharding_constraint(new_state, sh_state)
+            jax.lax.with_sharding_constraint(new_state, sh_state), hs_out
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
             prev_planes=None, next_planes=None, overlay_datas=None,
-            target_data=None):
+            target_data=None, hook_states=None):
         if overlays and (overlay_datas is None or
                          len(overlay_datas) != len(overlays)):
             raise RenderError(
@@ -942,9 +950,21 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
                 jnp.broadcast_to(jnp.asarray(o.data)[None],
                                  (b,) + tuple(o.data.shape))
                 for o in tgt_ovs)
-        return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, ov_all, target_data,
-                         *planes)
+        if hook_states is None:
+            # first frame: batched initial values from the specs
+            b = planes[0].shape[0]
+            hook_states = tuple(
+                jnp.broadcast_to(jnp.asarray(h.state_spec[n])[None],
+                                 (b,) + tuple(h.state_spec[n].shape))
+                for h, names in hook_specs for n in names)
+        out, new_state, hs_out = _jit_step(
+            state, grain_tables, dovi_packed, prev_planes,
+            next_planes, ov_all, target_data, tuple(hook_states),
+            *planes)
+        if hook_specs:
+            # stateful hooks: callers thread hook_states like `state`
+            return out, new_state, hs_out
+        return out, new_state
 
     return run
 

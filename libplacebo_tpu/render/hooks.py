@@ -118,8 +118,14 @@ class Hook:
 
 
 def run_hooks(hooks: Optional[List[Hook]], stage: HookStage, img,
-              disabled: Optional[set] = None, **ctx):
-    """Execute all enabled hooks matching `stage` in order."""
+              disabled: Optional[set] = None, states=None, **ctx):
+    """Execute all enabled hooks matching `stage` in order.
+
+    `states`: optional cross-frame hook-state channel — a dict mapping
+    hook signature -> (state_in dict, state_out dict); hooks declaring
+    a `state_spec` read carried values from state_in and deposit the
+    next frame's values in state_out (the renderer threads these
+    through the jit signature)."""
     if not hooks:
         return img
     params = HookParams(stage=stage,
@@ -132,6 +138,10 @@ def run_hooks(hooks: Optional[List[Hook]], stage: HookStage, img,
         if disabled is not None and hook.signature in disabled:
             continue
         params.parameters = dict(hook.parameters)
+        if states is not None and hook.signature in states:
+            params.state_in, params.state_out = states[hook.signature]
+        else:
+            params.state_in = params.state_out = None
         try:
             out = hook.func(img, params)
             if out is not None:

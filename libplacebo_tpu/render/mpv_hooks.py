@@ -173,6 +173,11 @@ class ShaderTexture:
     data: np.ndarray                    # (H, W, comps) float32
     filter: str = "LINEAR"              # LINEAR | NEAREST
     border: str = "CLAMP"               # CLAMP | REPEAT | MIRROR
+    # //!TEXTURE ... STORAGE (reference custom_mpv.c:444-450): a
+    # read-write image, persistent across frames (PL_DESC_STORAGE_IMG).
+    # Written via imageStore(NAME, ...), read via imageLoad/texture();
+    # carried through the renderer's jit signature as traced state.
+    storage: bool = False
 
 
 @dataclass
@@ -191,11 +196,11 @@ class ShaderBuffer:
     bodies.  TPU translation: members are traced values threaded
     through the pass store; STORAGE writes (plain assignment of a
     spatially-uniform value, or atomicAdd summed over invocations)
-    become visible to subsequent passes within the same frame.  Unlike
-    the reference's persistent GPU buffer, values reset to the initial
-    data each frame — the functional pipeline has no cross-frame
-    mutable state channel (peak detection, the one reference feature
-    needing it, has its own dedicated state)."""
+    become visible to subsequent passes within the same frame, and —
+    like the reference's persistent GPU buffer — STORAGE values carry
+    ACROSS frames through the renderer's jit signature (the
+    peak-detection pattern; Hook.state_spec).  Stateless harnesses
+    (run_hooks without a states= channel) re-init per frame."""
     name: str
     storage: bool = False
     vars: List[BufferVar] = field(default_factory=list)
@@ -426,6 +431,7 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
             size = None
             fmt = "rgba8"
             filt, border = "LINEAR", "CLAMP"
+            storage = False
             for d in dirs[1:]:
                 key, _, rest = d.partition(" ")
                 rest = rest.strip()
@@ -438,7 +444,7 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
                 elif key == "BORDER":
                     border = rest
                 elif key == "STORAGE":
-                    pass
+                    storage = True
                 else:
                     raise MpvHookError(f"bad TEXTURE directive {key!r}")
             payload = read_body().strip().replace("\n", "").replace(" ", "")
@@ -447,6 +453,15 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
             comps, dtype, scale = _TEX_FORMATS[fmt]
             raw = bytes.fromhex(payload)
             arr = np.frombuffer(raw, dtype=dtype).astype(np.float64) / scale
+            if len(arr) == 0 and storage:
+                # STORAGE textures may omit initial data (reference
+                # custom_mpv.c:479-481) — zero-initialized
+                if size is None:
+                    raise MpvHookError(
+                        f"STORAGE texture {tname}: no SIZE and no data")
+                w = size[0]
+                h = size[1] if len(size) > 1 else 1
+                arr = np.zeros(w * h * comps, np.float64)
             if size is None:
                 size = (len(arr) // comps, 1)   # width, height=1
             w = size[0]
@@ -457,7 +472,8 @@ def parse_user_shader(text: str, name: str = "user shader") -> UserShader:
                     f"{w}x{h}x{comps}")
             data = arr.reshape(h, w, comps).astype(np.float32)
             shader.textures[tname] = ShaderTexture(
-                name=tname, data=data, filter=filt, border=border)
+                name=tname, data=data, filter=filt, border=border,
+                storage=storage)
         elif head.startswith("BUFFER"):
             dirs = read_block_lines()
             buf = ShaderBuffer(name=dirs[0].partition(" ")[2].strip())
@@ -718,17 +734,39 @@ class _BodyRunner:
                  defines: Dict[str, str], out_shape: Tuple[int, int],
                  buf_vals: Optional[Dict[str, object]] = None,
                  buf_writable: Optional[set] = None,
-                 compute: Optional[Tuple[int, int]] = None):
+                 compute: Optional[Tuple[int, int]] = None,
+                 stex: Optional[Dict[str, object]] = None,
+                 block: Optional[Tuple[int, int]] = None):
         self.tex = textures
         self.hooked = hooked
         self.params = params
         self.defines = defines
+        self.out_h, self.out_w = out_shape
         self.H, self.W = out_shape
+        if compute is not None and block is not None and \
+                block != compute:
+            # 4-arg //!COMPUTE (reference custom_mpv.c:265-285): each
+            # bw x bh pixel block is covered by tw x th threads — an
+            # invocation handles multiple pixels.  The interpreter's
+            # grid becomes the THREAD grid (full workgroups, like the
+            # reference's DIV_UP dispatch); imageStore scatters onto
+            # the (out_h, out_w) image
+            tw, th = compute
+            bw, bh = block
+            self.W = -(-out_shape[1] // bw) * tw
+            self.H = -(-out_shape[0] // bh) * th
         # //!BUFFER members: flat GLSL-style global namespace
         self.buf_vals = buf_vals or {}
         self.buf_writable = buf_writable or set()
         self.compute = compute          # (threads_w, threads_h) or None
         self.shared: Dict[str, dict] = {}
+        # //!TEXTURE ... STORAGE images: current (C, h, w) values —
+        # writable via imageStore(NAME, ...) from ANY pass kind,
+        # readable via imageLoad/texture(); final values land in
+        # self.stex_writes after run()
+        self.stex = stex or {}
+        self._stex_stores: Dict[str, list] = {}
+        self.stex_writes: Dict[str, object] = {}
 
     # -- value helpers ---------------------------------------------------
 
@@ -836,6 +874,7 @@ class _BodyRunner:
                 raise MpvHookError("compute hook() must return void")
             ret = self._assemble_stores()
             self._collect_buf_writes()
+            self._collect_stex_writes()
             return ret
         if ret is None and self._pending_rets:
             # every lane returned via conditional paths (e.g. an
@@ -854,6 +893,7 @@ class _BodyRunner:
                        scalar=a.scalar)
         self._pending_rets = []
         self._collect_buf_writes()
+        self._collect_stex_writes()
         return ret
 
     def _collect_buf_writes(self):
@@ -1010,13 +1050,20 @@ class _BodyRunner:
         return None
 
     def _image_store(self):
-        """imageStore(out_image, ivec2 pos, vec4 val) — recorded, then
-        assembled into the pass output at the end of run()."""
+        """imageStore(out_image | STORAGE tex, ivec2 pos, vec4 val) —
+        recorded, then assembled at the end of run(): out_image stores
+        become the pass output; STORAGE-texture stores update the
+        persistent image read-modify-write (reference
+        PL_DESC_STORAGE_IMG, custom_mpv.c:444-450)."""
         self._expect("(")
         name = self._next()
-        if name != "out_image":
+        if name != "out_image" and name not in self.stex:
             raise MpvHookError(
-                f"imageStore target must be out_image, got {name!r}")
+                f"imageStore target must be out_image or a //!TEXTURE "
+                f"STORAGE image, got {name!r}")
+        if name == "out_image" and self.compute is None:
+            raise MpvHookError("imageStore(out_image, ...) outside a "
+                               "compute hook")
         self._expect(",")
         pos = self._materialize(self._expr())
         self._expect(",")
@@ -1034,32 +1081,34 @@ class _BodyRunner:
         for m in self._mask_stack:
             mask = m if mask is None else _amod(mask, m).logical_and(
                 mask, m)
-        self._image_stores.append(
-            (mask, np.asarray(px, np.float64), np.asarray(py, np.float64),
-             self._to_vec4(val)))
+        rec = (mask, np.asarray(px, np.float64),
+               np.asarray(py, np.float64), self._to_vec4(val))
+        if name == "out_image":
+            self._image_stores.append(rec)
+        else:
+            self._stex_stores.setdefault(name, []).append(rec)
 
-    def _assemble_stores(self):
-        """Merge recorded imageStores into the (4, H, W) output.  The
-        common store-at-own-pixel case is a direct (masked) merge;
-        other host-known patterns become XLA scatters; pixels no store
-        covers are 0 (undefined in GLSL)."""
+    def _merge_store_list(self, stores, th, tw, base):
+        """Merge recorded imageStores onto a (th, tw) target starting
+        from `base` (list of 4 (th, tw) comps or None).  The common
+        store-at-own-pixel case is a direct (masked) merge; other
+        host-known patterns become XLA scatters.  Invocation grids are
+        (self.H, self.W)-shaped and may differ from the target size."""
         import jax.numpy as jnp
-        if not self._image_stores:
-            raise MpvHookError(
-                "compute hook() never called imageStore(out_image, ...)")
         H, W = self.H, self.W
         Xg = np.broadcast_to(np.arange(W, dtype=np.int64)[None, :],
                              (H, W))
         Yg = np.broadcast_to(np.arange(H, dtype=np.int64)[:, None],
                              (H, W))
-        out = None
-        for mask, px, py, val in self._image_stores:
+        out = base
+        for mask, px, py, val in stores:
             pxb = np.broadcast_to(px, (H, W)).astype(np.int64)
             pyb = np.broadcast_to(py, (H, W)).astype(np.int64)
             comps = [jnp.broadcast_to(c, (H, W)) if hasattr(c, "shape")
                      else jnp.full((H, W), float(c), jnp.float32)
                      for c in val.comps]
-            if np.array_equal(pxb, Xg) and np.array_equal(pyb, Yg):
+            if (th, tw) == (H, W) and np.array_equal(pxb, Xg) and \
+                    np.array_equal(pyb, Yg):
                 if mask is None:
                     out = comps
                 else:
@@ -1067,15 +1116,45 @@ class _BodyRunner:
                     out = [jnp.where(mask, c, p)
                            for c, p in zip(comps, prev)]
                 continue
+            valid = ((pxb >= 0) & (pxb < tw) & (pyb >= 0) & (pyb < th))
             if mask is not None:
-                raise MpvHookError(
-                    "conditional imageStore at non-invocation "
-                    "coordinates is not supported")
-            valid = ((pxb >= 0) & (pxb < W) & (pyb >= 0) & (pyb < H))
-            prev = out or [jnp.zeros((H, W), jnp.float32)] * 4
+                if _is_traced(mask):
+                    raise MpvHookError(
+                        "conditional (data-dependent) imageStore at "
+                        "non-invocation coordinates is not supported")
+                valid = valid & np.broadcast_to(mask, (H, W))
+            prev = out or [jnp.zeros((th, tw), jnp.float32)] * 4
             out = [p.at[pyb[valid], pxb[valid]].set(c[valid])
                    for c, p in zip(comps, prev)]
-        return _Vec(out)
+        return out
+
+    def _assemble_stores(self):
+        """Merge out_image stores into the (4, out_h, out_w) pass
+        output; pixels no store covers are 0 (undefined in GLSL).  In
+        4-arg COMPUTE mode the invocation grid (H, W) is the thread
+        grid, larger than the pixel block — stores scatter."""
+        if not self._image_stores:
+            raise MpvHookError(
+                "compute hook() never called imageStore(out_image, ...)")
+        return _Vec(self._merge_store_list(self._image_stores,
+                                           self.out_h, self.out_w, None))
+
+    def _collect_stex_writes(self):
+        """Apply recorded STORAGE-texture stores read-modify-write on
+        the current values (unstored texels keep their old content,
+        like a real storage image)."""
+        import jax.numpy as jnp
+        for name, stores in self._stex_stores.items():
+            cur = self.stex[name]                   # (C, h, w)
+            th, tw = cur.shape[-2], cur.shape[-1]
+            base = [jnp.asarray(cur[c], jnp.float32)
+                    if c < cur.shape[0] else
+                    (jnp.ones((th, tw), jnp.float32) if c == 3 else
+                     jnp.zeros((th, tw), jnp.float32))
+                    for c in range(4)]
+            merged = self._merge_store_list(stores, th, tw, base)
+            self.stex_writes[name] = jnp.stack(
+                merged[:cur.shape[0]], axis=0)
 
     def _peek(self, k=0):
         return self.toks[self.pos + k] if self.pos + k < len(self.toks) \
@@ -1339,8 +1418,8 @@ class _BodyRunner:
             self._expect(";")
             return None
         if t == "imageStore":
-            if self.compute is None:
-                raise MpvHookError("imageStore outside a compute hook")
+            # out_image targets require compute mode (checked inside);
+            # STORAGE-texture targets work from any pass kind
             self._next()
             self._image_store()
             self._expect(";")
@@ -1691,11 +1770,13 @@ class _BodyRunner:
             return self._call(t)
         if t == "atomicAdd":
             return self._atomic_add()
-        if t in ("texture", "textureLod", "texelFetch"):
+        if t in ("texture", "textureLod", "texelFetch", "imageLoad"):
             # raw-GLSL sampling of a bound texture by name (the form
             # RAVU-generated shaders use; reference binds textures as
-            # plain samplers, custom_mpv.c:305)
-            return self._texture_call(t)
+            # plain samplers, custom_mpv.c:305).  imageLoad reads a
+            # STORAGE image at integer texel coords = texelFetch.
+            return self._texture_call(
+                "texelFetch" if t == "imageLoad" else t)
         # NAME_tex / NAME_texOff / NAME_pos / NAME_size / NAME_pt
         for suffix in ("_texOff", "_tex", "_pos", "_size", "_pt", "_off"):
             if t.endswith(suffix):
@@ -2353,6 +2434,45 @@ class _TexView:
 # Hook assembly
 # ---------------------------------------------------------------------------
 
+def _init_carry(val) -> np.ndarray:
+    """Canonical float32 carry array for a STORAGE buffer var's initial
+    (parsed) value: (1,) scalars, (n,) vectors, (rows, rowlen) arrays/
+    matrices — a STATIC shape, stable across frames."""
+    a = np.asarray(val, np.float32)
+    if a.ndim == 0:
+        return a.reshape(1)
+    if a.ndim > 2:
+        return a.reshape(a.shape[0], -1)
+    return a
+
+
+def _carry_to_store(c) -> object:
+    """Carried (traced) array -> the buffer-store value form the body
+    runner consumes (_Vec / list of _Vec of traced scalars)."""
+    if c.ndim == 2:
+        return [_Vec([c[r, i] for i in range(c.shape[1])])
+                for r in range(c.shape[0])]
+    if c.shape[0] == 1:
+        return _Vec([c[0]], scalar=True)
+    return _Vec([c[i] for i in range(c.shape[0])])
+
+
+def _store_to_carry(val):
+    """Buffer-store value -> carried float32 array (inverse of
+    _carry_to_store, also accepting the parsed host forms)."""
+    import jax.numpy as jnp
+
+    def s(x):
+        return jnp.asarray(x, jnp.float32).reshape(())
+    if isinstance(val, list):
+        return jnp.stack([jnp.stack([s(c) for c in v.comps])
+                          for v in val])
+    if isinstance(val, _Vec):
+        return jnp.stack([s(c) for c in val.comps])
+    a = jnp.asarray(val, jnp.float32)
+    return a.reshape(1) if a.ndim == 0 else a
+
+
 def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
     """Build a render.hooks.Hook executing this user shader's passes at
     their hooked stages (reference pl_mpv_user_shader_parse returning a
@@ -2387,18 +2507,59 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
             defines[name] = str(int(par_vals[name]))
 
     # saved textures persist across passes within one pipeline trace
+    # (= the reference: hook_reset clears pass textures EVERY frame,
+    # custom_mpv.c:941-944 via renderer.c:3371); cross-frame persistence
+    # belongs to STORAGE textures and STORAGE buffers only
     store: Dict[str, object] = {}
-    first_stage = None
+    first_stage = last_stage = None
     for st in HookStage:
         if stages & st:
-            first_stage = st
-            break
+            if first_stage is None:
+                first_stage = st
+            last_stage = st
+
+    # persistent state spec: STORAGE textures (PL_DESC_STORAGE_IMG) and
+    # STORAGE buffer vars survive across frames on the hook object in
+    # the reference; here they carry through the renderer's jit
+    # signature as traced state (the peak-detection pattern)
+    storage_texs = {n: t for n, t in shader.textures.items() if t.storage}
+    storage_vars = [(buf, bv) for buf in shader.buffers.values()
+                    if buf.storage for bv in buf.vars]
+    state_spec: Dict[str, np.ndarray] = {}
+    for n, t in storage_texs.items():
+        state_spec["tex:" + n] = np.ascontiguousarray(
+            np.moveaxis(t.data, -1, 0)).astype(np.float32)
+    for buf, bv in storage_vars:
+        state_spec["buf:" + bv.name] = _init_carry(buf.values[bv.name])
 
     def func(img, hp):
         import jax.numpy as jnp
         nonlocal store
         if hp.stage == first_stage:
             store = {}
+            st_in = hp.state_in or {}
+            if storage_texs:
+                store["__stex__"] = {
+                    n: (st_in["tex:" + n] if "tex:" + n in st_in
+                        else jnp.asarray(state_spec["tex:" + n]))
+                    for n in storage_texs}
+            if shader.buffers:
+                init: Dict[str, object] = {}
+                for buf in shader.buffers.values():
+                    for bv in buf.vars:
+                        carried = st_in.get("buf:" + bv.name) \
+                            if buf.storage else None
+                        if carried is not None:
+                            init[bv.name] = _carry_to_store(carried)
+                            continue
+                        val = buf.values[bv.name]
+                        if isinstance(val, np.ndarray) and val.ndim >= 2:
+                            init[bv.name] = [
+                                _Vec(list(r)) for r in
+                                val.reshape(val.shape[0], -1)]
+                        else:
+                            init[bv.name] = val
+                store["__buffers__"] = init
         stage_name = _STAGE_NAME.get(hp.stage)
         cur = img
         # //!OFFSET rect updates apply transactionally: only after every
@@ -2417,11 +2578,19 @@ def user_shader_hook(shader, parameters: Optional[Dict] = None) -> Hook:
         if hp.rect is not None:
             for upd in rect_updates:
                 hp.rect.apply_pass(*upd)
+        if hp.stage == last_stage and hp.state_out is not None:
+            for n in storage_texs:
+                hp.state_out["tex:" + n] = store["__stex__"][n]
+            for buf, bv in storage_vars:
+                hp.state_out["buf:" + bv.name] = _store_to_carry(
+                    store["__buffers__"][bv.name])
         return cur
 
     h = Hook(stages=stages, func=func, name=shader.name,
              parameters=dict(par_vals))
     h.user_shader = shader
+    if state_spec:
+        h.state_spec = state_spec
     return h
 
 
@@ -2434,9 +2603,16 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
     views: Dict[str, _TexView] = {stage_name: _TexView(stage_name, img)}
     if stage_name == "MAIN":
         views["MAINPRESUB"] = views["MAIN"]
+    stex = store.get("__stex__") or {}
     for tname, tex in shader.textures.items():
-        views[tname] = _TexView(tname, tex.data, tex.filter, tex.border,
-                                is_builtin=True)
+        if tex.storage:
+            # persistent STORAGE image: bind its CURRENT (possibly
+            # carried / previously-written) value, traced
+            views[tname] = _TexView(tname, stex[tname], tex.filter,
+                                    tex.border)
+        else:
+            views[tname] = _TexView(tname, tex.data, tex.filter,
+                                    tex.border, is_builtin=True)
     for tname, arr in store.items():
         if not tname.startswith("__"):      # "__buffers__" is not a tex
             views[tname] = _TexView(tname, arr)
@@ -2497,20 +2673,21 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
         buf_writable = {bv.name for buf in shader.buffers.values()
                         if buf.storage for bv in buf.vars}
 
-    compute = None
+    compute = block = None
     if p.is_compute:
-        if (p.threads_w, p.threads_h) != (p.block_w, p.block_h):
-            raise MpvHookError(
-                "COMPUTE with an explicit thread count differing from "
-                "the block size (multi-pixel invocations) is not "
-                "supported")
         compute = (p.threads_w, p.threads_h)
+        block = (p.block_w, p.block_h)
     runner = _BodyRunner(bind_views, hooked, par_vals, defines,
                          (out_h, out_w), buf_vals=buf_vals,
-                         buf_writable=buf_writable, compute=compute)
+                         buf_writable=buf_writable, compute=compute,
+                         block=block,
+                         stex={k: v for k, v in stex.items()
+                               if k in bind_views})
     result = runner.run(p.body)
     if shader.buffers:
         store["__buffers__"].update(runner.buf_writes)
+    if runner.stex_writes:
+        store["__stex__"].update(runner.stex_writes)
 
     # //!OFFSET / ALIGN: declared rect shifts feed the renderer's
     # sampling-rect accumulator so downstream scaling compensates

@@ -570,6 +570,10 @@ class Renderer:
         # misbehaving user hooks, auto-disabled by signature
         # (reference rr->disabled_hooks, renderer.c:64-65)
         self._disabled_hooks: set = set()
+        # cross-frame hook state: (hook signature, name) -> carried
+        # array (STORAGE textures/buffers — persistent objects on the
+        # hook in the reference, custom_mpv.c:444-450,529-530)
+        self._hook_states: Dict[tuple, object] = {}
         # persistent XLA compile cache, on by default (opt out with
         # LPTPU_XLA_CACHE_DIR=0) — cold Mosaic compiles are minutes
         from ..core.cache import enable_default_xla_cache
@@ -836,8 +840,15 @@ class Renderer:
 
         ref_shape0 = plane_metas[self._ref_plane_index(plane_metas)][0]
 
+        # cross-frame hook state (STORAGE textures/buffers in mpv user
+        # shaders): static per-hook name lists; values thread through
+        # the jit signature like the peak state
+        hook_state_specs = tuple(
+            (h, tuple(sorted(getattr(h, "state_spec", None) or ())))
+            for h in params.hooks if getattr(h, "state_spec", None))
+
         def pipeline(peak_state, grain_tables, temporal, overlay_datas,
-                     dovi_packed, *planes):
+                     dovi_packed, hook_states, *planes):
             # ---- pass_read_image
             # temporal: (prev_planes, next_planes[, target_data]) — the
             # optional third entry carries existing target contents for
@@ -848,6 +859,16 @@ class Renderer:
             dst_w = int(round(dst_crop.w))
             dst_h = int(round(dst_crop.h))
             hook_ctx = dict(dst_w=dst_w, dst_h=dst_h)
+            hstates = None
+            if hook_state_specs:
+                hstates = {}
+                idx = 0
+                for h, names in hook_state_specs:
+                    hstates[h.signature] = (
+                        {n: hook_states[idx + i]
+                         for i, n in enumerate(names)}, {})
+                    idx += len(names)
+                hook_ctx["states"] = hstates
             img, order, (H_act, W_act), ref_off = self._merge_planes(
                 planes, (plane_metas, frame_repr.sys), params,
                 grain_cfgs, grain_tables, scaling_shift,
@@ -1201,7 +1222,15 @@ class Renderer:
                     img, overlay_datas[ov_i], ov, is_tgt, target,
                     dst_color, params, crop, dst_crop, rotation,
                     (ref_shape0[-2], ref_shape0[-1]))
-            return jnp.clip(img, 0.0, 1.0), new_state
+            hs_out = ()
+            if hook_state_specs:
+                outs = []
+                for h, names in hook_state_specs:
+                    sin, sout = hstates[h.signature]
+                    # disabled / skipped hooks carry their state through
+                    outs.extend(sout.get(n, sin[n]) for n in names)
+                hs_out = tuple(outs)
+            return jnp.clip(img, 0.0, 1.0), new_state, hs_out
 
         return pipeline
 
@@ -1699,9 +1728,27 @@ class Renderer:
                 frame.repr.dovi is not None:
             from ..ops.dovi import pack_dovi
             dovi_packed = pack_dovi(frame.repr.dovi)
-        out, self._peak_state = fn(self._peak_state, grain_tables,
-                                   temporal, overlay_datas, dovi_packed,
-                                   *[p.data for p in frame.planes])
+        # cross-frame hook state (STORAGE textures/buffers): carried
+        # values in spec order; shape mismatches (spec changed) re-init
+        hook_states = []
+        for h in params.hooks:
+            spec = getattr(h, "state_spec", None) or {}
+            for n in sorted(spec):
+                cur = self._hook_states.get((h.signature, n))
+                if cur is None or tuple(cur.shape) != np.shape(spec[n]):
+                    cur = jnp.asarray(spec[n])
+                hook_states.append(cur)
+        out, self._peak_state, hs_out = fn(
+            self._peak_state, grain_tables, temporal, overlay_datas,
+            dovi_packed, tuple(hook_states),
+            *[p.data for p in frame.planes])
+        if hs_out:
+            i = 0
+            for h in params.hooks:
+                spec = getattr(h, "state_spec", None) or {}
+                for n in sorted(spec):
+                    self._hook_states[(h.signature, n)] = hs_out[i]
+                    i += 1
         if self.telemetry is not None:
             # non-blocking timing (reference pl_timer queries are read
             # opportunistically, gpu.h:403-437): harvest the PREVIOUS
@@ -1732,6 +1779,12 @@ class Renderer:
         """Reference pl_renderer_flush_cache / peak state reset."""
         self._peak_state = ops_peak.peak_detect_state_init()
 
+    def reset_hook_state(self):
+        """Drop carried cross-frame hook state (STORAGE textures /
+        buffers re-initialize from their declared data on the next
+        frame — the reference analog is recreating the hook)."""
+        self._hook_states.clear()
+
     def get_errors(self) -> tuple:
         """Accumulated degradation state: (error flags, disabled hook
         signatures) — features/hooks disabled after a backend failure
@@ -1755,6 +1808,7 @@ class Renderer:
     def flush_cache(self):
         self._cache.clear()
         self.reset_peak_detection()
+        self.reset_hook_state()
 
     def get_hdr_metadata(self):
         """Measured HDR metadata from the peak-detection state, or None

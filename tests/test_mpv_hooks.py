@@ -1188,15 +1188,54 @@ def test_compute_oob_guard_bare_return():
     np.testing.assert_allclose(out[:, :, 4:], 0.0, atol=1e-6)
 
 
-def test_compute_threads_neq_block_rejected():
-    bad = COMPUTE_IDENTITY_HOOK.replace("//!COMPUTE 8 8",
-                                        "//!COMPUTE 32 8 16 8")
-    hook = user_shader_hook(bad)
-    img = _img(6, 8, seed=2)
+FOUR_ARG_COMPUTE = """\
+//!HOOK MAIN
+//!BIND HOOKED
+//!COMPUTE 16 8 8 8
+void hook()
+{
+    ivec2 base = ivec2(gl_WorkGroupID.xy) * ivec2(16, 8);
+    ivec2 local = ivec2(gl_LocalInvocationID.xy);
+    for (int i = 0; i < 2; i++) {
+        ivec2 pos = base + ivec2(local.x * 2 + i, local.y);
+        vec4 c = texelFetch(HOOKED, pos, 0);
+        imageStore(out_image, pos, c * 0.5);
+    }
+}
+"""
+
+
+def test_compute_threads_neq_block():
+    """4-arg //!COMPUTE (reference custom_mpv.c:265-285): each 8x8
+    thread group covers a 16x8 pixel block — every invocation stores
+    two pixels.  Previously rejected; now runs and matches the
+    halved-image oracle (OOB stores at the right edge are dropped,
+    like GLSL's no-op out-of-bounds imageStore)."""
+    hook = user_shader_hook(FOUR_ARG_COMPUTE)
+    img = _img(16, 24, seed=2)
     disabled = set()
     out = run_hooks([hook], HookStage.RGB, img, disabled)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
-    assert hook.signature in disabled
+    assert not disabled
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img) * 0.5,
+                               atol=1e-7)
+
+
+def test_compute_threads_neq_block_in_renderer():
+    """The 4-arg form runs inside the jit-traced pipeline."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import (Renderer, RenderParams,
+                                                Target)
+    hook = user_shader_hook(FOUR_ARG_COMPUTE)
+    frame = _yuv_frame(seed=23, h=32, w=48)
+    target = Target(w=48, h=32, color=CSP_SRGB, bit_depth=0)
+    r = Renderer()
+    out = np.asarray(r._render_once(frame, target, RenderParams(
+        hooks=(hook,), peak_detect=None)))
+    assert not r._disabled_hooks
+    ref = np.asarray(Renderer()._render_once(frame, target, RenderParams(
+        peak_detect=None)))
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() > 1e-3   # the halving took effect
 
 
 def test_compute_hook_inside_renderer():
@@ -1615,3 +1654,159 @@ vec4 hook() {
     oracle, _ = _render(frame2, target, RenderParams(
         upscaler="lanczos", hooks=(hook_plain,)))
     np.testing.assert_allclose(out, oracle, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cross-frame hook state: //!TEXTURE ... STORAGE images and //!BUFFER
+# STORAGE vars persist across frames (reference: PL_DESC_STORAGE_IMG +
+# PL_DESC_BUF_STORAGE are persistent objects on the hook,
+# custom_mpv.c:444-450,529-530; SAVE'd pass textures by contrast reset
+# per frame via hook_reset, custom_mpv.c:941-944 + renderer.c:3371 —
+# matched exactly).
+# ---------------------------------------------------------------------------
+
+TEMPORAL_EMA_SHADER = """\
+//!TEXTURE ACC
+//!SIZE 48 32
+//!FORMAT rgba32f
+//!STORAGE
+
+//!BUFFER st
+//!STORAGE
+//!VAR float frames
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!BIND ACC
+//!DESC temporal EMA accumulator
+//!COMPUTE 8 8
+void hook()
+{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = HOOKED_texOff(0);
+    vec4 prev = imageLoad(ACC, pos);
+    vec4 ema = (frames < 0.5) ? c : (0.3 * c + 0.7 * prev);
+    imageStore(ACC, pos, ema);
+    imageStore(out_image, pos, ema);
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC frame counter bump
+vec4 hook()
+{
+    frames = frames + 1.0;
+    return HOOKED_texOff(0);
+}
+"""
+
+
+def _const_rgb_frame(rgb, h=32, w=48):
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    img = np.broadcast_to(np.asarray(rgb, np.float32), (h, w, 3)).copy()
+    return frame_from_rgb(img)
+
+
+def test_temporal_ema_hook_across_frames():
+    """A STORAGE-texture EMA + STORAGE-buffer frame counter matches a
+    numpy oracle over a 4-frame sequence through the full Renderer.
+    Constant-color frames make the oracle exact: the hooked render of
+    frame i must equal a no-hook render of a frame whose constant value
+    is the running EMA."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import Renderer, RenderParams, Target
+
+    h, w = 32, 48
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    hook = user_shader_hook(TEMPORAL_EMA_SHADER)
+    params = RenderParams(hooks=(hook,), peak_detect=None)
+    r = Renderer()
+
+    vals = [np.array([0.8, 0.2, 0.4], np.float32),
+            np.array([0.1, 0.9, 0.5], np.float32),
+            np.array([0.6, 0.3, 0.7], np.float32),
+            np.array([0.2, 0.5, 0.1], np.float32)]
+    ema = None
+    for i, v in enumerate(vals):
+        out = np.asarray(r._render_once(_const_rgb_frame(v, h, w),
+                                        target, params))
+        assert not r._disabled_hooks, "temporal hook auto-disabled"
+        ema = v if ema is None else 0.3 * v + 0.7 * ema
+        oracle = np.asarray(Renderer()._render_once(
+            _const_rgb_frame(ema, h, w), target,
+            RenderParams(peak_detect=None)))
+        np.testing.assert_allclose(out, oracle, atol=3e-6,
+                                   err_msg=f"frame {i}")
+    # the counter really carried: 4 frames -> frames == 4
+    carried = r._hook_states[(hook.signature, "buf:frames")]
+    assert float(np.asarray(carried)[0]) == 4.0
+
+
+def test_temporal_state_reset():
+    """Renderer.reset_hook_state() reinitializes: the next frame
+    behaves like frame 0 again."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import Renderer, RenderParams, Target
+
+    h, w = 32, 48
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    hook = user_shader_hook(TEMPORAL_EMA_SHADER)
+    params = RenderParams(hooks=(hook,), peak_detect=None)
+    r = Renderer()
+    v0 = np.array([0.8, 0.2, 0.4], np.float32)
+    v1 = np.array([0.1, 0.9, 0.5], np.float32)
+    first = np.asarray(r._render_once(_const_rgb_frame(v0, h, w),
+                                      target, params))
+    np.asarray(r._render_once(_const_rgb_frame(v1, h, w), target, params))
+    r.reset_hook_state()
+    again = np.asarray(r._render_once(_const_rgb_frame(v0, h, w),
+                                      target, params))
+    np.testing.assert_allclose(first, again, atol=1e-7)
+
+
+def test_storage_texture_readback_in_second_pass():
+    """A STORAGE texture written by pass 1 (fragment imageStore) is
+    readable by pass 2 within the same frame (read-modify-write on the
+    persistent image)."""
+    sh = """\
+//!TEXTURE SCRATCH
+//!SIZE 12 8
+//!FORMAT rgba32f
+//!STORAGE
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!BIND SCRATCH
+//!COMPUTE 8 8
+void hook()
+{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = HOOKED_texOff(0);
+    imageStore(SCRATCH, pos, c * 0.5);
+    imageStore(out_image, pos, c);
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!BIND SCRATCH
+//!COMPUTE 8 8
+void hook()
+{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(out_image, pos, imageLoad(SCRATCH, pos) * 2.0);
+}
+"""
+    hook = user_shader_hook(sh)
+    img = _img(8, 12, seed=21)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-6)
+
+
+def test_storage_texture_stateless_harness_resets():
+    """Without the renderer's state channel (plain run_hooks), STORAGE
+    textures re-init from their declared data each frame."""
+    hook = user_shader_hook(TEMPORAL_EMA_SHADER.replace("48 32", "12 8"))
+    img = _img(8, 12, seed=22)
+    a = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    b = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    np.testing.assert_array_equal(a, b)

@@ -856,3 +856,53 @@ void hook() {
         diff = np.abs(out[b] - ref)
         assert diff.max() < 3e-2, diff.max()
         assert diff.mean() < 1e-5, diff.mean()
+
+
+def test_sharded_temporal_hook_state_gspmd(devices):
+    """Cross-frame hook state (STORAGE texture EMA + STORAGE buffer
+    frame counter) threads through the sharded GSPMD leg: a 3-frame
+    sequence matches the single-chip Renderer per frame per batch
+    lane."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    from tests.test_mpv_hooks import TEMPORAL_EMA_SHADER
+
+    h, w = 32, 48
+    sh_text = TEMPORAL_EMA_SHADER.replace("//!SIZE 48 32",
+                                          f"//!SIZE {w} {h}")
+    hook = user_shader_hook(sh_text)
+    params = RenderParams(hooks=(hook,), peak_detect=None)
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    mesh = make_mesh(data=2, spatial=4)
+
+    # 3 frames per batch lane, 2 lanes
+    seqs = [_flagship_frames(3, h, w, seed=101),
+            _flagship_frames(3, h, w, seed=202)]
+    f0 = seqs[0][0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    state = sharded_state_init(mesh, 2)
+    hook_states = None
+
+    # single-chip oracle: one Renderer per lane, threading its own state
+    refs = [Renderer(), Renderer()]
+    for t in range(3):
+        frames_t = [seqs[0][t], seqs[1][t]]
+        planes = [np.stack([np.asarray(f.planes[i].data)
+                            for f in frames_t])
+                  for i in range(len(f0.planes))]
+        xs = shard_planes(mesh, planes)
+        out, state, hook_states = step(state, *xs,
+                                       hook_states=hook_states)
+        out = np.asarray(out)
+        for b in (0, 1):
+            ref = np.asarray(refs[b]._render_once(frames_t[b], target,
+                                                  params))
+            assert not refs[b]._disabled_hooks
+            diff = np.abs(out[b] - ref)
+            assert diff.max() < 5e-3, (t, b, diff.max())
+            assert diff.mean() < 1e-5, (t, b, diff.mean())

@@ -61,20 +61,20 @@ def build(params):
             if cfg else None
             for cfg, meta in zip(cfgs, plane_metas))
     args = (peak_detect_state_init(), grain_tables, (None, None), (),
-            None) + tuple(p.data for p in frame.planes)
+            None, ()) + tuple(p.data for p in frame.planes)
     return pipeline, args
 
 
 def time_pipeline(fn, args, n=50):
     import jax
 
-    def chained(state, grain, temporal, ovl, dv, y, u, v, n):
+    def chained(state, grain, temporal, ovl, dv, hs, y, u, v, n):
         def body(i, carry):
             state, out = carry
-            out, state = fn(state, grain, temporal, ovl, dv,
+            out, state, _ = fn(state, grain, temporal, ovl, dv, hs,
                             y + out[0, 0, 0] * 1e-12, u, v)
             return (state, out)
-        out0, state = fn(state, grain, temporal, ovl, dv, y, u, v)
+        out0, state, _ = fn(state, grain, temporal, ovl, dv, hs, y, u, v)
         _, out = jax.lax.fori_loop(0, n, body, (state, out0))
         return out
 

@@ -41,21 +41,21 @@ def build(params, target_bits=8):
     r = Renderer()
     pipeline = r._trace_pipeline(frame.meta_key(), target, params,
                                  frame.repr, frame.color, frame.get_crop())
-    args = (peak_detect_state_init(), None, (None, None), (), None) + \
-        tuple(p.data for p in frame.planes)
+    args = (peak_detect_state_init(), None, (None, None), (),
+            None, ()) + tuple(p.data for p in frame.planes)
     return pipeline, args
 
 
 def time_pipeline(fn, args, n=50):
     import jax
 
-    def chained(state, grain, temporal, ovl, dv, y, u, v, n):
+    def chained(state, grain, temporal, ovl, dv, hs, y, u, v, n):
         def body(i, carry):
             state, out = carry
-            out, state = fn(state, grain, temporal, ovl, dv,
+            out, state, _ = fn(state, grain, temporal, ovl, dv, hs,
                             y + out[0, 0, 0] * 1e-12, u, v)
             return (state, out)
-        out0, state = fn(state, grain, temporal, ovl, dv, y, u, v)
+        out0, state, _ = fn(state, grain, temporal, ovl, dv, hs, y, u, v)
         _, out = jax.lax.fori_loop(0, n, body, (state, out0))
         return out
 

@@ -250,6 +250,12 @@ def enable_default_xla_cache():
         return
     if env is None and jax.config.jax_compilation_cache_dir:
         return                          # user already configured one
+    if env is None and jax.default_backend() == "cpu":
+        # CPU AOT entries reload with spurious machine-feature warnings
+        # (XLA pseudo-features like prefer-no-gather) and save little;
+        # the cache's payoff is the minutes-long Mosaic TPU compiles.
+        # LPTPU_XLA_CACHE_DIR=<path> forces it on anyway.
+        return
     path = env or os.path.join(
         os.environ.get("XDG_CACHE_HOME",
                        os.path.expanduser("~/.cache")),

@@ -227,13 +227,34 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     gspmd_args = (mesh, plane_metas, frame_repr, frame_color, target,
                   params, crop, frame_grain, field, first_field,
                   frame_icc, has_temporal, overlays, rotation)
-    if params.hooks or rotation % 4 in (1, 3) or \
-            params.error_diffusion is not None or \
+    if params.error_diffusion is not None or \
             params.distort is not None or \
-            border_mode in ("blur", "skip"):
+            border_mode in ("blur", "skip") or \
+            (rotation % 4 in (1, 3) and params.hooks):
         return _build_gspmd_step(*gspmd_args)
+    # user hooks: bounded-stencil shader hooks (probed + verified, see
+    # parallel.hook_halo) run ON the halo pipeline with O(halo)
+    # ppermute bytes; anything unprovable falls back to GSPMD
+    hook_plan = None
+    if params.hooks:
+        from .hook_halo import plan_halo_hooks
+        from ..render.renderer import Renderer
+        ref_i_h = Renderer._ref_plane_index(plane_metas)
+        H_h = plane_metas[ref_i_h][0][-2]
+        W_h = plane_metas[ref_i_h][0][-1]
+        dc = target.crop or RectF(0, 0, target.w, target.h)
+        hook_plan = plan_halo_hooks(
+            params, plane_metas, frame_repr.sys, H_h, W_h,
+            int(round(dc.w)), int(round(dc.h)), int(mesh.shape["spatial"]))
+        if hook_plan is None:
+            return _build_gspmd_step(*gspmd_args)
+        default_log().info(
+            "sharded renderer: hooks proven bounded-stencil "
+            "(probe + equivariance) -> halo pipeline, footprints "
+            + str({k.name: v["F"] for k, v in hook_plan.items()
+                   if k != "__sizes__"}))
     try:
-        return _build_halo_step(*gspmd_args)
+        return _build_halo_step(*gspmd_args, hook_plan=hook_plan)
     except _HaloUnsupported as e:
         default_log().info(
             f"sharded renderer: {e} -> GSPMD auto-partitioned step "
@@ -245,13 +266,37 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                      frame_repr: ColorRepr, frame_color: ColorSpace,
                      target: Target, params, crop, frame_grain, field,
                      first_field, frame_icc, has_temporal, overlays,
-                     rotation):
+                     rotation, hook_plan=None):
     """The hand-written halo pipeline (see build_sharded_pipeline);
     raises _HaloUnsupported for geometry it cannot express."""
+    from ..render.hooks import HookStage, run_hooks
     from ..render.renderer import Renderer
     n_sp = int(mesh.shape["spatial"])
     axis = "spatial"
     blend_on = params.blend is not None
+
+    # ---- bounded-stencil user hooks (parallel.hook_halo plan): run the
+    # hook body on the halo-extended local block and crop — identical
+    # values by the plan's proven shard-equivariance
+    hook_sizes = (hook_plan or {}).get("__sizes__", {})
+    dst_crop_h = target.crop or RectF(0, 0, target.w, target.h)
+
+    def hooks_at(stage, x):
+        ent = (hook_plan or {}).get(stage)
+        if not ent:
+            return x
+        F = ent["F"]
+        rows_l = x.shape[-2]
+        ext = extend_rows(x, F, n_sp, axis) if F else x
+        out = run_hooks(ent["hooks"], stage, ext, None,
+                        dst_w=int(round(dst_crop_h.w)),
+                        dst_h=int(round(dst_crop_h.h)),
+                        size_override=hook_sizes.get(stage))
+        if out.shape[-2] != ext.shape[-2]:
+            raise RenderError(
+                "halo-planned hook changed the row count at execution "
+                "time (plan violated)")
+        return out[..., F:F + rows_l, :] if F else out
 
     # ---- target sub-rect / corner rounding: composited OUTSIDE the
     # shard_map under plain GSPMD — the image rows and target rows live
@@ -304,14 +349,31 @@ def _build_halo_step(mesh: Mesh, plane_metas,
 
     ref_i = Renderer._ref_plane_index(plane_metas)
     H, W = plane_metas[ref_i][0][-2], plane_metas[ref_i][0][-1]
+    # 90/270 rotation: per-plane work happens pre-rotation on source
+    # rows; the decoded image then rotates via ONE all-to-all (a local
+    # rot90 leaves each shard holding a column slab of the rotated
+    # image — redistributing slabs to rows is exactly lax.all_to_all).
+    # Everything downstream sees the rotated (H_r, W_r) geometry.
+    rot = rotation % 4
+    if rot in (1, 3):
+        _require(W % n_sp == 0,
+                 f"rotated rows (src cols) {W} % {n_sp} != 0")
+        H_r, W_r = W, H
+    else:
+        H_r, W_r = H, W
+    # same default as Renderer.get_crop (UNROTATED frame dims — for
+    # rotated frames callers pass the rotated-space crop explicitly;
+    # a mismatched default routes to GSPMD via the check below, which
+    # reproduces the single-chip clamp-stretch semantics exactly)
     crop = crop or RectF(0, 0, W, H)
-    _require(crop.y0 == 0 and crop.y1 == H,
+    _require(crop.y0 == 0 and crop.y1 == H_r,
            "row crop must span the full frame (rows are the sharded axis)")
     dst_w = int(round(dst_crop_t.w))
     dst_h = int(round(dst_crop_t.h))
     _require(H % n_sp == 0, f"src rows {H} % {n_sp} != 0")
     _require(dst_h % n_sp == 0, f"dst rows {dst_h} % {n_sp} != 0")
     H_l, dst_l = H // n_sp, dst_h // n_sp
+    H_rl = H_r // n_sp
 
     # ---- chroma-merge plans (mirrors Renderer._merge_planes:
     # direction-aware plane scalers, None inherits the main scalers)
@@ -401,16 +463,16 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         down = _find_scaler(params.downscaler)
         cfg_s = up if upscaling else down
         if cfg_s.polar:
-            halo_s = _halo_polar(cfg_s, H, W, dst_h, dst_w, crop, n_sp)
+            halo_s = _halo_polar(cfg_s, H_r, W_r, dst_h, dst_w, crop, n_sp)
         else:
             sy_ax = src_h_c / dst_h
             cfg_v = down if (down is not None and sy_ax > 1.0) else cfg_s
-            halo_s = _halo_ortho(cfg_v, H, dst_h, crop.y0, crop.y1, n_sp)
-        _require(halo_s <= H_l,
-               f"scaler halo {halo_s} exceeds local rows {H_l}")
-        rect_s = RectF(crop.x0, halo_s, crop.x1, halo_s + H_l)
+            halo_s = _halo_ortho(cfg_v, H_r, dst_h, crop.y0, crop.y1, n_sp)
+        _require(halo_s <= H_rl,
+               f"scaler halo {halo_s} exceeds local rows {H_rl}")
+        rect_s = RectF(crop.x0, halo_s, crop.x1, halo_s + H_rl)
     else:
-        _require(dst_h == H, "pass-through requires matching row counts")
+        _require(dst_h == H_r, "pass-through requires matching row counts")
         cfg_s = down = None
         halo_s = 0
         rect_s = None
@@ -567,11 +629,17 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 data = ops_fg.apply_av1_grain(
                     data, grain_tables[i], cfg_g, scaling_shift,
                     luma=luma, row0=row0)
+            stage_in, stage_scaled = Renderer._plane_hook_stage(
+                mapping, frame_repr.sys)
+            if stage_in is not None:
+                data = hooks_at(stage_in, data)
             if plan is not None:
                 halo_m, rect_l, plan_cfg = plan
                 ext = extend_rows(data, halo_m, n_sp, axis)
                 data = ops_sampling.resize_separable(
                     ext, H_l, W, plan_cfg, rect_l)
+                if stage_scaled is not None:
+                    data = hooks_at(stage_scaled, data)
             for ci, ch in enumerate(mapping):
                 channels[ch] = data[..., ci, :, :]
         order = sorted(channels)
@@ -583,10 +651,11 @@ def _build_halo_step(mesh: Mesh, plane_metas,
             img = img[..., :3, :, :]
             if frame_repr.alpha == AlphaMode.PREMULTIPLIED:
                 img = img / jnp.maximum(alpha, 1e-6)
+        img = hooks_at(HookStage.NATIVE, img)
         img = ops_color.decode_color(img, frame_repr, src_color.primaries,
                                      dovi_packed=dovi_packed,
                                      adjustment=params.color_adjustment)
-        if rotation % 4 == 2:
+        if rot == 2:
             # 180 degrees: local flip of both axes + reversing the shard
             # order over the ring (the row reversal crosses shards)
             def _rot180(a):
@@ -598,6 +667,27 @@ def _build_halo_step(mesh: Mesh, plane_metas,
             img = _rot180(img)
             if has_alpha:
                 alpha = _rot180(alpha)
+        elif rot in (1, 3):
+            # 90/270: local rot90 of the (C, H_l, W) block yields the
+            # shard's COLUMN slab of the rotated image (for k=1, shard
+            # k's slab = rotated columns [k*H_l, (k+1)*H_l); for k=3 the
+            # slab order reverses); ONE tiled all_to_all redistributes
+            # slabs to row sharding — frame/n bytes per device, the ICI
+            # relayout the r3 GSPMD leg paid a 2x-frame all-reduce for
+            def _rot90_shard(a):
+                a = jnp.rot90(a, k=rot, axes=(-2, -1))   # (C, W, H_l)
+                if n_sp == 1:
+                    return a
+                if rot == 3:
+                    a = jax.lax.ppermute(
+                        a, axis, [(i, n_sp - 1 - i) for i in range(n_sp)])
+                return jax.lax.all_to_all(
+                    a, axis, split_axis=a.ndim - 2,
+                    concat_axis=a.ndim - 1, tiled=True)
+            img = _rot90_shard(img)
+            if has_alpha:
+                alpha = _rot90_shard(alpha)
+        img = hooks_at(HookStage.RGB, img)
         if params.lut is not None and params.lut_type == "native":
             from ..ops import lut as ops_lut
             img = ops_lut.apply_lut(img, params.lut)
@@ -605,9 +695,12 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         # ---- pass_scale_main
         if use_linear:
             img = linearize_src(img)
+            img = hooks_at(HookStage.LINEAR, img)
             if use_sigmoid:
                 sig = SigmoidParams(*params.sigmoid)
                 img = ops_color.sigmoidize(img, sig)
+                img = hooks_at(HookStage.SIGMOID, img)
+        img = hooks_at(HookStage.PRE_KERNEL, img)
         if needs_scale:
             ext = extend_rows(img, halo_s, n_sp, axis)
             if cfg_s.polar:
@@ -625,8 +718,10 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 else:
                     alpha = ops_sampling.resize_separable(
                         exta, dst_l, dst_w, cfg_s, rect_s, cfg_down=down)
+        img = hooks_at(HookStage.POST_KERNEL, img)
         if use_sigmoid:
             img = ops_color.desigmoidize(img, sig)
+        img = hooks_at(HookStage.SCALED, img)
 
         # ---- pass_convert_colors
         if params.cone is not None:
@@ -665,10 +760,12 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 img = ops_color.delinearize(img, src_color)
 
         # ---- pass_output_target
+        img = hooks_at(HookStage.PRE_OUTPUT, img)
         if params.lut is not None and params.lut_type == "conversion":
             from ..ops import lut as ops_lut
             img = ops_lut.apply_lut(img, params.lut)
         img = ops_color.encode_color(img, target.repr, dst_color.primaries)
+        img = hooks_at(HookStage.OUTPUT, img)
         if has_alpha:
             if target.repr.alpha == AlphaMode.PREMULTIPLIED:
                 img = img * alpha
@@ -888,6 +985,15 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
     crop = crop or RectF(0, 0, W, H)
 
     r = Renderer()
+    shard_hints = None
+    if rotation % 4 in (1, 3):
+        # 90/270 transposes the sharded row axis: re-anchoring the
+        # rotated image to row sharding makes the partitioner emit ONE
+        # all-to-all (frame/n bytes per device) instead of a
+        # 2x-frame-sized masked all-reduce
+        sh_rows = NamedSharding(mesh, P(None, "spatial", None))
+        shard_hints = {"post_rotate": lambda x:
+                       jax.lax.with_sharding_constraint(x, sh_rows)}
     pipeline = r._trace_pipeline(
         (plane_metas,), target, params, frame_repr, frame_color, crop,
         frame_grain, field=field, first_field=first_field,
@@ -895,7 +1001,7 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
         rotation=rotation,
         overlays=tuple((ov, False) for ov in overlays)
         + tuple((ov, True) for ov in (target.overlays or ())),
-        frame_icc=frame_icc)
+        frame_icc=frame_icc, shard_hints=shard_hints)
 
     sh_img = NamedSharding(mesh, P("data", None, "spatial", None))
     sh_state = NamedSharding(mesh, P("data", None))

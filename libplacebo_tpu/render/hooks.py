@@ -94,6 +94,10 @@ class HookParams:
     # buffers): carried-in values keyed by (hook signature, name)
     state_in: Optional[Dict] = None
     state_out: Optional[Dict] = None
+    # shexpr size overrides (name -> (h, w)): the sharded halo pipeline
+    # runs hooks on LOCAL row blocks but //!WHEN conditions must see the
+    # GLOBAL sizes the single-chip renderer would
+    size_override: Optional[Dict] = None
 
 
 @dataclass

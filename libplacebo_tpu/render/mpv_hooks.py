@@ -66,6 +66,42 @@ class MpvHookError(ValueError):
 
 
 # ---------------------------------------------------------------------------
+# Stencil probing (multi-chip halo planning): while a probe record is
+# active, texture accesses of non-builtin (image-derived) textures log
+# their row-index patterns, and position materializations are flagged.
+# parallel.hook_halo uses this to prove a hook is a bounded row stencil
+# (halo-pipeline eligible) and to size its halo.
+# ---------------------------------------------------------------------------
+
+_PROBE: Optional[dict] = None
+
+
+class probe_recording:
+    """Context manager activating stencil probing into `rec`:
+    rec["accesses"]: list of (pass_idx, row_indices, out_rows);
+    rec["pos_value"]: True if a sampling position materialized into
+    value arithmetic (position-dependent shader — not shard-shift
+    invariant); rec["passes"]: executed pass count."""
+
+    def __init__(self, rec: dict):
+        rec.setdefault("accesses", [])
+        rec.setdefault("pos_value", False)
+        rec.setdefault("passes", 0)
+        self.rec = rec
+
+    def __enter__(self):
+        global _PROBE
+        self._prev = _PROBE
+        _PROBE = self.rec
+        return self.rec
+
+    def __exit__(self, *exc):
+        global _PROBE
+        _PROBE = self._prev
+        return False
+
+
+# ---------------------------------------------------------------------------
 # RPN size/condition expressions (reference parse_rpn_shexpr,
 # custom_mpv.c:87-140)
 # ---------------------------------------------------------------------------
@@ -868,6 +904,8 @@ class _BodyRunner:
                 self.vars[bname] = val
             else:
                 self.vars[bname] = _Vec([val], scalar=True)
+        if _PROBE is not None:
+            _PROBE["passes"] += 1
         ret = self._run_statements()
         if self.compute is not None:
             if ret is not None and ret is not _VOID_RETURN:
@@ -1616,6 +1654,10 @@ class _BodyRunner:
         coordinates (the ravu-zoom `fract(pos * size)` pattern)."""
         if not isinstance(v, _Pos):
             return v
+        if _PROBE is not None:
+            # position entered value arithmetic: the body is (possibly)
+            # position-dependent, not shard-shift invariant
+            _PROBE["pos_value"] = True
         u = ((np.arange(self.W, dtype=np.float64) + 0.5) / self.W
              * v.scale[0] + v.offset[0]).astype(np.float32)[None, :]
         vv = ((np.arange(self.H, dtype=np.float64) + 0.5) / self.H
@@ -2128,6 +2170,13 @@ class _TexView:
         v = ys * src.scale[1] + src.offset[1]
         px = u * self.w - 0.5            # texel-space coordinates
         py = v * self.h - 0.5
+        # snap to texel centers: the normalized-coordinate roundtrip
+        # ((i+0.5)/H +- k/H)*H leaves ~1e-14 residue for non-dyadic H,
+        # which would otherwise push integral taps (texOff) onto the
+        # bilinear path with fy ~ 1 — a 1-ulp wobble that varies with H
+        # and breaks shard-shift equivariance
+        px = np.where(np.abs(px - np.round(px)) < 1e-6, np.round(px), px)
+        py = np.where(np.abs(py - np.round(py)) < 1e-6, np.round(py), py)
 
         def index(coord, size):
             if self.border == "REPEAT":
@@ -2365,6 +2414,8 @@ class _TexView:
         H, W = out_shape
         iy = np.asarray(iy)
         ix = np.asarray(ix)
+        if _PROBE is not None and not self.is_builtin:
+            _PROBE["accesses"].append((_PROBE["passes"], iy, H))
         if self.is_builtin:
             iyb = np.broadcast_to(iy, (H, W)) if iy.shape != (H, W) \
                 else iy
@@ -2416,6 +2467,9 @@ class _TexView:
     def _gather(self, iy, ix) -> _Vec:
         """Gather rows iy (H,) x cols ix (W,) — separable static take."""
         import jax.numpy as jnp
+        if _PROBE is not None and not self.is_builtin:
+            _PROBE["accesses"].append((_PROBE["passes"],
+                                       np.asarray(iy), len(iy)))
         if self.is_builtin:
             block = self.data[np.ix_(iy, ix)]    # (H, W, C) numpy
             comps = [jnp.asarray(block[..., c]) for c in
@@ -2625,6 +2679,9 @@ def _run_pass(shader: UserShader, p: ShaderPass, img, stage_name,
     if hp is not None and hp.dst_w and hp.dst_h:
         sizes.setdefault("OUTPUT", (hp.dst_h, hp.dst_w))
         sizes.setdefault("NATIVE", (hp.src_h, hp.src_w))
+    if hp is not None and getattr(hp, "size_override", None):
+        # sharded halo execution: local row blocks, global WHEN gating
+        sizes.update(hp.size_override)
     # WHEN gating (reference custom_mpv.c WHEN + shexp eval)
     if p.cond is not None:
         if not _eval_shexpr(p.cond, sizes, par_vals):

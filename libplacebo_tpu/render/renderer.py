@@ -778,7 +778,8 @@ class Renderer:
                         frame_color: ColorSpace, crop: RectF,
                         frame_grain=None, field=None, first_field=None,
                         has_prev=False, has_next=False, rotation=0,
-                        overlays=(), frame_icc=None, dither_phase=0):
+                        overlays=(), frame_icc=None, dither_phase=0,
+                        shard_hints=None):
         """Build the traced pipeline function for one signature.
         `dither_phase` rotates the temporal dither pattern (reference
         pl_dispatch temporal index, dispatch.c:1613): with
@@ -924,6 +925,15 @@ class Renderer:
                 if has_alpha:
                     alpha = jnp.rot90(alpha, k=int(rotation), axes=(-2, -1))
                 hr_main.rotate(rotation)
+                if shard_hints and "post_rotate" in shard_hints:
+                    # multi-chip GSPMD: re-anchor the rotated image to
+                    # row sharding HERE so the partitioner reshards with
+                    # ONE all-to-all (without the hint it emits a
+                    # masked-sum all-reduce of 2x the frame;
+                    # MULTICHIP_PERF.json r3)
+                    img = shard_hints["post_rotate"](img)
+                    if has_alpha:
+                        alpha = shard_hints["post_rotate"](alpha)
             h_rot, w_rot = img.shape[-2], img.shape[-1]
             img = run_hooks(params.hooks, HookStage.RGB, img,
                             self._disabled_hooks, rect=hr_main,

@@ -14,14 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# keep the default-on persistent XLA cache repo-local for tests (instead
-# of ~/.cache); CPU compile entries from the suite then also warm repeat
-# runs without touching the user cache
-os.environ.setdefault(
-    "LPTPU_XLA_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                 ".xla_cache"))
-
 import jax  # noqa: E402
 
 # the axon sitecustomize pre-registers the TPU tunnel; the config update

@@ -906,3 +906,185 @@ def test_sharded_temporal_hook_state_gspmd(devices):
             diff = np.abs(out[b] - ref)
             assert diff.max() < 5e-3, (t, b, diff.max())
             assert diff.mean() < 1e-5, (t, b, diff.mean())
+
+
+# ---------------------------------------------------------------------------
+# Halo-pipeline hooks (round 4): bounded-stencil shader hooks are probed
+# + equivariance-verified (parallel.hook_halo) and then ride the halo
+# pipeline — O(halo) ppermute bytes instead of the GSPMD fallback's
+# frame-sized all-gathers.
+# ---------------------------------------------------------------------------
+
+SHARPEN_HOOK_TEXT = """//!HOOK LUMA
+//!BIND HOOKED
+//!DESC test sharpen
+vec4 hook() {
+    vec4 c = HOOKED_texOff(vec2(0.0, 0.0));
+    vec4 l = HOOKED_texOff(vec2(-1.0, 0.0));
+    vec4 r = HOOKED_texOff(vec2(1.0, 0.0));
+    vec4 u = HOOKED_texOff(vec2(0.0, -1.0));
+    vec4 d = HOOKED_texOff(vec2(0.0, 1.0));
+    return c + 0.25 * (4.0 * c - l - r - u - d);
+}
+"""
+
+
+def test_hook_halo_plan_footprints(devices):
+    """plan_halo_hooks proves the 3x3 sharpen is a 1-row stencil and
+    rejects resizing / position-dependent hooks."""
+    from libplacebo_tpu.parallel.hook_halo import plan_halo_hooks
+    from libplacebo_tpu.render.hooks import HookStage
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams
+
+    f0 = _flagship_frames(1, 64, 96, seed=1)[0]
+    hook = user_shader_hook(SHARPEN_HOOK_TEXT)
+    plan = plan_halo_hooks(RenderParams(hooks=(hook,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4)
+    assert plan is not None
+    assert plan[HookStage.LUMA_INPUT]["F"] == 1
+
+    # a resizing (doubling) hook is structurally ineligible
+    doubler = user_shader_hook("""//!HOOK LUMA
+//!BIND HOOKED
+//!WIDTH LUMA.w 2 *
+//!HEIGHT LUMA.h 2 *
+vec4 hook() { return HOOKED_tex(HOOKED_pos); }
+""")
+    assert plan_halo_hooks(RenderParams(hooks=(doubler,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
+
+    # a position-dependent hook (pos materialized into values) is
+    # probe-ineligible
+    vignette = user_shader_hook("""//!HOOK LUMA
+//!BIND HOOKED
+vec4 hook() {
+    vec2 d = HOOKED_pos - vec2(0.5, 0.5);
+    return HOOKED_texOff(0) * (1.0 - dot(d, d));
+}
+""")
+    assert plan_halo_hooks(RenderParams(hooks=(vignette,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
+
+
+def test_sharded_hooks_halo_matches_renderer(devices):
+    """The sharpen hook runs ON the halo pipeline (not GSPMD) and
+    matches single-chip bit-exactly like the rest of the halo path."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel.analysis import (collective_stats,
+                                                  compile_text)
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    hook = user_shader_hook(SHARPEN_HOOK_TEXT)
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,))
+    frames = _flagship_frames(2, src_h, src_w, seed=61)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, 2)
+    out, _ = step(state, *xs)
+    out = np.asarray(out)
+    for b, f in enumerate(frames):
+        ref = _single_chip(f, target, params)
+        np.testing.assert_allclose(out[b], ref, atol=1e-6)
+
+    # and it really was the halo pipeline: zero all-gathers/all-to-alls
+    stats = collective_stats(compile_text(step, state, *xs))
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+    assert stats.get("collective-permute", {}).get("count", 0) > 0
+
+
+def test_halo_hooks_collectives_stay_o_halo(devices):
+    """The O(halo) guard extended to a hooked config (VERDICT r3 #3):
+    per-collective bytes stay a small fraction of a local block."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.peak_detect import PeakDetectParams
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import (collective_stats,
+                                                  compile_text)
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    data, spatial = 2, 4
+    mesh = make_mesh(data=data, spatial=spatial)
+    src_h, src_w = 64 * spatial, 192
+    dst_h, dst_w = 2 * src_h, 2 * src_w
+    batch = 2 * data
+    frames = _flagship_frames(batch, src_h, src_w, seed=71)
+    f0 = frames[0]
+    target = Target(w=dst_w, h=dst_h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(upscaler="ewa_lanczos",
+                          peak_detect=PeakDetectParams(percentile=99.5),
+                          hooks=(user_shader_hook(SHARPEN_HOOK_TEXT),))
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, batch)
+    stats = collective_stats(compile_text(step, state, *xs))
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+    assert stats.get("collective-permute", {}).get("count", 0) > 0
+    local_out_bytes = (batch // data) * 3 * (dst_h // spatial) * dst_w * 4
+    assert stats["collective-permute"]["max_bytes"] <= local_out_bytes / 4, \
+        stats
+    assert stats.get("all-reduce", {}).get("max_bytes", 0) <= 4096, stats
+
+
+@pytest.mark.parametrize("rotk", [1, 3])
+def test_sharded_rotation90_halo_exact(devices, rotk):
+    """90/270 rotation with an explicit rotated-space crop runs ON the
+    halo pipeline: local rot90 + ONE tiled all_to_all slab relayout —
+    bit-exact vs single-chip, no all-gather, collectives O(frame/n)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.common import RectF, Rotation
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import (collective_stats,
+                                                  compile_text)
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    crop = RectF(0, 0, src_h, src_w)       # rotated space: W'=h, H'=w
+    target = Target(w=2 * src_h, h=2 * src_w, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos")
+    frames = _flagship_frames(2, src_h, src_w, seed=80 + rotk)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params, crop=crop,
+                                  rotation=rotk)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, 2)
+    out, _ = step(state, *xs)
+    out = np.asarray(out)
+    for b, f in enumerate(frames):
+        f.rotation = Rotation(rotk)
+        f.crop = crop
+        ref = np.asarray(Renderer()._render_once(f, target, params))
+        np.testing.assert_array_equal(out[b], ref)
+
+    stats = collective_stats(compile_text(step, state, *xs))
+    assert "all-gather" not in stats, stats
+    # per-device collective bytes <= O(frame/n): the slab relayout moves
+    # one local block; nothing frame-sized
+    frame_bytes = 3 * (2 * src_w) * (2 * src_h) * 4
+    total = sum(s["total_bytes"] for s in stats.values())
+    assert total <= frame_bytes, (total, frame_bytes, stats)

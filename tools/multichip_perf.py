@@ -12,8 +12,16 @@ must stay O(halo), never a silent frame-sized all-gather.
 Configs:
   flagship        halo pipeline (EWA-Jinc 2x + peak + tone/gamut + dither)
   flagship+deband halo pipeline with ring-wrap deband halos
-  hooks           GSPMD fallback (user hook -> XLA auto-partitioning)
-  rot90           GSPMD fallback (sharded-axis transpose -> all-to-all)
+  hooks_halo      bounded-stencil user hook (3x3 sharpen), proven +
+                  executed ON the halo pipeline (r4; was GSPMD with a
+                  frame-sized all-gather in r3)
+  hooks_gspmd     resizing user hook (2x doubler) -> GSPMD fallback
+  rot90_halo      90-degree rotation ON the halo pipeline (r4): local
+                  rot90 + one tiled all_to_all slab relayout, bit-exact
+  rot90_gspmd_default_crop
+                  rotation without an explicit rotated crop -> GSPMD
+                  with the r4 post-rotate sharding hint (reshard
+                  permutes instead of the r3 2x-frame all-reduce)
 
 tests/test_parallel.py asserts the flagship O(halo) bounds with the
 same analyzer; this tool records the numbers for the judge.
@@ -78,9 +86,20 @@ def main():
     xs = shard_planes(mesh, planes)
     state = sharded_state_init(mesh, batch)
 
-    hook = user_shader_hook(parse_user_shader(
+    sharpen = user_shader_hook(parse_user_shader(
         "//!HOOK LUMA\n//!BIND HOOKED\n"
-        "vec4 hook() { return 1.05 * HOOKED_texOff(vec2(0.0, 0.0)); }\n"))
+        "vec4 hook() {\n"
+        "    vec4 c = HOOKED_texOff(vec2(0.0, 0.0));\n"
+        "    vec4 l = HOOKED_texOff(vec2(-1.0, 0.0));\n"
+        "    vec4 r = HOOKED_texOff(vec2(1.0, 0.0));\n"
+        "    vec4 u = HOOKED_texOff(vec2(0.0, -1.0));\n"
+        "    vec4 d = HOOKED_texOff(vec2(0.0, 1.0));\n"
+        "    return c + 0.25 * (4.0 * c - l - r - u - d);\n"
+        "}\n"))
+    doubler = user_shader_hook(parse_user_shader(
+        "//!HOOK LUMA\n//!BIND HOOKED\n"
+        "//!WIDTH LUMA.w 2 *\n//!HEIGHT LUMA.h 2 *\n"
+        "vec4 hook() { return HOOKED_tex(HOOKED_pos); }\n"))
     configs = {
         "flagship": dict(params=RenderParams(
             upscaler="ewa_lanczos",
@@ -89,9 +108,14 @@ def main():
             upscaler="ewa_lanczos",
             peak_detect=PeakDetectParams(percentile=99.5),
             deband=DebandParams())),
+        "hooks_halo": dict(params=RenderParams(
+            upscaler="lanczos", hooks=(sharpen,), peak_detect=None)),
         "hooks_gspmd": dict(params=RenderParams(
-            upscaler="lanczos", hooks=(hook,), peak_detect=None)),
-        "rot90_gspmd": dict(params=RenderParams(
+            upscaler="lanczos", hooks=(doubler,), peak_detect=None)),
+        "rot90_halo": dict(params=RenderParams(
+            upscaler="lanczos", peak_detect=None), rotation=1,
+            crop="rotated"),
+        "rot90_gspmd_default_crop": dict(params=RenderParams(
             upscaler="lanczos", peak_detect=None), rotation=1),
     }
 
@@ -105,15 +129,19 @@ def main():
            "configs": {}}
 
     for name, cfg in configs.items():
+        from libplacebo_tpu.core.common import RectF
+        crop = None
+        if cfg.get("crop") == "rotated":
+            crop = RectF(0, 0, src_h, src_w)
         step = build_sharded_pipeline(
             mesh, f0.meta_key()[0], f0.repr, f0.color, target,
-            cfg["params"], rotation=cfg.get("rotation", 0))
+            cfg["params"], crop=crop, rotation=cfg.get("rotation", 0))
         tgt = target
         if cfg.get("rotation", 0) % 2 == 1:
             tgt = Target(w=dst_h, h=dst_w, color=CSP_SRGB, bit_depth=8)
             step = build_sharded_pipeline(
                 mesh, f0.meta_key()[0], f0.repr, f0.color, tgt,
-                cfg["params"], rotation=1)
+                cfg["params"], crop=crop, rotation=1)
         text = compile_text(step, state, *xs)
         stats = collective_stats(text)
         out["configs"][name] = stats

@@ -192,12 +192,15 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     single-chip `Renderer.render` of that frame.
 
     Configs the hand-written halo pipeline cannot express — features
-    with arbitrary communication (hooks, 90/270 rotation, error
-    diffusion, distortion, blur/skip borders) as well as geometry it
-    does not handle (row counts not divisible by the mesh, halos
-    exceeding the local block, partial row crops) — fall back to the
-    GSPMD auto-partitioned step (logged), so every renderable config is
-    executable multi-chip.
+    with arbitrary communication (error diffusion, distortion,
+    blur/skip borders, resizing/position-dependent hooks) as well as
+    geometry it does not handle (row counts not divisible by the mesh,
+    halos exceeding the local block, partial row crops) — fall back to
+    the GSPMD auto-partitioned step (logged), so every renderable
+    config is executable multi-chip.  Bounded-stencil mpv hooks (proven
+    by probe + shard-equivariance check, see `parallel.hook_halo`) and
+    90/270 rotations with an explicit rotated-space crop ride the halo
+    pipeline with O(halo) / O(frame/n) collective bytes.
 
     The step is stateless across frames; temporal dither (dp.temporal)
     therefore runs at a fixed phase 0 here — matching the single-chip
@@ -219,9 +222,9 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
 
     # ---- features the hand-tuned halo pipeline cannot express run
     # under GSPMD auto-partitioning instead (same trace as single-chip;
-    # XLA inserts the collectives — including the all-to-all a 90/270
-    # rotation's transpose of the sharded row axis needs, and whatever
-    # halos each user hook's stencil implies)
+    # XLA inserts the collectives).  Hooked 90/270 rotations also go
+    # GSPMD: the hook probe/plan runs in ONE geometry, not both sides
+    # of the rotation.
     border_mode = "skip" if params.skip_target_clearing else \
         (params.border or params.background)
     gspmd_args = (mesh, plane_metas, frame_repr, frame_color, target,

@@ -879,3 +879,32 @@ def test_options_doc_fresh():
         committed = f.read()
     assert gen_options_doc.generate() == committed, \
         "docs/options.md is stale; run tools/gen_options_doc.py"
+
+
+def test_bench_micro_artifact_no_regressions():
+    """Pass-level perf guard (reference: the bench is a registered
+    test, src/meson.build:326-331): the committed BENCH_MICRO_r*.json
+    artifacts must be schema-valid, and consecutive rounds must not
+    regress any compute pass >1.5x (tools/bench_micro_diff.py)."""
+    import glob
+    import json
+    import os
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "BENCH_MICRO_r*.json")))
+    assert files, "no BENCH_MICRO_r*.json artifact committed"
+    with open(files[-1]) as f:
+        latest = json.load(f)
+    passes = latest["passes"]
+    measured = {k: v for k, v in passes.items() if v is not None}
+    assert len(measured) >= 25, \
+        f"microbench covers only {len(measured)} passes"
+    assert all(v > 0 for v in measured.values())
+    if len(files) >= 2:
+        sys.path.insert(0, os.path.join(root, "tools"))
+        try:
+            import bench_micro_diff
+        finally:
+            sys.path.pop(0)
+        regs = bench_micro_diff.diff(files[-2], files[-1])
+        assert not regs, f"pass-level regressions vs {files[-2]}: {regs}"

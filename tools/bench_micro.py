@@ -298,7 +298,7 @@ def main():
         with open(args.json, "w") as f:
             json.dump({"size": [W, H], "n": n,
                        "platform": jax.devices()[0].platform,
-                       "ms": results}, f, indent=1)
+                       "passes": results}, f, indent=1)
         print(f"wrote {args.json}")
 
 

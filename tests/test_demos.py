@@ -83,4 +83,4 @@ def test_bench_micro_smoke(monkeypatch, capsys, tmp_path):
                  "hdr_peakdetect_hq", "hdr_lut (spline tone)", "hdr_clip",
                  "av1_grain (luma)", "h274_grain", "reshape_poly",
                  "reshape_mmr", "tex_upload ptr", "tex_download ptr"):
-        assert data["ms"].get(name) is not None, name
+        assert data["passes"].get(name) is not None, name

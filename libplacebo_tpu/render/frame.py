@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -249,15 +250,31 @@ class Frame:
 # Convenience constructors (the moral equivalent of utils/upload.c helpers)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _dev_norm_gray(x, div):
+    """Integer plane -> float32 in [0, 1] on device.  The divisor is a
+    TRACED scalar: a constant would let XLA substitute
+    multiply-by-reciprocal, 1 ulp off the host path's true division."""
+    return x.astype(jnp.float32) / div
+
+
 def frame_from_yuv420p(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                        repr: Optional[ColorRepr] = None,
                        color: Optional[ColorSpace] = None,
                        bit_depth: int = 8) -> Frame:
     """Build a Frame from planar YUV 4:2:0 integer or float data.
-    Integer data is normalized by 2^depth-1 (like GPU UNORM sampling)."""
+    Integer data is normalized by 2^depth-1 (like GPU UNORM sampling) —
+    ON DEVICE: the raw integers upload as-is (2-4x fewer link bytes
+    than float32) and a cached jitted divide normalizes them, the
+    UNORM-sampler analog (see utils/upload.py device-side
+    normalization)."""
     def norm(x):
         x = np.asarray(x)
         if np.issubdtype(x.dtype, np.integer):
+            if x.dtype.itemsize <= 4:
+                return _dev_norm_gray(
+                    jnp.asarray(np.ascontiguousarray(x)),
+                    jnp.float32(2 ** bit_depth - 1))
             x = x.astype(np.float32) / float(2 ** bit_depth - 1)
         return jnp.asarray(x.astype(np.float32))
 

@@ -140,6 +140,60 @@ def plane_data_align(size, pad):
                         bit_shift=bit_shift))
 
 
+# ---------------------------------------------------------------------------
+# Device-side normalization: raw integer texels are uploaded AS-IS (2-4x
+# fewer host->device bytes than the float32 they decode to — the link,
+# not HBM, is the upload bottleneck) and the UNORM normalization /
+# packed-word unpacking / (H, W, C)->(C, H, W) relayout all run on
+# device as tiny jitted converters, exactly like a GPU's UNORM sampler
+# doing the conversion in hardware (reference pl_upload_plane uploads
+# raw texels and lets the pl_fmt do the rest, upload.c:225).  The jits
+# below are module-level so XLA caches one executable per
+# (dtype, shape, layout).  LPTPU_DEVICE_NORM=0 restores the host-side
+# numpy path (identical values — the converters use the same float32
+# operations the host code did).
+# ---------------------------------------------------------------------------
+
+import os as _os
+from functools import partial as _partial
+
+_DEVICE_NORM = _os.environ.get("LPTPU_DEVICE_NORM", "1") != "0"
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _dev_norm_planar(x, bit_shift: int, depth: int):
+    """(H, W, C) integer -> (C, H, W) float32 in [0, 1] on device
+    (same ops as the host path: >> bit_shift, astype, * scale)."""
+    if bit_shift:
+        x = x >> bit_shift
+    f = x.astype(jnp.float32) * (1.0 / float(2 ** depth - 1))
+    return jnp.moveaxis(f, -1, 0)
+
+
+@jax.jit
+def _dev_layout_float(x):
+    """(H, W, C) float32 -> (C, H, W) on device (the host moveaxis+copy
+    was a full-frame host-memory pass)."""
+    return jnp.moveaxis(x.astype(jnp.float32), -1, 0)
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _dev_unpack_words(x, divs, layout):
+    """(H, W) packed integer words -> (C, H, W) float32: per-component
+    LSB-first shift/mask/normalize on device.  layout is a static tuple
+    of (bit_offset, bit_size); divs carries the (2^size - 1) divisors
+    as a TRACED float32 vector — a constant divisor would let XLA
+    rewrite the divide into multiply-by-reciprocal (1-ulp off the host
+    path's true division; bit-exactness with LPTPU_DEVICE_NORM=0 is
+    part of the contract)."""
+    xu = x.astype(jnp.uint32)
+    comps = []
+    for i, (off, sz) in enumerate(layout):
+        c = (xu >> np.uint32(off)) & np.uint32((1 << sz) - 1)
+        comps.append(c.astype(jnp.float32) / divs[i])
+    return jnp.stack(comps, axis=0)
+
+
 def upload_plane(pd: PlaneData, device=None) -> Plane:
     """Normalize + upload one plane (reference pl_upload_plane,
     upload.c:225)."""
@@ -151,18 +205,29 @@ def upload_plane(pd: PlaneData, device=None) -> Plane:
         assert arr.ndim == 2 and np.issubdtype(arr.dtype, np.integer), \
             "packed layout needs a 2D integer word array"
         pads = pd.component_pad or (0,) * len(pd.component_size)
-        words = arr.astype(np.uint64)
+        layout = []
         offset = 0
-        unpacked = []
         for sz, pad in zip(pd.component_size, pads):
             offset += pad
-            comp = (words >> np.uint64(offset)) & np.uint64((1 << sz) - 1)
-            unpacked.append(comp.astype(np.float32) / float((1 << sz) - 1))
+            layout.append((offset, sz))
             offset += sz
-        farr = np.stack(unpacked, axis=-1)
-        data = jnp.asarray(np.moveaxis(farr, -1, 0))   # (C, H, W)
-        if device is not None:
-            data = jax.device_put(data, device)
+        if _DEVICE_NORM and arr.dtype.itemsize <= 4 and offset <= 32:
+            raw = jax.device_put(np.ascontiguousarray(arr), device)
+            divs = jnp.asarray([float((1 << sz) - 1) for _, sz in layout],
+                               jnp.float32)
+            data = _dev_unpack_words(raw, divs, tuple(layout))
+        else:
+            # >32-bit words (none of the supported formats today):
+            # host-side uint64 unpack
+            words = arr.astype(np.uint64)
+            unpacked = [
+                ((words >> np.uint64(off)) & np.uint64((1 << sz) - 1))
+                .astype(np.float32) / float((1 << sz) - 1)
+                for off, sz in layout]
+            farr = np.stack(unpacked, axis=-1)
+            data = jnp.asarray(np.moveaxis(farr, -1, 0))   # (C, H, W)
+            if device is not None:
+                data = jax.device_put(data, device)
         return Plane(data=data, component_mapping=tuple(pd.component_map),
                      shift_x=pd.shift_x, shift_y=pd.shift_y)
     if arr.ndim == 2:
@@ -173,12 +238,23 @@ def upload_plane(pd: PlaneData, device=None) -> Plane:
     if np.issubdtype(arr.dtype, np.integer):
         sample_depth = arr.dtype.itemsize * 8
         depth = pd.bit_depth or sample_depth
+        if _DEVICE_NORM and arr.dtype.itemsize <= 4:
+            raw = jax.device_put(np.ascontiguousarray(arr), device)
+            data = _dev_norm_planar(raw, int(pd.bit_shift), int(depth))
+            return Plane(data=data,
+                         component_mapping=tuple(pd.component_map),
+                         shift_x=pd.shift_x, shift_y=pd.shift_y)
         if pd.bit_shift:
             arr = arr >> pd.bit_shift
         scale = 1.0 / float(2 ** depth - 1)
         farr = arr.astype(np.float32) * scale
     else:
         farr = arr.astype(np.float32)
+        if _DEVICE_NORM:
+            raw = jax.device_put(np.ascontiguousarray(farr), device)
+            return Plane(data=_dev_layout_float(raw),
+                         component_mapping=tuple(pd.component_map),
+                         shift_x=pd.shift_x, shift_y=pd.shift_y)
 
     data = jnp.asarray(np.moveaxis(farr, -1, 0))   # (C, H, W)
     if device is not None:

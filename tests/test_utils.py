@@ -686,3 +686,83 @@ def test_test_pixfmt():
     assert interop.test_pixfmt("p010le")
     assert not interop.test_pixfmt("vulkan")
     assert not interop.test_pixfmt("weird")
+
+
+# ---------------------------------------------------------------------------
+# Device-side normalization (r4): raw integers upload as-is and the
+# UNORM normalize / packed unpack / relayout run on device.  Values
+# must be BIT-IDENTICAL to the host-side numpy path (same float32 ops).
+# ---------------------------------------------------------------------------
+
+def _host_oracle_planar(arr, comp_map, bit_depth=0, bit_shift=0):
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if np.issubdtype(arr.dtype, np.integer):
+        depth = bit_depth or arr.dtype.itemsize * 8
+        if bit_shift:
+            arr = arr >> bit_shift
+        farr = arr.astype(np.float32) * (1.0 / float(2 ** depth - 1))
+    else:
+        farr = arr.astype(np.float32)
+    return np.moveaxis(farr, -1, 0)
+
+
+@pytest.mark.parametrize("dtype,depth,shift", [
+    (np.uint8, 0, 0), (np.uint16, 10, 0), (np.uint16, 10, 6),
+    (np.uint16, 12, 4), (np.int32, 16, 0)])
+def test_device_norm_matches_host_bitexact(dtype, depth, shift):
+    rng = np.random.default_rng(3)
+    hi = 2 ** ((depth or np.dtype(dtype).itemsize * 8) + shift) - 1
+    arr = rng.integers(0, hi + 1, (7, 11, 3)).astype(dtype)
+    p = upload.upload_plane(upload.PlaneData(
+        arr, (0, 1, 2), bit_depth=depth, bit_shift=shift))
+    oracle = _host_oracle_planar(arr, (0, 1, 2), depth, shift)
+    np.testing.assert_array_equal(np.asarray(p.data), oracle)
+
+
+def test_device_norm_float_passthrough_bitexact():
+    rng = np.random.default_rng(4)
+    arr = rng.random((5, 9, 2)).astype(np.float32)
+    p = upload.upload_plane(upload.PlaneData(arr, (0, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(p.data), np.moveaxis(arr, -1, 0))
+
+
+def test_device_unpack_words_matches_host_bitexact():
+    # 10:10:10:2 in uint32 words and rgb565 in uint16 words
+    rng = np.random.default_rng(5)
+    for masks, dtype in ((((1 << 10) - 1, ((1 << 10) - 1) << 10,
+                           ((1 << 10) - 1) << 20, 0x3 << 30), np.uint32),
+                         ((0x1F, 0x7E0, 0xF800), np.uint16)):
+        size, pad, cmap = upload.plane_data_from_mask(masks)
+        words = rng.integers(0, np.iinfo(dtype).max,
+                             (6, 10), dtype=np.uint64).astype(dtype)
+        p = upload.upload_plane(upload.PlaneData(
+            words, cmap, component_size=size, component_pad=pad))
+        # host oracle: the pre-r4 uint64 unpack
+        w64 = words.astype(np.uint64)
+        offset = 0
+        comps = []
+        for sz, pd_ in zip(size, pad):
+            offset += pd_
+            c = (w64 >> np.uint64(offset)) & np.uint64((1 << sz) - 1)
+            comps.append(c.astype(np.float32) / float((1 << sz) - 1))
+            offset += sz
+        np.testing.assert_array_equal(np.asarray(p.data),
+                                      np.stack(comps, axis=0))
+
+
+def test_frame_from_yuv420p_device_norm_bitexact():
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 1024, (8, 8)).astype(np.uint16)
+    u = rng.integers(0, 1024, (4, 4)).astype(np.uint16)
+    v = rng.integers(0, 1024, (4, 4)).astype(np.uint16)
+    f = frame_from_yuv420p(y, u, v, bit_depth=10)
+    np.testing.assert_array_equal(
+        np.asarray(f.planes[0].data)[0],
+        y.astype(np.float32) / float(2 ** 10 - 1))
+    np.testing.assert_array_equal(
+        np.asarray(f.planes[1].data)[0],
+        u.astype(np.float32) / float(2 ** 10 - 1))

@@ -125,6 +125,31 @@ def main():
                 results[name] = dt * 1e3
         except Exception as e:                      # noqa: BLE001
             print(f"tex_upload                   SKIP ({e})")
+    if sel("tex_upload"):
+        # raw-integer ingestion (r4): uint8/uint16 texels upload as-is
+        # (4x/2x fewer link bytes) and normalize on device
+        from libplacebo_tpu.utils import upload as up
+        host_u8 = np.asarray(
+            rng.integers(0, 256, (H, W, 3)).astype(np.uint8))
+        host_u16 = np.asarray(
+            rng.integers(0, 1 << 16, (H, W, 3)).astype(np.uint16))
+        for name, harr, kw in (
+                ("tex_upload u8 device-norm", host_u8, {}),
+                ("tex_upload p010 device-norm", host_u16,
+                 dict(bit_depth=10, bit_shift=6))):
+            try:
+                p = up.upload_plane(up.PlaneData(harr, (0, 1, 2), **kw))
+                _ = float(p.data.ravel()[0])        # warm + force
+                t0 = time.perf_counter()
+                p = up.upload_plane(up.PlaneData(harr, (0, 1, 2), **kw))
+                _ = float(p.data.ravel()[0])
+                dt = time.perf_counter() - t0
+                gbps = harr.nbytes / dt / 1e9
+                print(f"{name:28s} {dt * 1e3:9.3f} ms  ({gbps:.2f} GB/s "
+                      "raw)", flush=True)
+                results[name] = dt * 1e3
+            except Exception as e:                  # noqa: BLE001
+                print(f"{name:28s}      SKIP ({e})")
     if sel("tex_download"):
         try:
             dev = jax.device_put(host)

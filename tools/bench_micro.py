@@ -115,9 +115,16 @@ def main():
                             ("tex_upload ptr async", 8)):
                 dev = jax.device_put(host)
                 jax.block_until_ready(dev)          # warm
+                # distinct pre-built host arrays: the tunnel may dedup
+                # repeated buffers, and building them must not be timed
+                hosts = [host + np.float32(i) for i in range(k)]
                 t0 = time.perf_counter()
-                devs = [jax.device_put(host + i * 0) for i in range(k)]
-                jax.block_until_ready(devs)
+                devs = [jax.device_put(h) for h in hosts]
+                # block_until_ready is not a reliable barrier on the
+                # lazy tunnel — force each upload with a scalar fetch
+                # (same barrier the device-norm passes use)
+                for d in devs:
+                    _ = float(d.ravel()[0])
                 dt = (time.perf_counter() - t0) / k
                 gbps = host.nbytes / dt / 1e9
                 print(f"{name:28s} {dt * 1e3:9.3f} ms  ({gbps:.2f} GB/s)",
@@ -152,9 +159,17 @@ def main():
                 print(f"{name:28s}      SKIP ({e})")
     if sel("tex_download"):
         try:
-            dev = jax.device_put(host)
-            jax.block_until_ready(dev)
-            _ = np.asarray(dev)                     # warm
+            # a jax.Array caches its host copy after the first
+            # np.asarray — download must fetch a FRESH device result
+            # each time or it measures a host memcpy
+            fn = jax.jit(lambda x, s: x + s)
+            dev = fn(jax.device_put(host), np.float32(0))
+            _ = np.asarray(dev)                     # warm path
+            dev = fn(jax.device_put(host), np.float32(1))
+            # force execution WITHOUT populating dev's host cache (the
+            # tunnel is lazy; a scalar fetch of a separate tiny result
+            # is the reliable barrier)
+            _ = float(dev.ravel()[0])
             t0 = time.perf_counter()
             _ = np.asarray(dev)
             dt = time.perf_counter() - t0

@@ -250,11 +250,20 @@ def enable_default_xla_cache():
         return
     if env is None and jax.config.jax_compilation_cache_dir:
         return                          # user already configured one
-    if env is None and jax.default_backend() == "cpu":
-        # CPU AOT entries reload with spurious machine-feature warnings
-        # (XLA pseudo-features like prefer-no-gather) and save little;
-        # the cache's payoff is the minutes-long Mosaic TPU compiles.
-        # LPTPU_XLA_CACHE_DIR=<path> forces it on anyway.
+    # CPU AOT entries reload with spurious machine-feature warnings
+    # (XLA pseudo-features like prefer-no-gather) and save little; the
+    # cache's payoff is the minutes-long Mosaic TPU compiles.
+    # LPTPU_XLA_CACHE_DIR=<path> forces it on anyway.  Detect the
+    # platform WITHOUT jax.default_backend(): that would force backend
+    # initialization as a construction side effect — it can hang for a
+    # long time when the TPU tunnel is down and pins the platform
+    # before a later jax.config.update("jax_platforms", ...) can take
+    # effect (ADVICE r4).  An unset platform (auto-detect) is treated
+    # optimistically as TPU: jax.config.update below is harmless either
+    # way and the CPU-only downside is only a spurious warning.
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if env is None and platforms.split(",")[0].strip().lower() == "cpu":
         return
     path = env or os.path.join(
         os.environ.get("XDG_CACHE_HOME",

@@ -24,13 +24,22 @@ Eligibility is PROVEN per (hook, stage), not assumed:
    (position-dependent shading, which is NOT shard-shift invariant)
    disqualifies.  The footprint is the sum over passes of the maximum
    row deviation (passes compose by adding stencil radii).
-3. *Verified*: the hook is executed CONCRETELY on a small random image
-   and on an interior row block extended by the measured footprint;
-   the block result must equal the corresponding full-image rows
-   exactly.  This is the literal shard-equivariance property the halo
-   pipeline relies on — anything the probe missed (size-as-value,
-   //!WHEN flips, saved-texture geometry) fails here and the config
-   falls back to GSPMD.
+3. *Verified*: the full per-stage hook COMPOSITION (everything
+   `hooks_at` will run on one extended block, in order) is executed
+   CONCRETELY on a small random image and on three row blocks extended
+   by the stage's total footprint — an interior block (both halos are
+   true neighbor rows, the ppermute case) and the first/last blocks,
+   whose frame-side halo is edge-replicated exactly as
+   `extend_rows(mode="edge")` builds it.  Each block result must equal
+   the corresponding full-image rows exactly.  This is the literal
+   shard-equivariance property the halo pipeline relies on — anything
+   the probe missed (size-as-value, //!WHEN flips, saved-texture
+   geometry) fails here and the config falls back to GSPMD.  The
+   boundary blocks catch what an interior check cannot (ADVICE r4):
+   when >=2 stencil passes compose, pass 2 reads pass-1 values
+   computed over edge-REPLICATED rows, which differ from the
+   single-chip CLAMP of pass-1's frame-edge output row — such
+   compositions are rejected here, not silently mis-rendered.
 
 //!WHEN conditions see GLOBAL sizes during sharded execution via
 `HookParams.size_override` (the probe and the verification use the
@@ -118,33 +127,72 @@ def _probe_footprint(hook, stage, c, h, w, dst_w, dst_h,
     return _access_footprint(rec["accesses"])
 
 
-def _verify_equivariance(hook, stage, c, h, w, dst_w, dst_h,
+def _verify_equivariance(hooks, stage, c, h, w, dst_w, dst_h,
                          size_override, fp: int) -> bool:
-    """Concrete shard-equivariance check: running the hook on an
-    interior row block extended by `fp` rows must reproduce the
-    full-image result on those rows exactly."""
-    import jax
+    """Concrete shard-equivariance check for the composed hook list the
+    halo pipeline will run at `stage` (one `run_hooks` call on one
+    block extended by the stage's TOTAL footprint `fp`, exactly like
+    `hooks_at` in parallel/renderer.py).
+
+    Three blocks must reproduce the full-image rows exactly:
+      * an interior block — both halos are true neighbor rows (the
+        ppermute case),
+      * the FIRST and LAST blocks — the frame-side halo is
+        edge-replicated exactly as `extend_rows(mode="edge")` does.
+    The boundary checks are what reject multi-pass / multi-hook
+    stencil compositions whose pass-2 taps read pass-1 values computed
+    over replicated rows instead of the single-chip clamp of pass-1's
+    edge row (ADVICE r4 high)."""
     import jax.numpy as jnp
 
-    from ..render.hooks import HookParams
+    from ..render.hooks import run_hooks
+
     hv = max(4 * fp + 16, 32)
     wv = min(w, 192)
     rng = np.random.default_rng(12345)
-    img = jnp.asarray(rng.random((c, hv, wv)).astype(np.float32))
-    hp = HookParams(stage=stage, src_h=h, src_w=w, dst_w=dst_w,
-                    dst_h=dst_h, size_override=size_override)
+    img = rng.random((c, hv, wv)).astype(np.float32)
+
+    def run(x):
+        out = run_hooks(list(hooks), stage, jnp.asarray(x), None,
+                        dst_w=dst_w, dst_h=dst_h,
+                        size_override=size_override)
+        return np.asarray(out)
+
     try:
-        full = np.asarray(hook.func(img, hp))
-        a, b = fp + 3, hv - fp - 3
-        blk = img[..., a - fp:b + fp, :]
-        part = np.asarray(hook.func(blk, hp))
+        full = run(img)
     except Exception:
         return False
-    if full.shape != (c, hv, wv) or \
-            part.shape != (c, (b - a) + 2 * fp, wv):
+    if full.shape != (c, hv, wv):
         return False
-    inner = part[..., fp:fp + (b - a), :] if fp else part
-    return bool(np.array_equal(inner, full[..., a:b, :]))
+
+    if fp == 0:
+        a, b = 3, hv - 3
+        try:
+            part = run(img[..., a:b, :])
+        except Exception:
+            return False
+        return part.shape == (c, b - a, wv) and \
+            bool(np.array_equal(part, full[..., a:b, :]))
+
+    nb = max(fp + 3, 8)                  # local block rows per check
+
+    def check(lo: int, hi: int) -> bool:
+        top = (np.repeat(img[..., :1, :], fp, axis=-2) if lo == 0
+               else img[..., lo - fp:lo, :])
+        bot = (np.repeat(img[..., -1:, :], fp, axis=-2) if hi == hv
+               else img[..., hi:hi + fp, :])
+        ext = np.concatenate([top, img[..., lo:hi, :], bot], axis=-2)
+        try:
+            part = run(ext)
+        except Exception:
+            return False
+        if part.shape != (c, (hi - lo) + 2 * fp, wv):
+            return False
+        return bool(np.array_equal(part[..., fp:fp + (hi - lo), :],
+                                   full[..., lo:hi, :]))
+
+    mid = (hv - nb) // 2
+    return check(mid, mid + nb) and check(0, nb) and check(hv - nb, hv)
 
 
 def plan_halo_hooks(params, plane_metas, repr_sys, H: int, W: int,
@@ -197,15 +245,23 @@ def plan_halo_hooks(params, plane_metas, repr_sys, H: int, W: int,
                                   override)
             if fp is None or fp > _MAX_FOOTPRINT:
                 return None
-            if not _verify_equivariance(hook, st, c, h, w, dst_w, dst_h,
-                                        override, fp):
-                return None
-            if h % n_sp != 0 or fp > h // n_sp:
-                return None             # halo exceeds the local block
             ent = plan.setdefault(st, {"hooks": [], "F": 0})
             ent["hooks"].append(hook)
             ent["F"] += fp
             sizes[st] = override
+
+    # verify the per-stage COMPOSITION (everything hooks_at runs on one
+    # extended block) with the accumulated footprint, including the
+    # frame's first/last blocks — multi-pass / multi-hook stencil
+    # chains that edge-replication cannot reproduce fail here and the
+    # whole config falls back to GSPMD (ADVICE r4 high)
+    for st, ent in plan.items():
+        c, h, w = stage_geom[st]
+        if h % n_sp != 0 or ent["F"] > h // n_sp:
+            return None                 # halo exceeds the local block
+        if not _verify_equivariance(ent["hooks"], st, c, h, w,
+                                    dst_w, dst_h, sizes[st], ent["F"]):
+            return None
     # hooks at stages the caller has no insertion point for are
     # rejected by the caller (it checks plan's keys)
     plan["__sizes__"] = sizes

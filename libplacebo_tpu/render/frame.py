@@ -268,10 +268,15 @@ def frame_from_yuv420p(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     than float32) and a cached jitted divide normalizes them, the
     UNORM-sampler analog (see utils/upload.py device-side
     normalization)."""
+    from ..utils import upload as _upload
+
     def norm(x):
         x = np.asarray(x)
         if np.issubdtype(x.dtype, np.integer):
-            if x.dtype.itemsize <= 4:
+            # LPTPU_DEVICE_NORM=0 opts out of the device-side path here
+            # too (same flag as utils/upload.py — the advertised revert
+            # must cover BOTH ingestion entry points, ADVICE r4)
+            if _upload._DEVICE_NORM and x.dtype.itemsize <= 4:
                 return _dev_norm_gray(
                     jnp.asarray(np.ascontiguousarray(x)),
                     jnp.float32(2 ** bit_depth - 1))

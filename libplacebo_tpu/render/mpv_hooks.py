@@ -803,6 +803,11 @@ class _BodyRunner:
         self.stex = stex or {}
         self._stex_stores: Dict[str, list] = {}
         self.stex_writes: Dict[str, object] = {}
+        # buffer members mutated via atomicAdd (monotonic over the pass)
+        # — only THESE are exempt from if/else where-merging, see
+        # _if_stmt (a plain conditional assignment to a storage member
+        # must keep the normal merge/error semantics, ADVICE r4)
+        self._atomic_names: set = set()
 
     # -- value helpers ---------------------------------------------------
 
@@ -1370,39 +1375,51 @@ class _BodyRunner:
         # remaining lanes keep executing) — standard trace-time
         # predication of early returns.
         snapshot = dict(self.vars)
-        # STORAGE buffer members are exempt from the where-merge below:
-        # atomicAdd already applies the lane mask to its contribution, so
-        # branch effects compose SEQUENTIALLY (then-branch adds feed the
-        # else branch), and they survive the post-return state reset
-        # (GLSL lanes that add then return did add)
-        bufw = {k for k in (self.buf_writable or ()) if k in self.vars}
+        # Buffer members mutated via atomicAdd INSIDE a branch are
+        # exempt from the where-merge below: the add already applies
+        # the lane mask to its contribution, so branch effects compose
+        # SEQUENTIALLY (then-branch adds feed the else branch), and
+        # they survive the post-return state reset (GLSL lanes that add
+        # then return did add).  PLAIN assignments to storage members
+        # keep the normal merge semantics — a uniform traced condition
+        # where-merges, a per-pixel value errors at _collect_buf_writes
+        # (ADVICE r4: exempting ALL storage writes silently dropped the
+        # condition of `if (c) total = 5.0;`).
+        atomic_before = set(self._atomic_names)
 
-        def buf_state():
-            return {k: self.vars[k] for k in bufw}
+        def branch_atomics():
+            return {k for k in self._atomic_names - atomic_before
+                    if k in self.vars}
+
         ret = self._run_branch(c)
+        seq_names = branch_atomics()
         if ret is not None:
             self._register_return(c, ret)
             # returned lanes' variable state is unreachable; keep the
             # pre-if state for the merge below
-            kept = buf_state()
+            kept = {k: self.vars[k] for k in seq_names}
             self.vars = dict(snapshot)
             self.vars.update(kept)
         vars_then = self.vars
         self.vars = dict(snapshot)
-        self.vars.update({k: vars_then[k] for k in bufw})
+        self.vars.update({k: vars_then[k] for k in seq_names})
         if self._peek() == "else":
             self._next()
             not_c = _amod(c).logical_not(c)
+            atomic_before_else = set(self._atomic_names)
             ret = self._run_branch(not_c)
+            seq_names |= {k for k in
+                          self._atomic_names - atomic_before_else
+                          if k in self.vars}
             if ret is not None:
                 self._register_return(not_c, ret)
-                kept = buf_state()
+                kept = {k: self.vars[k] for k in seq_names}
                 self.vars = dict(snapshot)
                 self.vars.update(kept)
         vars_else = self.vars
         merged = dict(vars_else)
         for k, tv in vars_then.items():
-            if k in bufw:
+            if k in seq_names:
                 continue        # composed sequentially (see above)
             ev = vars_else.get(k)
             if ev is None:
@@ -1892,6 +1909,7 @@ class _BodyRunner:
             total = am.sum(contrib)
             if am is np:
                 total = float(total)
+        self._atomic_names.add(name)
         if idx is not None:
             old = self.arrays[name][idx]
             self.arrays[name][idx] = _Vec(

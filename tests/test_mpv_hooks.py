@@ -1374,6 +1374,73 @@ def test_atomic_add_survives_branch_return():
     np.testing.assert_allclose(out[0], expect, rtol=1e-6)
 
 
+STORAGE_PLAIN_COND_ASSIGN = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float total
+//!VAR float flag
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    atomicAdd(total, HOOKED_texOff(0).x);
+    return HOOKED_texOff(0);
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    if (total > %s) {
+        flag = 1.0;
+    }
+    return vec4(flag, total, 0.0, 1.0);
+}
+"""
+
+
+@pytest.mark.parametrize("thresh,expect", [("1.0", 1.0), ("1e9", 0.0)])
+def test_storage_plain_assign_keeps_condition(thresh, expect):
+    """A PLAIN conditional assignment to a STORAGE member under a
+    uniform traced condition must where-merge — the r4 bufw exemption
+    applied it unconditionally (ADVICE r4: `if (c) flag = 1.0;` with a
+    false condition still set flag)."""
+    hook = user_shader_hook(STORAGE_PLAIN_COND_ASSIGN % thresh)
+    img = _img(6, 10, seed=8)
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, set()))
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+def test_storage_plain_assign_per_pixel_cond_rejected():
+    """A plain assignment to a STORAGE member under a PER-PIXEL traced
+    condition is a data race in GLSL too — it must raise the clear
+    _collect_buf_writes error (auto-disable), not silently drop the
+    condition."""
+    shader = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float flag
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (c.x > 0.5) {
+        flag = 5.0;
+    }
+    return c;
+}
+"""
+    hook = user_shader_hook(shader)
+    img = _img(6, 10, seed=9)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
 def test_compute_conditional_value_return_rejected():
     """A conditional `return <value>;` inside a compute shader is a
     clear error (was: silently dropped)."""

@@ -970,6 +970,92 @@ vec4 hook() {
                            192, 128, 4) is None
 
 
+TWO_PASS_BLUR_HOOK_TEXT = """//!HOOK LUMA
+//!BIND HOOKED
+//!DESC vblur pass 1
+//!SAVE BLURRED
+vec4 hook() {
+    return (HOOKED_texOff(vec2(0.0, -1.0)) + HOOKED_texOff(vec2(0.0, 0.0))
+            + HOOKED_texOff(vec2(0.0, 1.0))) / 3.0;
+}
+
+//!HOOK LUMA
+//!BIND HOOKED
+//!BIND BLURRED
+//!DESC unsharp combine (pass 2 reads pass 1's stencil output)
+vec4 hook() {
+    vec4 b = (BLURRED_texOff(vec2(0.0, -1.0)) + BLURRED_texOff(vec2(0.0, 0.0))
+              + BLURRED_texOff(vec2(0.0, 1.0))) / 3.0;
+    vec4 c = HOOKED_texOff(vec2(0.0, 0.0));
+    return c + 0.5 * (c - b);
+}
+"""
+
+
+def test_hook_halo_rejects_composed_stencils(devices):
+    """ADVICE r4 (high): at the frame's top/bottom the halo pipeline's
+    edge-replicated input cannot reproduce the single-chip CLAMP of an
+    INTERMEDIATE pass's output — pass 2 of a two-pass blur reads pass-1
+    values computed over replicated rows.  The boundary-block
+    equivariance check must reject such compositions (they fall back to
+    GSPMD) while keeping single-pass stencils eligible."""
+    from libplacebo_tpu.parallel.hook_halo import plan_halo_hooks
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams
+
+    f0 = _flagship_frames(1, 64, 96, seed=1)[0]
+
+    # one hook, two composed stencil passes -> rejected
+    two_pass = user_shader_hook(TWO_PASS_BLUR_HOOK_TEXT)
+    assert plan_halo_hooks(RenderParams(hooks=(two_pass,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
+
+    # two single-pass stencil hooks at the SAME stage compose the same
+    # way inside hooks_at (one extended block, hooks run in order) ->
+    # rejected too
+    h1 = user_shader_hook(SHARPEN_HOOK_TEXT)
+    h2 = user_shader_hook(SHARPEN_HOOK_TEXT)
+    assert plan_halo_hooks(RenderParams(hooks=(h1, h2)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
+
+
+def test_sharded_two_pass_hook_falls_back_exact(devices):
+    """The rejected two-pass blur still renders multi-chip (GSPMD
+    fallback) and matches single-chip including the frame-edge rows the
+    halo path would have gotten wrong."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    hook = user_shader_hook(TWO_PASS_BLUR_HOOK_TEXT)
+    mesh = make_mesh(data=2, spatial=4)
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    params = RenderParams(upscaler="lanczos", hooks=(hook,))
+    frames = _flagship_frames(2, src_h, src_w, seed=62)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, 2)
+    out, _ = step(state, *xs)
+    out = np.asarray(out)
+    for b, f in enumerate(frames):
+        ref = _single_chip(f, target, params)
+        # GSPMD float-reassociation tolerance (same bound as
+        # test_sharded_hooks_gspmd_matches_renderer); the halo path
+        # would instead have been systematically wrong in the edge rows
+        diff = np.abs(out[b] - ref)
+        assert diff.max() < 3e-2, diff.max()
+        assert diff.mean() < 1e-5, diff.mean()
+
+
 def test_sharded_hooks_halo_matches_renderer(devices):
     """The sharpen hook runs ON the halo pipeline (not GSPMD) and
     matches single-chip bit-exactly like the rest of the halo path."""

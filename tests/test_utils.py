@@ -766,3 +766,30 @@ def test_frame_from_yuv420p_device_norm_bitexact():
     np.testing.assert_array_equal(
         np.asarray(f.planes[1].data)[0],
         u.astype(np.float32) / float(2 ** 10 - 1))
+
+
+def test_frame_from_yuv420p_device_norm_optout(monkeypatch):
+    """LPTPU_DEVICE_NORM=0 must cover BOTH ingestion entry points
+    (ADVICE r4: frame_from_yuv420p ignored the flag): with the opt-out
+    the host path runs (the device-norm jit is never called) and the
+    values are bit-identical to the device path."""
+    from libplacebo_tpu.render import frame as frame_mod
+    from libplacebo_tpu.render.frame import frame_from_yuv420p
+    from libplacebo_tpu.utils import upload
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(16, 236, (8, 12), dtype=np.uint8)
+    u = rng.integers(16, 241, (4, 6), dtype=np.uint8)
+    v = rng.integers(16, 241, (4, 6), dtype=np.uint8)
+    f_dev = frame_from_yuv420p(y, u, v)
+
+    monkeypatch.setattr(upload, "_DEVICE_NORM", False)
+
+    def _boom(*a, **k):
+        raise AssertionError("device-norm path taken despite opt-out")
+
+    monkeypatch.setattr(frame_mod, "_dev_norm_gray", _boom)
+    f_host = frame_from_yuv420p(y, u, v)
+    for pd, ph in zip(f_dev.planes, f_host.planes):
+        np.testing.assert_array_equal(np.asarray(pd.data),
+                                      np.asarray(ph.data))

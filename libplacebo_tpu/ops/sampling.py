@@ -102,23 +102,57 @@ def _ortho_weights_impl(cfg, src_size, dst_size, s0, s1):
 # Device-side application
 # ---------------------------------------------------------------------------
 
-def _apply_gather(img, idx: np.ndarray, w: np.ndarray, axis: int):
-    """Banded weighted sum via T static row-gathers (axis=-2 i.e. H)."""
+def _ar_mix(out, lo, hi, strength: float):
+    """The reference's anti-ringing blend (sampling.c:1099):
+    ca = mix(ca, clamp(ca, lo, hi), antiring)."""
+    return out + strength * (jnp.clip(out, lo, hi) - out)
+
+
+def _apply_gather(img, idx: np.ndarray, w: np.ndarray, axis: int,
+                  antiring: float = 0.0):
+    """Banded weighted sum via T static row-gathers (axis=-2 i.e. H).
+    With antiring > 0, the output is clamped toward the [min, max] of
+    the two CENTRAL taps (reference sampling.c:1061-1099) — they are
+    row-gathers we already pay for, so AR here is a couple of VPU ops."""
     assert axis in (-2, img.ndim - 2), "gather mode expects the H axis"
     taps = idx.shape[1]
     idx_j = jnp.asarray(idx)
     w_j = jnp.asarray(w)
     out = None
+    c0 = c1 = None
     for t in range(taps):
         rows = jnp.take(img, idx_j[:, t], axis=-2)       # (..., dst, W)
+        if antiring > 0.0:
+            if t == taps // 2 - 1:
+                c0 = rows
+            elif t == taps // 2:
+                c1 = rows
         term = rows * w_j[:, t][..., :, None]
         out = term if out is None else out + term
+    if antiring > 0.0:
+        out = _ar_mix(out, jnp.minimum(c0, c1), jnp.maximum(c0, c1),
+                      antiring)
     return out
 
 
+def _onehot_select(img, sel: np.ndarray, axis: int, src_size: int):
+    """Select img[..., sel] along `axis` as a one-hot MXU matmul — the
+    repo-wide replacement for lane-axis gathers (CLAUDE.md: a gather
+    from the lane dimension is ~O(100x) slower than a matmul here)."""
+    dst = sel.shape[0]
+    m = np.zeros((dst, src_size), dtype=np.float32)
+    m[np.arange(dst), sel] = 1.0
+    mj = jnp.asarray(m)
+    if axis in (-1, img.ndim - 1):
+        return jnp.einsum("...hw,ow->...ho", img, mj, precision="highest")
+    return jnp.einsum("...hw,oh->...ow", img, mj, precision="highest")
+
+
 def _apply_matmul(img, idx: np.ndarray, w: np.ndarray, axis: int,
-                  src_size: int):
-    """Banded weighted sum as a dense (dst, src) matmul on the MXU."""
+                  src_size: int, antiring: float = 0.0):
+    """Banded weighted sum as a dense (dst, src) matmul on the MXU.
+    Anti-ringing fetches the two central taps as one-hot MXU selects
+    (min/max are not linear, so they cannot ride the main matmul)."""
     dst = idx.shape[0]
     dense = np.zeros((dst, src_size), dtype=np.float32)
     np.add.at(dense, (np.arange(dst)[:, None], idx), w)
@@ -126,10 +160,18 @@ def _apply_matmul(img, idx: np.ndarray, w: np.ndarray, axis: int,
     # float32 accumulation: TPU default matmul precision is bf16, whose
     # ~1e-3 noise would eat most of the 45 dB PSNR budget
     if axis in (-1, img.ndim - 1):
-        return jnp.einsum("...hw,ow->...ho", img, m, precision="highest")
+        out = jnp.einsum("...hw,ow->...ho", img, m, precision="highest")
     elif axis in (-2, img.ndim - 2):
-        return jnp.einsum("...hw,oh->...ow", img, m, precision="highest")
-    raise ValueError(axis)
+        out = jnp.einsum("...hw,oh->...ow", img, m, precision="highest")
+    else:
+        raise ValueError(axis)
+    if antiring > 0.0:
+        taps = idx.shape[1]
+        c0 = _onehot_select(img, idx[:, taps // 2 - 1], axis, src_size)
+        c1 = _onehot_select(img, idx[:, taps // 2], axis, src_size)
+        out = _ar_mix(out, jnp.minimum(c0, c1), jnp.maximum(c0, c1),
+                      antiring)
+    return out
 
 
 _MAX_ORTHO_PHASES = 8
@@ -172,11 +214,13 @@ def _phase_plan(cfg: flt.FilterConfig, src_size: int, dst_size: int,
     return None
 
 
-def _apply_phased(img, axis: int, dst_size: int, src_size: int, plan):
+def _apply_phased(img, axis: int, dst_size: int, src_size: int, plan,
+                  antiring: float = 0.0):
     """Phase-sliced unit-stride FMA along `axis` (-1 or -2). Edge
     padding replicates the border, which equals the clamped-index
     semantics of the gather/matmul paths (every out-of-range tap reads
-    the border texel either way)."""
+    the border texel either way).  Anti-ringing's two central taps are
+    per-phase unit-stride slices we already have — essentially free."""
     P, taps, phases = plan
     n = dst_size // P
     lo = max(0, -min(b for b, _ in phases))
@@ -191,16 +235,26 @@ def _apply_phased(img, axis: int, dst_size: int, src_size: int, plan):
     for base, wts in phases:
         b = base + lo
         acc = None
+        ar_c = {}
         for t in range(taps):
+            need_ar = antiring > 0.0 and t in (taps // 2 - 1, taps // 2)
             wv = float(wts[t])
-            if wv == 0.0:
+            if wv == 0.0 and not need_ar:
                 continue
             if last:
                 sl = imgp[..., b + t: b + t + n]
             else:
                 sl = imgp[..., b + t: b + t + n, :]
+            if need_ar:
+                ar_c[t] = sl
+            if wv == 0.0:
+                continue
             term = sl * wv
             acc = term if acc is None else acc + term
+        if antiring > 0.0:
+            c0, c1 = ar_c[taps // 2 - 1], ar_c[taps // 2]
+            acc = _ar_mix(acc, jnp.minimum(c0, c1), jnp.maximum(c0, c1),
+                          antiring)
         outs.append(acc)
     # interleave phases: out[P*i + p] = outs[p][i]
     if last:
@@ -212,39 +266,55 @@ def _apply_phased(img, axis: int, dst_size: int, src_size: int, plan):
 
 def sample_ortho(img, cfg: flt.FilterConfig, dst_size: int, axis: int,
                  s0: float = 0.0, s1: Optional[float] = None,
-                 mode: str = "auto"):
+                 mode: str = "auto", antiring: float = 0.0):
     """Resample one axis of (..., H, W) images with the given filter
-    (reference pl_shader_sample_ortho2, sampling.c:950)."""
+    (reference pl_shader_sample_ortho2, sampling.c:950).
+
+    `antiring` > 0 clamps each output toward the [min, max] of the two
+    central taps, mixed by strength (reference sampling.c:1061-1099).
+    Like the reference, it applies only when UPSCALING along this axis
+    and only for filters with negative lobes (`use_ar &= !use_linear`:
+    an all-positive kernel cannot ring)."""
     src_size = img.shape[axis]
     if s1 is None:
         s1 = float(src_size)
+    if antiring > 0.0 and not (dst_size > (s1 - s0)):
+        antiring = 0.0                  # downscale pass: reference use_ar
     if mode == "auto":
         plan = _phase_plan(cfg, src_size, dst_size, float(s0), float(s1))
         if plan is not None:
-            return _apply_phased(img, axis, dst_size, src_size, plan)
+            if antiring > 0.0 and not any(
+                    w.min() < 0.0 for _, w in plan[2]):
+                antiring = 0.0          # no negative lobes: cannot ring
+            return _apply_phased(img, axis, dst_size, src_size, plan,
+                                 antiring)
         # gathers are cheap along sublanes (H), slow along lanes (W)
         mode = "gather" if axis in (-2, img.ndim - 2) else "matmul"
     idx, w = ortho_weights(cfg, src_size, dst_size, s0, s1)
+    if antiring > 0.0 and w.min() >= 0.0:
+        antiring = 0.0                  # no negative lobes: cannot ring
     if mode == "gather" and axis in (-1, img.ndim - 1):
         # gather along W: transpose, gather rows, transpose back
         imgT = jnp.swapaxes(img, -1, -2)
-        outT = _apply_gather(imgT, idx, w, -2)
+        outT = _apply_gather(imgT, idx, w, -2, antiring)
         return jnp.swapaxes(outT, -1, -2)
     if mode == "gather":
-        return _apply_gather(img, idx, w, axis)
-    return _apply_matmul(img, idx, w, axis, src_size)
+        return _apply_gather(img, idx, w, axis, antiring)
+    return _apply_matmul(img, idx, w, axis, src_size, antiring)
 
 
 def resize_separable(img, dst_h: int, dst_w: int, cfg: flt.FilterConfig,
                      rect: Optional[RectF] = None,
                      cfg_down: Optional[flt.FilterConfig] = None,
-                     mode: str = "auto"):
+                     mode: str = "auto", antiring: float = 0.0):
     """Full 2D separable resize of (..., C, H, W) (reference: chained
     ortho2 passes, renderer.c:746-775 — vertical then horizontal; here the
     cheaper axis order is chosen automatically and XLA fuses the chain).
 
     `rect` crops the source in pixel coordinates (may be fractional).
     `cfg_down` optionally overrides the filter for downscaled axes.
+    `antiring` applies the reference's per-pass anti-ringing clamp to
+    upscaling passes (sampling.c:1061-1099; sample_ortho gates it).
     """
     src_h, src_w = img.shape[-2], img.shape[-1]
     r = rect or RectF(0, 0, src_w, src_h)
@@ -262,11 +332,11 @@ def resize_separable(img, dst_h: int, dst_w: int, cfg: flt.FilterConfig,
     cost_h_first = dst_h * src_w + dst_h * dst_w
     cost_w_first = src_h * dst_w + dst_h * dst_w
     if cost_h_first <= cost_w_first:
-        out = sample_ortho(img, cy, dst_h, -2, r.y0, r.y1, mode)
-        out = sample_ortho(out, cx, dst_w, -1, r.x0, r.x1, mode)
+        out = sample_ortho(img, cy, dst_h, -2, r.y0, r.y1, mode, antiring)
+        out = sample_ortho(out, cx, dst_w, -1, r.x0, r.x1, mode, antiring)
     else:
-        out = sample_ortho(img, cx, dst_w, -1, r.x0, r.x1, mode)
-        out = sample_ortho(out, cy, dst_h, -2, r.y0, r.y1, mode)
+        out = sample_ortho(img, cx, dst_w, -1, r.x0, r.x1, mode, antiring)
+        out = sample_ortho(out, cy, dst_h, -2, r.y0, r.y1, mode, antiring)
     return out
 
 

@@ -640,7 +640,9 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 halo_m, rect_l, plan_cfg = plan
                 ext = extend_rows(data, halo_m, n_sp, axis)
                 data = ops_sampling.resize_separable(
-                    ext, H_l, W, plan_cfg, rect_l)
+                    ext, H_l, W, plan_cfg, rect_l,
+                    antiring=params.antiringing_strength
+                    or plan_cfg.antiring)
                 if stage_scaled is not None:
                     data = hooks_at(stage_scaled, data)
             for ci, ch in enumerate(mapping):
@@ -712,7 +714,9 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                     antiring=params.antiringing_strength or cfg_s.antiring)
             else:
                 img = ops_sampling.resize_separable(
-                    ext, dst_l, dst_w, cfg_s, rect_s, cfg_down=down)
+                    ext, dst_l, dst_w, cfg_s, rect_s, cfg_down=down,
+                    antiring=params.antiringing_strength
+                    or cfg_s.antiring)
             if has_alpha:
                 exta = extend_rows(alpha, halo_s, n_sp, axis)
                 if cfg_s.polar:

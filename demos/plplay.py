@@ -58,6 +58,11 @@ def main():
                     help="mux rendered output as 4:2:0 YUV4MPEG2")
     ap.add_argument("--write-png", default=None, metavar="DIR",
                     help="dump rendered vsyncs as PNG stills")
+    ap.add_argument("--ui", action="store_true",
+                    help="live options panel (curses) during playback — "
+                         "the reference demos/settings.c analog: every "
+                         "option editable mid-stream, applied on the "
+                         "next vsync")
     args = ap.parse_args()
 
     if args.cpu:
@@ -152,15 +157,19 @@ def main():
         os.makedirs(png_dir, exist_ok=True)
 
     n_vsyncs = min(int(args.frames / args.fps * args.vsync), 10 ** 9)
-    rendered = 0
-    t0 = time.perf_counter()
-    for vs in range(n_vsyncs):
+    state = {"rendered": 0, "out": None, "t0": time.perf_counter()}
+
+    def render_vsync(vs):
+        """One vsync of the playback loop; returns False at EOF.
+        Reads opts.params fresh each call, so the --ui panel's edits
+        take effect on the very next vsync (changed configs trace a
+        new jit pipeline; unchanged ones reuse the cached one)."""
         status, mix = queue.update(
             QueueParams(pts=vs / args.vsync, radius=1.0,
                         vsync_duration=1.0 / args.vsync),
             QueueMode.INTERPOLATE)
         if status != QueueStatus.OK:
-            break
+            return False
         # aspect handling (reference demos/plplay.c:404-430): stretch
         # the source crop by the pixel aspect ratio, then zoom the
         # target crop around it
@@ -201,12 +210,49 @@ def main():
             from libplacebo_tpu.utils.y4m import write_png
             write_png(os.path.join(png_dir, f"vsync{vs:05d}.png"),
                       np.asarray(out))
-        rendered += 1
+        state["out"] = out
+        state["rendered"] += 1
+        return True
+
+    if args.ui:
+        # live options panel (reference demos/settings.c): options
+        # edited in the panel land in opts.params, which render_vsync
+        # reads per vsync
+        try:
+            from demos.settings_ui import SettingsPanel, run_curses
+        except ImportError:          # run as a bare script
+            from settings_ui import SettingsPanel, run_curses
+        panel = SettingsPanel(opts)
+        counter = iter(range(n_vsyncs))
+
+        def tick():
+            vs = next(counter, None)
+            if vs is None:
+                return None
+            # interactive mode paces to the real vsync clock (the
+            # non-UI loop free-runs for benchmarking); a late frame
+            # renders immediately
+            lag = state["t0"] + vs / args.vsync - time.perf_counter()
+            if lag > 0:
+                time.sleep(lag)
+            if not render_vsync(vs):
+                return None
+            dt = time.perf_counter() - state["t0"]
+            return (f"plplay {w}x{h}@{args.fps} -> {ow}x{oh}"
+                    f"@{args.vsync}  vsync {vs}  "
+                    f"{state['rendered'] / dt:.1f} fps")
+        run_curses(panel, tick)
+    else:
+        for vs in range(n_vsyncs):
+            if not render_vsync(vs):
+                break
+    out = state["out"]
+    rendered = state["rendered"]
     out.block_until_ready()
     if writer is not None:
         writer.close()
     renderer.flush_telemetry()   # telemetry records one frame late
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - state["t0"]
 
     n_src = decoded[0] if args.y4m else args.frames
     print(f"played {rendered} vsyncs ({n_src} source frames) "

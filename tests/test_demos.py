@@ -84,3 +84,88 @@ def test_bench_micro_smoke(monkeypatch, capsys, tmp_path):
                  "av1_grain (luma)", "h274_grain", "reshape_poly",
                  "reshape_mmr", "tex_upload ptr", "tex_download ptr"):
         assert data["passes"].get(name) is not None, name
+
+
+# -- live settings panel (reference demos/settings.c analog) -----------
+
+def _panel():
+    from libplacebo_tpu.core.options import Options
+    from settings_ui import SettingsPanel
+    return SettingsPanel(Options())
+
+
+def _type_keys(panel, keys):
+    for k in keys:
+        assert panel.handle_key(k)
+
+
+def test_settings_panel_covers_every_option():
+    panel = _panel()
+    from libplacebo_tpu.core.options import OPTION_TABLE
+    real = [o for o in OPTION_TABLE() if o.type != "preset"]
+    rows = panel.visible()
+    assert len(rows) == len(real)
+    # every row formats and reports default-ness without raising
+    assert all(isinstance(v, str) for _, v, _ in rows)
+    assert all(d for _, _, d in rows)        # fresh Options == defaults
+
+
+def test_settings_panel_cycle_enum_and_bool():
+    panel = _panel()
+    _type_keys(panel, list("/upscaler") + ["\n"])   # filter + commit
+    rows = panel.visible()
+    assert rows and rows[0][0] == "upscaler"
+    before = panel.options.get("upscaler")
+    _type_keys(panel, [" "])                        # cycle forward
+    after = panel.options.get("upscaler")
+    assert after != before
+    _type_keys(panel, ["LEFT"])                     # cycle back
+    assert panel.options.get("upscaler") == before
+
+    panel2 = _panel()
+    _type_keys(panel2, list("/deband") + ["\n"])
+    assert panel2.visible()[0][0] == "deband"
+    assert panel2.options.get("deband") is False
+    _type_keys(panel2, [" "])
+    assert panel2.options.get("deband") is True
+    assert panel2.options.params.deband is not None
+
+
+def test_settings_panel_edit_validation_and_reset():
+    panel = _panel()
+    _type_keys(panel, list("/antiringing_strength") + ["\n"])
+    assert panel.visible()[0][0] == "antiringing_strength"
+    # numeric edit through the key dispatcher
+    _type_keys(panel, ["\n"])                       # start edit
+    assert panel.editing
+    panel.edit_buf = ""
+    _type_keys(panel, list("0.7") + ["\n"])         # type + commit
+    assert panel.options.get("antiringing_strength") == pytest.approx(0.7)
+    # invalid input surfaces in status, never raises (honest degradation)
+    _type_keys(panel, ["\n"])
+    panel.edit_buf = ""
+    _type_keys(panel, list("not_a_number") + ["\n"])
+    assert panel.status.startswith("error:")
+    assert panel.options.get("antiringing_strength") == pytest.approx(0.7)
+    # range clamp comes from Options.set
+    panel.start_edit(); panel.edit_buf = "7.0"; panel.commit_edit()
+    assert panel.options.get("antiringing_strength") == pytest.approx(1.0)
+    # d resets to the default and save() empties again
+    assert "antiringing_strength" in panel.options.save()
+    _type_keys(panel, ["d"])
+    assert panel.options.save() == ""
+
+
+def test_settings_panel_preset_and_save_string():
+    panel = _panel()
+    _type_keys(panel, ["p"])                        # default -> fast
+    assert panel.preset == "fast"
+    saved = panel.options.save()
+    # the fast preset flips real params (same contract as --preset fast)
+    from libplacebo_tpu.core.options import Options
+    ref = Options(); ref.parse("preset=fast")
+    assert saved == ref.save()
+    _type_keys(panel, ["s"])
+    assert panel.status != ""
+    # quit key closes the panel
+    assert panel.handle_key("q") is False

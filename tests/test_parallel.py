@@ -1413,3 +1413,64 @@ def test_sharded_rotation90_halo_exact(devices, rotk):
     frame_bytes = 3 * (2 * src_w) * (2 * src_h) * 4
     total = sum(s["total_bytes"] for s in stats.values())
     assert total <= frame_bytes, (total, frame_bytes, stats)
+
+
+def test_sharded_random_option_combos_match_renderer(devices):
+    """Differential robustness net (multi-chip analog of
+    test_random_option_combos_render): random combinations of REAL
+    options from the reflection table must not only render sharded —
+    they must MATCH the single-chip Renderer per frame.  This is the
+    strongest blanket guarantee the parity suite offers: any option
+    whose sharded leg (halo or GSPMD) silently diverges from the
+    single-chip trace fails here with the combo printed."""
+    import random
+
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.core.options import OPTION_TABLE, Options
+    from libplacebo_tpu.render.renderer import Target
+
+    rnd = random.Random(20260819)
+    table = [o for o in OPTION_TABLE()
+             # error_diffusion compiles a Pallas kernel (slow in CPU
+             # interpret mode); preset rewrites everything at once
+             if o.key not in ("error_diffusion", "preset")]
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    # bit_depth=0: no output quantization, so parity is tight floats
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    frames = _flagship_frames(1, src_h, src_w, seed=77)
+    for trial in range(8):
+        opts = Options()
+        for o in rnd.sample(table, 5):
+            if o.type == "bool":
+                val = rnd.choice(["yes", "no"])
+            elif o.type in ("int", "float"):
+                lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
+                v = lo + (hi - lo) * rnd.random()
+                val = str(int(v)) if o.type == "int" else f"{v:.4g}"
+            elif o.choices:
+                val = rnd.choice(list(o.choices))
+            else:
+                continue
+            try:
+                opts.set(o.key, val)
+            except Exception:
+                continue    # per-option validation may reject; fine
+        params = opts.params
+        ref = _single_chip(frames[0], target, params)
+        out, _ = _run_sharded(mesh, frames, target, params)
+        # Tolerance shape follows the established GSPMD parity tests
+        # (see test_sharded_hooks_gspmd_matches_renderer): combos that
+        # fall back to the auto-partitioned step run a DIFFERENTLY
+        # COMPILED executable whose few-ulp FMA/fusion noise the
+        # pipeline's predicate edges (deband |avg-center|<T, gamut
+        # in-hull tests) amplify on isolated saturated random-noise
+        # pixels — loose per-pixel max, tight mean.  A wholesale
+        # divergence (wrong halo rows, missing feature, shifted
+        # tables) moves the MEAN by orders of magnitude and fails.
+        diff = np.abs(out[0] - ref)
+        assert (diff.mean() <= 5e-5
+                and (diff > 1e-3).mean() <= 1e-2
+                and np.isfinite(out).all()), (
+            trial, opts.save(), float(diff.mean()),
+            float((diff > 1e-3).mean()), float(diff.max()))

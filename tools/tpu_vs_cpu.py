@@ -123,7 +123,18 @@ def render_one(backend, preset, h, w, seed, out_path):
         np.save(out_path, out)
         return
 
-    if preset.startswith("config5"):
+    if preset.startswith("random:"):
+        # randomized option combo (see --random): the saved options
+        # string round-trips through the reflection layer, so the two
+        # backends render the exact same RenderParams
+        from libplacebo_tpu.core.options import Options
+        opts = Options()
+        for kv in preset[len("random:"):].split(","):
+            if kv:
+                k, v = kv.split("=", 1)
+                opts.set(k, v)
+        params = opts.params
+    elif preset.startswith("config5"):
         from tests.test_film_grain import DATA as GRAIN_DATA
         frame.film_grain = GRAIN_DATA
         params = RenderParams(
@@ -148,6 +159,10 @@ def main():
                     default="hq,sep,config5,config5_ed,hook,ed_kernel")
     ap.add_argument("--out", default=None,
                     help="also write the result lines to a JSON file")
+    ap.add_argument("--random", type=int, default=0, metavar="N",
+                    help="ALSO check N random reflection-table option "
+                         "combos (seeded) — the cross-backend analog of "
+                         "tests' differential randomized sweeps")
     ap.add_argument("--_render", nargs=5, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -157,9 +172,36 @@ def main():
         return
 
     h, w = (int(t) for t in args.size.split("x"))
+    presets = [p for p in args.presets.split(",") if p]
+    if args.random:
+        import random
+        from libplacebo_tpu.core.options import OPTION_TABLE, Options
+        rnd = random.Random(args.seed * 7919 + 1)
+        table = [o for o in OPTION_TABLE()
+                 # error_diffusion: a minutes-long cold Mosaic compile
+                 # per combo; the fixed config5_ed preset covers it
+                 if o.key not in ("error_diffusion", "preset")]
+        for _ in range(args.random):
+            opts = Options()
+            for o in rnd.sample(table, 5):
+                if o.type == "bool":
+                    val = rnd.choice(["yes", "no"])
+                elif o.type in ("int", "float"):
+                    lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
+                    v = lo + (hi - lo) * rnd.random()
+                    val = str(int(v)) if o.type == "int" else f"{v:.4g}"
+                elif o.choices:
+                    val = rnd.choice(list(o.choices))
+                else:
+                    continue
+                try:
+                    opts.set(o.key, val)
+                except Exception:
+                    continue
+            presets.append("random:" + opts.save())
     failed = False
     lines = []
-    for preset in args.presets.split(","):
+    for preset in presets:
         outs = {}
         for backend in ("cpu", "tpu"):
             fd, path = tempfile.mkstemp(suffix=".npy")
@@ -200,6 +242,13 @@ def main():
             frac_lsb = float((diff > 1.5 / 255.0).mean())
             line["frac_gt_1lsb"] = round(frac_lsb, 5)
             if psnr < 45.0 or frac_lsb > 0.01:
+                failed = True
+        elif preset.startswith("random:"):
+            # random combos can stack several predicate-edged features
+            # (deband thresholds, gamut ops) on the stress frames, so
+            # the isolated-pixel fraction gets 2x headroom; the PSNR
+            # floor is the same
+            if psnr < 45.0 or frac > 0.02:
                 failed = True
         else:
             if psnr < 45.0 or frac > 0.01:

@@ -925,3 +925,34 @@ def test_readme_headline_fresh():
         sys.path.pop(0)
     problems = readme_bench.check()
     assert not problems, "; ".join(problems)
+
+
+def test_random_option_combos_roundtrip():
+    """tools/tpu_vs_cpu.py --random N builds seeded option combos whose
+    saved strings must round-trip through the reflection layer into
+    identical RenderParams on any backend — pin the generator so the
+    differential-sweep code path can't rot between (rare) TPU runs."""
+    import os
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import tpu_vs_cpu
+    finally:
+        sys.path.pop(0)
+    from libplacebo_tpu.core.options import Options
+
+    for seed in (7, 42):
+        combos = tpu_vs_cpu.random_option_combos(seed, 8)
+        assert len(combos) == 8
+        # determinism: the artifact's combo strings are reproducible
+        assert combos == tpu_vs_cpu.random_option_combos(seed, 8)
+        for combo in combos:
+            opts = Options()
+            for kv in combo.split(","):
+                if kv:
+                    k, v = kv.split("=", 1)
+                    opts.set(k, v)
+            params = opts.params       # must build a valid RenderParams
+            assert opts.save() == combo  # save/set is a fixed point
+            params.key()               # and it must be jit-cache keyable

@@ -24,6 +24,10 @@ routine on every backend):
   hook      stateful temporal-EMA //!COMPUTE hook (STORAGE texture +
             BUFFER carry), 4 frames through Renderer.render — the
             GLSL-interpreter lowering path cross-backend
+  random:K=V,...  an explicit options-string combo; `--random N`
+            appends N seeded combos from random_option_combos() — the
+            cross-backend analog of the sharded-vs-single-chip
+            randomized sweep in tests/test_parallel.py
   ed_kernel IDENTICAL float input through ops.dithering.error_diffusion
             on both backends, isolating the kernel itself — asserted
             to differ by AT MOST ONE code on a bounded pixel fraction
@@ -150,6 +154,41 @@ def render_one(backend, preset, h, w, seed, out_path):
     np.save(out_path, out)
 
 
+def random_option_combos(seed, n):
+    """N seeded random reflection-table option combos as Options
+    strings — each round-trips through Options.save/set, so two
+    backends (or two sharding strategies) handed the same string render
+    the exact same RenderParams. Shared by --random below and the
+    combo-generation pin in tests/test_subsystems.py."""
+    import random
+    from libplacebo_tpu.core.options import OPTION_TABLE, Options
+    rnd = random.Random(seed * 7919 + 1)
+    table = [o for o in OPTION_TABLE()
+             # error_diffusion: a minutes-long cold Mosaic compile
+             # per combo; the fixed config5_ed preset covers it
+             if o.key not in ("error_diffusion", "preset")]
+    combos = []
+    for _ in range(n):
+        opts = Options()
+        for o in rnd.sample(table, 5):
+            if o.type == "bool":
+                val = rnd.choice(["yes", "no"])
+            elif o.type in ("int", "float"):
+                lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
+                v = lo + (hi - lo) * rnd.random()
+                val = str(int(v)) if o.type == "int" else f"{v:.4g}"
+            elif o.choices:
+                val = rnd.choice(list(o.choices))
+            else:
+                continue
+            try:
+                opts.set(o.key, val)
+            except Exception:
+                continue
+        combos.append(opts.save())
+    return combos
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="128x224",
@@ -174,31 +213,8 @@ def main():
     h, w = (int(t) for t in args.size.split("x"))
     presets = [p for p in args.presets.split(",") if p]
     if args.random:
-        import random
-        from libplacebo_tpu.core.options import OPTION_TABLE, Options
-        rnd = random.Random(args.seed * 7919 + 1)
-        table = [o for o in OPTION_TABLE()
-                 # error_diffusion: a minutes-long cold Mosaic compile
-                 # per combo; the fixed config5_ed preset covers it
-                 if o.key not in ("error_diffusion", "preset")]
-        for _ in range(args.random):
-            opts = Options()
-            for o in rnd.sample(table, 5):
-                if o.type == "bool":
-                    val = rnd.choice(["yes", "no"])
-                elif o.type in ("int", "float"):
-                    lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
-                    v = lo + (hi - lo) * rnd.random()
-                    val = str(int(v)) if o.type == "int" else f"{v:.4g}"
-                elif o.choices:
-                    val = rnd.choice(list(o.choices))
-                else:
-                    continue
-                try:
-                    opts.set(o.key, val)
-                except Exception:
-                    continue
-            presets.append("random:" + opts.save())
+        presets.extend("random:" + c
+                       for c in random_option_combos(args.seed, args.random))
     failed = False
     lines = []
     for preset in presets:

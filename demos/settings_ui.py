@@ -157,10 +157,15 @@ class SettingsPanel:
         opt = find_option(key)
         if opt.type not in ("int", "float"):
             return self.cycle(delta)
-        cur = self.options.get(key) or 0
-        self._set(key, self._fmt(type(cur)(cur + delta * _step(opt))
-                                 if isinstance(cur, (int, float))
-                                 else cur))
+        cur = self.options.get(key)
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            # unset value: step from the type's zero (`cur or 0` would
+            # also coerce a 0.0 float to int 0 and truncate the step)
+            cur = 0.0 if opt.type == "float" else 0
+        new = cur + delta * _step(opt)
+        if opt.type == "int":
+            new = int(round(new))
+        self._set(key, self._fmt(new))
 
     def reset_current(self):
         key = self.current_key()

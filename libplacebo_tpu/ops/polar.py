@@ -186,19 +186,53 @@ def sample_polar(img, cfg: flt.FilterConfig, dst_h: int, dst_w: int,
 
 def _soft_extrema_accumulate(vals_ws):
     """Reference AR accumulation (sampling.c:539-554): given a list of
-    (value, weight) taps inside the main lobe, compute the sharpened soft
-    (min, max). vals are (..., h, w) arrays; weights scalars or arrays."""
+    (value, weight[, mask]) taps inside the main lobe, compute the
+    sharpened soft (min, max). vals are (..., h, w) arrays; weights
+    scalars or arrays; the optional mask zeroes a tap's contribution
+    per pixel (the gather path's per-pixel lobe test).
+
+    The reference's `(cc + 0.10)^32` softmax base is only meaningful
+    for [0,1]-range texels (its GLSL applies the texture-normalization
+    `$scale` first, sampling.c:542); the renderer feeds NORM-scaled
+    linear light (up to ~49 for PQ), where 49.1^32 overflows f32 to
+    inf (inf/inf = NaN), and the LO side's `1 - v` reaches -48, whose
+    EVEN power makes the supposedly-losing tap dominate — whole frames
+    NaN-poisoned (found by tools/option_sweep_parity.py on
+    ewa_lanczos4sharpest, whose built-in cfg.antiring makes AR
+    default-on).  Fix: evaluate the softmax in a per-pixel scaled
+    space u = v / max(1, vmax, 1-vmin) — the divisor is exactly 1.0
+    for in-range content, so the reference formula is reproduced
+    bit-for-bit there — with bases clamped at 0 (a tap more than 0.1
+    below the scaled range contributes nothing instead of an
+    overflowing even power), and un-scale the resulting extrema."""
+    import jax.numpy as jnp
+    norm = []
+    vmax = vmin = None
+    for item in vals_ws:
+        v, w, m = item if len(item) == 3 else (item[0], item[1], None)
+        hiv = v if m is None else jnp.where(m, v, -3e38)
+        lov = v if m is None else jnp.where(m, v, 3e38)
+        vmax = hiv if vmax is None else jnp.maximum(vmax, hiv)
+        vmin = lov if vmin is None else jnp.minimum(vmin, lov)
+        norm.append((v, w, m))
+    scale = jnp.maximum(jnp.maximum(vmax, 1.0 - vmin), 1.0)
+    inv = 1.0 / scale
     ar_lo = ar_hi = ww_lo = ww_hi = None
-    for v, w in vals_ws:
-        cc_hi = v
-        cc_lo = 1.0 - v
-        s_lo = (cc_lo + 0.10)
-        s_hi = (cc_hi + 0.10)
+    for v, w, m in norm:
+        u = v * inv
+        cc_hi = u
+        cc_lo = 1.0 - u
+        s_lo = jnp.maximum(cc_lo + 0.10, 0.0)
+        s_hi = jnp.maximum(cc_hi + 0.10, 0.0)
         for _ in range(5):
             s_lo = s_lo * s_lo
             s_hi = s_hi * s_hi
-        s_lo = w * s_lo
-        s_hi = w * s_hi
+        if m is None:
+            s_lo = w * s_lo
+            s_hi = w * s_hi
+        else:
+            s_lo = jnp.where(m, w * s_lo, 0.0)
+            s_hi = jnp.where(m, w * s_hi, 0.0)
         t_lo = s_lo * cc_lo
         t_hi = s_hi * cc_hi
         if ar_lo is None:
@@ -208,8 +242,20 @@ def _soft_extrema_accumulate(vals_ws):
             ar_hi = ar_hi + t_hi
             ww_lo = ww_lo + s_lo
             ww_hi = ww_hi + s_hi
-    soft_min = 1.0 - ar_lo / ww_lo
-    soft_max = ar_hi / ww_hi
+    # The softmax weights are legitimately TINY on dark content
+    # ((0.1)^32 ~ 1e-32, still normal f32), so an absolute epsilon
+    # guard like max(ww, 1e-12) silently corrupts the ratio there
+    # (soft_min snapped to ~1.0, inverting the extrema).  ww == 0
+    # exactly only when every tap is masked out (gather-path pixels
+    # with no in-lobe taps) — there AR has no information, so the
+    # bounds open up to +-inf and _apply_ar becomes a no-op.
+    has_lo = ww_lo > 0
+    has_hi = ww_hi > 0
+    soft_min = jnp.where(
+        has_lo,
+        (1.0 - ar_lo / jnp.where(has_lo, ww_lo, 1.0)) * scale, -3e38)
+    soft_max = jnp.where(
+        has_hi, (ar_hi / jnp.where(has_hi, ww_hi, 1.0)) * scale, 3e38)
     return soft_min, soft_max
 
 
@@ -399,7 +445,7 @@ def _polar_gather(img, cfg, dst_h, dst_w, plan, antiring):
 
     acc = None
     wsum = None
-    ar_lo = ar_hi = ww_lo = ww_hi = None
+    ar_taps = []
     for iy in range(taps):
         rows = jnp.take(img, idx_y_j[:, iy], axis=-2)   # (..., dst_h, W)
         for ix in range(taps):
@@ -413,26 +459,12 @@ def _polar_gather(img, cfg, dst_h, dst_w, plan, antiring):
             acc = term if acc is None else acc + term
             wsum = w if wsum is None else wsum + w
             if antiring > 0:
-                inlobe = d <= radius_zero
-                cc_hi = vals
-                cc_lo = 1.0 - vals
-                s_lo = (cc_lo + 0.10)
-                s_hi = (cc_hi + 0.10)
-                for _ in range(5):
-                    s_lo = s_lo * s_lo
-                    s_hi = s_hi * s_hi
-                s_lo = jnp.where(inlobe, w * s_lo, 0.0)
-                s_hi = jnp.where(inlobe, w * s_hi, 0.0)
-                t_lo, t_hi = s_lo * cc_lo, s_hi * cc_hi
-                if ar_lo is None:
-                    ar_lo, ar_hi, ww_lo, ww_hi = t_lo, t_hi, s_lo, s_hi
-                else:
-                    ar_lo, ar_hi = ar_lo + t_lo, ar_hi + t_hi
-                    ww_lo, ww_hi = ww_lo + s_lo, ww_hi + s_hi
+                # per-pixel main-lobe mask (d varies with the output
+                # phase here, unlike the phased path's static taps)
+                ar_taps.append((vals, w, d <= radius_zero))
 
     out = acc / wsum
-    if antiring > 0 and ar_lo is not None:
-        soft_min = 1.0 - ar_lo / jnp.maximum(ww_lo, 1e-12)
-        soft_max = ar_hi / jnp.maximum(ww_hi, 1e-12)
+    if antiring > 0 and ar_taps:
+        soft_min, soft_max = _soft_extrema_accumulate(ar_taps)
         out = _apply_ar(out, soft_min, soft_max, antiring)
     return out

@@ -233,7 +233,13 @@ def build_sharded_pipeline(mesh: Mesh, plane_metas,
     if params.error_diffusion is not None or \
             params.distort is not None or \
             border_mode in ("blur", "skip") or \
+            params.visualize_lut or \
             (rotation % 4 in (1, 3) and params.hooks):
+        # visualize_lut draws the tone/gamut debug view at GLOBAL
+        # frame coordinates (visualize_rect fractions of the full
+        # output); a row shard running color_map_stage locally would
+        # draw its own copy per shard — same class as the fused-tail
+        # exclusion in render/renderer.py
         return _build_gspmd_step(*gspmd_args)
     # user hooks: bounded-stencil shader hooks (probed + verified, see
     # parallel.hook_halo) run ON the halo pipeline with O(halo)
@@ -293,7 +299,14 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         (h, tuple(sorted(getattr(h, "state_spec", None) or ())))
         for h in (params.hooks or ())
         if getattr(h, "state_spec", None))
-    _hs_ctx: dict = {"cur": None}
+    # "cur" holds the FRAME-INITIAL values (read by every invocation —
+    # single-chip run_hooks hands each same-frame invocation the same
+    # frame-initial state_in dict); "out" accumulates deposited values
+    # last-write-wins, harvested at frame end like the single-chip
+    # sout dict.  Chaining cur between invocations would diverge from
+    # single-chip whenever a stage fires more than once per frame
+    # (e.g. CHROMA_INPUT over separate U and V planes).
+    _hs_ctx: dict = {"cur": None, "out": None}
 
     def hooks_at(stage, x):
         ent = (hook_plan or {}).get(stage)
@@ -324,13 +337,17 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                         dst_h=int(round(dst_crop_h.h)),
                         size_override=hook_sizes.get(stage))
         if states:
+            out_d = _hs_ctx["out"]
             for h, names in stage_stateful:
                 sin, sout = states[h.signature]
                 for n in names:
-                    v = sout.get(n, sin[n])
+                    if n not in sout:
+                        continue        # not written at this stage:
+                                        # frame-initial value stands
+                    v = sout[n]
                     if n.startswith("tex:") and F:
                         v = v[..., F:F + rows_l, :]
-                    cur[(h.signature, n)] = v
+                    out_d[(h.signature, n)] = v
         if out.shape[-2] != ext.shape[-2]:
             raise RenderError(
                 "halo-planned hook changed the row count at execution "
@@ -611,8 +628,10 @@ def _build_halo_step(mesh: Mesh, plane_metas,
                     cur[(h.signature, n)] = hook_states[hs_i]
                     hs_i += 1
             _hs_ctx["cur"] = cur
+            _hs_ctx["out"] = {}
         else:
             _hs_ctx["cur"] = None
+            _hs_ctx["out"] = None
         # ---- pass_read_image: per-plane features, then merge on the
         # local row block (mirrors Renderer._merge_planes)
         luma_full = None
@@ -868,7 +887,9 @@ def _build_halo_step(mesh: Mesh, plane_metas,
         hs_out = ()
         if hook_state_specs:
             cur = _hs_ctx["cur"]
-            hs_out = tuple(cur[(h.signature, n)]
+            out_d = _hs_ctx["out"]
+            hs_out = tuple(out_d.get((h.signature, n),
+                                     cur[(h.signature, n)])
                            for h, names in hook_state_specs
                            for n in names)
         if needs_outer:
@@ -1211,22 +1232,42 @@ def sharded_render_mix(mesh: Mesh, step, state, frame_planes,
 
     frame_planes: list (one per mix frame) of sharded plane tuples.
     Returns (out, new_state) where `state` threads through the frames
-    in timestamp order like successive playback.
+    in timestamp order like successive playback.  Pipelines built with
+    stateful hooks return (out, state, hook_states) from each step;
+    the carried hook state threads through the mix frames the same way
+    and is returned as a third element (pass the previous mix's value
+    back in via step_kw["hook_states"]).
     """
     from ..render.renderer import DEFAULT_PARAMS, _mix_weights
     params = params or DEFAULT_PARAMS
     w = _mix_weights(params, timestamps, vsync_duration)
     out = None
+    img0 = None
+    hs = step_kw.pop("hook_states", None)
+    stateful = False
     for wi, planes in zip(w, frame_planes):
-        img, state = step(state, *planes, **step_kw)
+        res = step(state, *planes, hook_states=hs, **step_kw)
+        if len(res) == 3:
+            img, state, hs = res
+            stateful = True
+        else:
+            img, state = res
+        if img0 is None:
+            img0 = img
         if wi == 0.0:
             continue
         term = img * float(wi)
         out = term if out is None else out + term
     if out is None:
-        out, state = step(state, *frame_planes[0], **step_kw)
+        # all weights zero: display the first frame directly (the
+        # single-chip path reuses rendered[0] without re-rendering —
+        # re-calling step here would advance the carried state twice)
+        out = img0
     if bit_depth and params.dither is not None and \
             (bit_depth < 16 or params.force_dither):
         out = ops_dither.dither(out, bit_depth, params.dither,
                                 bias=dither_bias)
-    return jnp.clip(out, 0.0, 1.0), state
+    out = jnp.clip(out, 0.0, 1.0)
+    if stateful:
+        return out, state, hs
+    return out, state

@@ -808,6 +808,11 @@ class _BodyRunner:
         # _if_stmt (a plain conditional assignment to a storage member
         # must keep the normal merge/error semantics, ADVICE r4)
         self._atomic_names: set = set()
+        # append-only event log of atomicAdd target names: _if_stmt
+        # detects "added inside THIS branch" from log length deltas (a
+        # set delta misses repeat adds on a member already added
+        # earlier in the pass)
+        self._atomic_log: list = []
 
     # -- value helpers ---------------------------------------------------
 
@@ -1384,15 +1389,15 @@ class _BodyRunner:
         # keep the normal merge semantics — a uniform traced condition
         # where-merges, a per-pixel value errors at _collect_buf_writes
         # (ADVICE r4: exempting ALL storage writes silently dropped the
-        # condition of `if (c) total = 5.0;`).
-        atomic_before = set(self._atomic_names)
-
-        def branch_atomics():
-            return {k for k in self._atomic_names - atomic_before
-                    if k in self.vars}
-
+        # condition of `if (c) total = 5.0;`).  "Added inside this
+        # branch" is detected from the append-only _atomic_log — a set
+        # delta would miss a member already added earlier in the pass,
+        # wrongly where-merging its masked contribution.
+        log_before = len(self._atomic_log)
         ret = self._run_branch(c)
-        seq_names = branch_atomics()
+        seq_then = {k for k in self._atomic_log[log_before:]
+                    if k in self.vars}
+        seq_names = set(seq_then)
         if ret is not None:
             self._register_return(c, ret)
             # returned lanes' variable state is unreachable; keep the
@@ -1403,14 +1408,15 @@ class _BodyRunner:
         vars_then = self.vars
         self.vars = dict(snapshot)
         self.vars.update({k: vars_then[k] for k in seq_names})
+        seq_else: set = set()
         if self._peek() == "else":
             self._next()
             not_c = _amod(c).logical_not(c)
-            atomic_before_else = set(self._atomic_names)
+            log_before_else = len(self._atomic_log)
             ret = self._run_branch(not_c)
-            seq_names |= {k for k in
-                          self._atomic_names - atomic_before_else
-                          if k in self.vars}
+            seq_else = {k for k in self._atomic_log[log_before_else:]
+                        if k in self.vars}
+            seq_names |= seq_else
             if ret is not None:
                 self._register_return(not_c, ret)
                 kept = {k: self.vars[k] for k in seq_names}
@@ -1419,14 +1425,26 @@ class _BodyRunner:
         vars_else = self.vars
         merged = dict(vars_else)
         for k, tv in vars_then.items():
-            if k in seq_names:
-                continue        # composed sequentially (see above)
             ev = vars_else.get(k)
             if ev is None:
                 continue        # declared only inside the then-branch
             if tv is ev:
-                merged[k] = tv
-                continue
+                merged[k] = tv  # untouched (incl. then-only adds the
+                continue        # else branch inherited via the seeding)
+            if k in seq_names:
+                if k in seq_then and k in seq_else:
+                    continue    # adds in BOTH branches: each is lane-
+                                # masked, so they compose sequentially
+                if k in seq_else and tv is snapshot.get(k):
+                    continue    # else-only add, then untouched: the
+                                # masked add stands on its own
+                # mixed atomic/plain across the branches (e.g.
+                # `if (c) atomicAdd(total, x); else total = 5.0;`):
+                # fall through to the where-merge — it is exact for a
+                # uniform traced condition (the losing branch's add is
+                # mask-zeroed), and a per-pixel condition errors with
+                # the clear _collect_buf_writes message instead of
+                # silently dropping the condition (ADVICE r4 class)
             a, b2 = self._broadcast(tv, ev)
             merged[k] = _Vec([_amod(c, x, y).where(c, x, y)
                               for x, y in zip(a.comps, b2.comps)],
@@ -1910,6 +1928,7 @@ class _BodyRunner:
             if am is np:
                 total = float(total)
         self._atomic_names.add(name)
+        self._atomic_log.append(name)
         if idx is not None:
             old = self.arrays[name][idx]
             self.arrays[name][idx] = _Vec(

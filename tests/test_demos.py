@@ -156,6 +156,29 @@ def test_settings_panel_edit_validation_and_reset():
     assert panel.options.save() == ""
 
 
+def test_settings_panel_nudge_float_from_zero():
+    """+/- must step a float option off 0.0: `cur or 0` coerced a 0.0
+    float to int 0, so type(cur)(0 + step) truncated back to 0 and the
+    slider was permanently stuck at zero."""
+    panel = _panel()
+    _type_keys(panel, list("/antiringing_strength") + ["\n"])
+    assert panel.visible()[0][0] == "antiringing_strength"
+    assert panel.options.get("antiringing_strength") == 0.0
+    _type_keys(panel, ["+"])
+    v = panel.options.get("antiringing_strength")
+    assert 0.0 < v <= 1.0, v
+    _type_keys(panel, ["-"])
+    assert panel.options.get("antiringing_strength") == pytest.approx(0.0)
+    # int options keep integer stepping
+    panel2 = _panel()
+    _type_keys(panel2, list("/dither_lut_size") + ["\n"])
+    assert panel2.visible()[0][0] == "dither_lut_size"
+    before = panel2.options.get("dither_lut_size")
+    _type_keys(panel2, ["+"])
+    after = panel2.options.get("dither_lut_size")
+    assert isinstance(after, int) and after == before + 1
+
+
 def test_settings_panel_preset_and_save_string():
     panel = _panel()
     _type_keys(panel, ["p"])                        # default -> fast

@@ -1441,6 +1441,106 @@ vec4 hook()
     assert hook.signature in disabled
 
 
+ATOMIC_TWO_SIBLING_IFS = ATOMIC_TRACED_IF.replace(
+    """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    }""",
+    """    if (c.x > 0.5) {
+        atomicAdd(total, 1.0);
+    }
+    if (c.y > 0.5) {
+        atomicAdd(total, 10.0);
+    }""")
+
+
+def test_atomic_add_two_sibling_ifs_same_member():
+    """A second per-pixel if atomicAdd'ing a member already added by an
+    earlier sibling if must stay exempt from the where-merge (the set
+    delta missed repeat adds, wrongly where-merging the scalar carry
+    with a per-pixel condition and auto-disabling the shader)."""
+    hook = user_shader_hook(ATOMIC_TWO_SIBLING_IFS)
+    img = _img(6, 10, seed=10)
+    disabled = set()
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, disabled))
+    assert not disabled
+    a = np.asarray(img)
+    expect = float(np.sum(a[0] > 0.5)) + 10.0 * float(np.sum(a[1] > 0.5))
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+STORAGE_ATOMIC_THEN_PLAIN_ELSE = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float total
+//!VAR float count
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    atomicAdd(total, HOOKED_texOff(0).x);
+    return HOOKED_texOff(0);
+}
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    if (total > %s) {
+        atomicAdd(count, 1.0);
+    } else {
+        count = 5.0;
+    }
+    return vec4(count, total, 0.0, 1.0);
+}
+"""
+
+
+@pytest.mark.parametrize("thresh,expect_count", [("1.0", 60.0),
+                                                 ("1e9", 5.0)])
+def test_atomic_then_plain_else_keeps_condition(thresh, expect_count):
+    """atomicAdd in the then-branch with a PLAIN assignment in the else
+    branch under a uniform traced condition: the else assignment must
+    apply only when the condition is false (it was kept unconditionally
+    because the member was in the sequential-compose set)."""
+    hook = user_shader_hook(STORAGE_ATOMIC_THEN_PLAIN_ELSE % thresh)
+    img = _img(6, 10, seed=11)
+    disabled = set()
+    out = np.asarray(run_hooks([hook], HookStage.RGB, img, disabled))
+    assert not disabled
+    np.testing.assert_allclose(out[0], expect_count, rtol=1e-6)
+
+
+def test_atomic_then_plain_else_per_pixel_rejected():
+    """Same mixed atomic/plain if-else under a PER-PIXEL condition is a
+    data race in GLSL too — clear error + auto-disable, not a silently
+    dropped condition."""
+    shader = """\
+//!BUFFER stats
+//!STORAGE
+//!VAR float count
+
+//!HOOK MAIN
+//!BIND HOOKED
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    if (c.x > 0.5) {
+        atomicAdd(count, 1.0);
+    } else {
+        count = 5.0;
+    }
+    return c;
+}
+"""
+    hook = user_shader_hook(shader)
+    img = _img(6, 10, seed=12)
+    disabled = set()
+    out = run_hooks([hook], HookStage.RGB, img, disabled)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    assert hook.signature in disabled
+
+
 def test_compute_conditional_value_return_rejected():
     """A conditional `return <value>;` inside a compute shader is a
     clear error (was: silently dropped)."""

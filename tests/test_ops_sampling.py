@@ -234,6 +234,53 @@ def test_polar_antiring_bounds():
     assert plain.max() > 1.001
 
 
+@pytest.mark.parametrize("dst", [(32, 64), (28, 52)])  # phased + gather
+def test_polar_antiring_hdr_range_finite(dst):
+    """The reference's (cc+0.1)^32 softmax base assumes [0,1] texels;
+    NORM-scaled linear light reaches ~49, where the raw power overflows
+    f32 to inf (inf/inf = NaN poisoned 82% of HDR frames rendered with
+    ewa_lanczos4sharpest, whose built-in cfg.antiring=0.8 makes AR
+    default-on — found by tools/option_sweep_parity.py).  The scaled
+    softmax must stay finite over the whole pipeline value range and
+    still clamp ringing."""
+    rng = np.random.default_rng(3)
+    cfg = flt.find_filter_config("ewa_lanczos4sharpest")
+    for lo, hi in [(0.0, 49.0), (-2.0, 49.0), (-0.5, 0.5), (0.0, 1e-5)]:
+        img = jnp.asarray(
+            (rng.random((1, 16, 32)) * (hi - lo) + lo).astype(np.float32))
+        out = np.asarray(P.sample_polar(img, cfg, *dst, antiring=0.8))
+        assert np.isfinite(out).all(), (lo, hi)
+    # the clamp still works on an HDR step edge (0 -> 40)
+    step = np.zeros((1, 16, 32), np.float32)
+    step[:, :, 16:] = 40.0
+    plain = np.asarray(P.sample_polar(jnp.asarray(step), cfg, *dst))
+    ar = np.asarray(P.sample_polar(jnp.asarray(step), cfg, *dst,
+                                   antiring=1.0))
+    assert np.isfinite(ar).all()
+    assert ar.max() <= plain.max() + 1e-4
+    assert ar.min() >= plain.min() - 1e-4
+    assert plain.max() > 40.01       # jinc overshoots without AR
+
+
+def test_polar_antiring_in_range_matches_reference_form():
+    """For [0,1] content the scaled softmax reduces to the reference
+    formula exactly (scale == 1.0): the soft extrema bracket the true
+    in-lobe tap extrema and the dark-content weights (0.1^32 ~ 1e-32,
+    normal f32) must NOT be corrupted by an absolute epsilon guard —
+    the old max(ww, 1e-12) snapped soft_min to ~1.0 on dark pixels and
+    inverted the extrema."""
+    rng = np.random.default_rng(4)
+    # dark content: values in [0, 0.02] — softmax weights ~1e-32
+    dark = jnp.asarray((rng.random((1, 16, 32)) * 0.02).astype(np.float32))
+    taps = [(dark, 0.8), (dark * 0.5, 0.27), (dark * 0.25, 0.012)]
+    soft_min, soft_max = P._soft_extrema_accumulate(taps)
+    smin, smax = np.asarray(soft_min), np.asarray(soft_max)
+    # extrema stay in the neighborhood of the tap values, not at ~1.0
+    assert smax.max() <= 0.05, smax.max()
+    assert smin.min() >= -0.05, smin.min()
+    assert (smin <= smax + 1e-6).all()
+
+
 def test_polar_downscale_antialiases():
     """EWA downscaling widens the kernel: a Nyquist checkerboard 2x
     downscale averages to ~0.5, unlike nearest sampling."""

@@ -731,6 +731,76 @@ def test_sharded_frame_mix_matches_single_chip(devices):
         np.testing.assert_allclose(diff[bad], 1 / 255.0, atol=1e-6)
 
 
+def test_sharded_frame_mix_threads_stateful_hooks(devices):
+    """sharded_render_mix with a stateful-hook pipeline: the step
+    returns (out, state, hook_states) per frame — the mixer must
+    thread the carried hook state through the mix frames (in timestamp
+    order, like the single-chip Renderer advancing self._hook_states
+    per rendered mix frame) and return it for the next mix."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_render_mix,
+                                         sharded_state_init)
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.queue import FrameMix
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target, render_image_mix)
+
+    shader = """\
+//!BUFFER st
+//!STORAGE
+//!VAR float gain
+
+//!HOOK MAIN
+//!BIND HOOKED
+//!DESC carried-gain scale
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    gain = gain + 0.125;
+    return c * (1.0 / (1.0 + 0.2 * gain));
+}
+"""
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    h, w = 32, 48
+    hook = user_shader_hook(shader)
+    frames = _flagship_frames(3, h, w, seed=88)
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=8)
+    params = RenderParams(hooks=(hook,), peak_detect=None,
+                          frame_mixer="oversample")
+    inter = Target(w=target.w, h=target.h, color=target.color,
+                   bit_depth=0)
+    f0 = frames[0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, inter, params)
+    frame_planes = [
+        shard_planes(mesh, [np.asarray(f.planes[i].data)[None]
+                            for i in range(len(f.planes))])
+        for f in frames]
+    state = sharded_state_init(mesh, 1)
+    ts = [-0.6, 0.4, 1.4]
+    out, state, hs = sharded_render_mix(
+        mesh, step, state, frame_planes, ts, 1.0,
+        params=params, bit_depth=target.bit_depth)
+    # state advanced once per mix frame
+    np.testing.assert_allclose(np.asarray(hs[0]), 0.125 * 3, rtol=1e-6)
+    r = Renderer()
+    mix = FrameMix(frames=frames, timestamps=ts, vsync_duration=1.0)
+    ref = np.asarray(render_image_mix(r, mix, target, params))
+    assert not r._disabled_hooks
+    diff = np.abs(np.asarray(out)[0] - ref)
+    bad = diff > 1e-5
+    assert bad.mean() <= 1e-3, f"{bad.mean():.2%}"
+    if bad.any():
+        np.testing.assert_allclose(diff[bad], 1 / 255.0, atol=1e-6)
+    # a second mix threads the returned state onward
+    out2, state, hs2 = sharded_render_mix(
+        mesh, step, state, frame_planes, ts, 1.0,
+        params=params, bit_depth=target.bit_depth,
+        hook_states=hs)
+    np.testing.assert_allclose(np.asarray(hs2[0]), 0.125 * 6, rtol=1e-6)
+
+
 def test_sharded_rich_overlays_fallback_matches_renderer(devices):
     """Monochrome parts + a target OSD overlay can't ride the halo
     pipeline; the builder must fall back to the GSPMD step and still
@@ -958,6 +1028,110 @@ def test_sharded_temporal_hook_state_halo(devices):
 
     # it really was the halo pipeline: zero all-gathers / all-to-alls
     import jax
+    planes0 = [np.stack([np.asarray(f.planes[i].data)
+                         for f in (seqs[0][0], seqs[1][0])])
+               for i in range(len(f0.planes))]
+    xs0 = shard_planes(mesh, planes0)
+    state0 = sharded_state_init(mesh, 2)
+
+    def fn(st, hs, *p):
+        return step(st, *p, hook_states=hs)
+
+    stats = collective_stats(
+        jax.jit(fn).lower(state0, hook_states, *xs0).compile().as_text())
+    assert "all-gather" not in stats, stats
+    assert "all-to-all" not in stats, stats
+
+
+def test_sharded_visualize_lut_matches_renderer(devices):
+    """visualize_lut draws the tone/gamut debug view at GLOBAL frame
+    coordinates — a row shard evaluating it locally would draw one
+    copy per shard.  It must ride the GSPMD fallback (single-chip
+    trace) and match the Renderer (found by the seeded random sweep)."""
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.render.renderer import RenderParams, Target
+
+    mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
+    src_h, src_w = 64, 96
+    target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
+    frames = _flagship_frames(1, src_h, src_w, seed=55)
+    params = RenderParams(upscaler="lanczos", visualize_lut=True,
+                          visualize_rect=(0.1, 0.1, 0.9, 0.9))
+    ref = _single_chip(frames[0], target, params)
+    out, _ = _run_sharded(mesh, frames, target, params)
+    diff = np.abs(out[0] - ref)
+    assert diff.mean() <= 5e-5 and (diff > 1e-3).mean() <= 1e-2, (
+        float(diff.mean()), float(diff.max()))
+
+
+def test_sharded_stateful_hook_twice_per_frame_stage(devices):
+    """A stateful hook at a stage that fires MORE THAN ONCE per frame
+    (CHROMA_INPUT over yuv420p's separate U and V planes): single-chip
+    run_hooks hands every same-frame invocation the frame-initial
+    state_in and harvests the LAST deposited state_out — the halo
+    pipeline must not chain state between same-frame invocations (the
+    V plane would see the U plane's state_out and the carried value
+    would advance twice per frame)."""
+    from libplacebo_tpu.parallel import (build_sharded_pipeline,
+                                         shard_planes, sharded_state_init)
+    from libplacebo_tpu.parallel.analysis import collective_stats
+    from libplacebo_tpu.render.mpv_hooks import user_shader_hook
+    from libplacebo_tpu.render.renderer import (RenderParams, Renderer,
+                                                Target)
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    import jax
+
+    shader = """\
+//!BUFFER st
+//!STORAGE
+//!VAR float gain
+
+//!HOOK CHROMA
+//!BIND HOOKED
+//!DESC carried-gain chroma scale (fires once per chroma plane)
+vec4 hook()
+{
+    vec4 c = HOOKED_texOff(0);
+    gain = gain + 0.125;
+    return c * (1.0 + 0.2 * gain);
+}
+"""
+    h, w = 32, 48
+    hook = user_shader_hook(shader)
+    params = RenderParams(hooks=(hook,), peak_detect=None)
+    target = Target(w=w, h=h, color=CSP_SRGB, bit_depth=0)
+    mesh = make_mesh(data=2, spatial=4)
+
+    seqs = [_flagship_frames(2, h, w, seed=303),
+            _flagship_frames(2, h, w, seed=404)]
+    f0 = seqs[0][0]
+    step = build_sharded_pipeline(mesh, f0.meta_key()[0], f0.repr,
+                                  f0.color, target, params)
+    state = sharded_state_init(mesh, 2)
+    hook_states = None
+    refs = [Renderer(), Renderer()]
+    for t in range(2):
+        frames_t = [seqs[0][t], seqs[1][t]]
+        planes = [np.stack([np.asarray(f.planes[i].data)
+                            for f in frames_t])
+                  for i in range(len(f0.planes))]
+        xs = shard_planes(mesh, planes)
+        out, state, hook_states = step(state, *xs,
+                                       hook_states=hook_states)
+        out = np.asarray(out)
+        # the carried scalar must advance ONCE per frame (last-write-
+        # wins over the U/V invocations), not once per plane
+        gain = np.asarray(hook_states[0])
+        np.testing.assert_allclose(gain, 0.125 * (t + 1), rtol=1e-6)
+        for b in (0, 1):
+            ref = np.asarray(refs[b]._render_once(frames_t[b], target,
+                                                  params))
+            assert not refs[b]._disabled_hooks
+            diff = np.abs(out[b] - ref)
+            assert diff.max() < 5e-3, (t, b, diff.max())
+            assert diff.mean() < 1e-5, (t, b, diff.mean())
+
+    # the hook rode the halo pipeline, not the GSPMD fallback
     planes0 = [np.stack([np.asarray(f.planes[i].data)
                          for f in (seqs[0][0], seqs[1][0])])
                for i in range(len(f0.planes))]
@@ -1422,40 +1596,35 @@ def test_sharded_random_option_combos_match_renderer(devices):
     they must MATCH the single-chip Renderer per frame.  This is the
     strongest blanket guarantee the parity suite offers: any option
     whose sharded leg (halo or GSPMD) silently diverges from the
-    single-chip trace fails here with the combo printed."""
-    import random
+    single-chip trace fails here with the combo printed.  Combos come
+    from the SAME pinned generator as the TPU-vs-CPU sweep
+    (tools/tpu_vs_cpu.random_option_combos) so the two differential
+    nets can't drift apart."""
+    import os
+    import sys
 
     from libplacebo_tpu.core.colorspace import CSP_SRGB
-    from libplacebo_tpu.core.options import OPTION_TABLE, Options
+    from libplacebo_tpu.core.options import Options
     from libplacebo_tpu.render.renderer import Target
 
-    rnd = random.Random(20260819)
-    table = [o for o in OPTION_TABLE()
-             # error_diffusion compiles a Pallas kernel (slow in CPU
-             # interpret mode); preset rewrites everything at once
-             if o.key not in ("error_diffusion", "preset")]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from tpu_vs_cpu import random_option_combos
+    finally:
+        sys.path.pop(0)
+
     mesh = make_mesh(data=1, spatial=4, devices=devices[:4])
     src_h, src_w = 64, 96
     # bit_depth=0: no output quantization, so parity is tight floats
     target = Target(w=2 * src_w, h=2 * src_h, color=CSP_SRGB, bit_depth=0)
     frames = _flagship_frames(1, src_h, src_w, seed=77)
-    for trial in range(8):
+    for trial, combo in enumerate(random_option_combos(20260819, 8)):
         opts = Options()
-        for o in rnd.sample(table, 5):
-            if o.type == "bool":
-                val = rnd.choice(["yes", "no"])
-            elif o.type in ("int", "float"):
-                lo, hi = o.minimum, o.maximum or (o.minimum + 1.0)
-                v = lo + (hi - lo) * rnd.random()
-                val = str(int(v)) if o.type == "int" else f"{v:.4g}"
-            elif o.choices:
-                val = rnd.choice(list(o.choices))
-            else:
-                continue
-            try:
-                opts.set(o.key, val)
-            except Exception:
-                continue    # per-option validation may reject; fine
+        for kv in combo.split(","):
+            if kv:
+                k, v = kv.split("=", 1)
+                opts.set(k, v)
         params = opts.params
         ref = _single_chip(frames[0], target, params)
         out, _ = _run_sharded(mesh, frames, target, params)

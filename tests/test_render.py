@@ -497,3 +497,34 @@ def test_separable_antiringing_strength_active():
         frame, tgt, RenderParams(upscaler="lanczos",
                                  antiringing_strength=0.0)))
     np.testing.assert_array_equal(out_z, out0)
+
+
+def test_extreme_scrgb_input_stays_finite():
+    """Value-range robustness net: scRGB linear input legally carries
+    negatives and HDR magnitudes (up to ~50 in NORM scale); no pipeline
+    stage may assume [0,1] texels.  The polar-AR softmax did (its
+    (cc+0.1)^32 base overflowed f32 on linear light, NaN-poisoning HDR
+    frames with ewa_lanczos4sharpest) — keep the whole preset spread
+    pinned finite on hostile input."""
+    from libplacebo_tpu.core.colorspace import (ColorPrimaries,
+                                                ColorSpace, ColorTransfer,
+                                                CSP_BT2100_PQ)
+    from libplacebo_tpu.render.frame import frame_from_rgb
+
+    rng = np.random.default_rng(9)
+    rgb = (rng.random((24, 32, 3)).astype(np.float32) * 60 - 10)
+    fr = frame_from_rgb(rgb, color=ColorSpace(ColorPrimaries.BT_709,
+                                              ColorTransfer.LINEAR))
+    tgt_sdr = Target(w=64, h=48, color=CSP_SRGB, bit_depth=8)
+    tgt_hdr = Target(w=64, h=48, color=CSP_BT2100_PQ, bit_depth=10)
+    cases = [
+        (tgt_sdr, RenderParams(upscaler="ewa_lanczos4sharpest")),
+        (tgt_sdr, RenderParams(upscaler="lanczos",
+                               antiringing_strength=1.0)),
+        (tgt_sdr, RenderParams(gamut_mapping="perceptual")),
+        (tgt_sdr, RenderParams(tone_mapping_function="st2094-40")),
+        (tgt_hdr, RenderParams()),
+    ]
+    for tgt, p in cases:
+        out = np.asarray(Renderer()._render_once(fr, tgt, p))
+        assert np.isfinite(out).all(), p

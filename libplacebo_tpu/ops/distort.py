@@ -117,7 +117,15 @@ def distort_image(img, out_w: int, out_h: int, params: DistortParams):
     ys = 1.0 - (np.arange(out_h) + 0.5) / out_h * 2.0
     cy, cx = np.meshgrid(ys, xs, indexing="ij")
 
-    # invert: tex = M^-1 (canvas - c)
+    # invert: tex = M^-1 (canvas - c).  A degenerate user transform
+    # (e.g. distort_scale_x=0) has no inverse mapping — raise the
+    # renderer's clear error instead of leaking numpy's LinAlgError
+    # (honest degradation: user errors propagate with context)
+    if abs(np.linalg.det(M)) < 1e-12:
+        from ..render.renderer import RenderError
+        raise RenderError(
+            "distortion transform is singular (det ~ 0); check "
+            "distort_scale_x/y and shear values")
     Minv = np.linalg.inv(M)
     u = Minv[0, 0] * (cx - c[0]) + Minv[0, 1] * (cy - c[1])
     v = Minv[1, 0] * (cx - c[0]) + Minv[1, 1] * (cy - c[1])

@@ -956,3 +956,58 @@ def test_random_option_combos_roundtrip():
             params = opts.params       # must build a valid RenderParams
             assert opts.save() == combo  # save/set is a fixed point
             params.key()               # and it must be jit-cache keyable
+
+
+def test_option_sweep_artifact_covers_every_key():
+    """tools/option_sweep_parity.py renders EVERY reflection-table key
+    at non-default values, sharded vs single-chip (the exhaustive
+    complement of the random combo sweeps — which missed the sharded
+    visualize_lut divergence for a full round).  The committed artifact
+    must have zero parity failures and cover every non-excluded key,
+    so a new option cannot ship without a sweep entry."""
+    import glob
+    import json
+    import os
+
+    from libplacebo_tpu.core.options import OPTION_TABLE
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "OPTION_SWEEP_r*.json")))
+    assert files, "no OPTION_SWEEP_r*.json artifact committed"
+    data = json.load(open(files[-1]))
+    assert data["summary"]["failed"] == 0, data["summary"]
+    swept = {r["key"] for r in data["rows"]}
+    excluded = set(data["summary"]["excluded"])
+    for opt in OPTION_TABLE():
+        if opt.type == "preset" or opt.key in excluded:
+            continue
+        assert opt.key in swept, (
+            f"option {opt.key!r} missing from the sweep artifact — "
+            "re-run tools/option_sweep_parity.py")
+    # every row either parity-checked or errored identically BOTH sides
+    for r in data["rows"]:
+        assert r["ok"], r
+        if r["status"] == "ok":
+            assert r["finite"] and r["diff_mean"] <= 5e-5, r
+
+
+def test_distort_singular_transform_clear_error():
+    """A degenerate distortion (scale 0) has no inverse mapping: the
+    renderer must raise its clear RenderError, not leak numpy's
+    LinAlgError (found by the option sweep's both_error rows)."""
+    import numpy as np
+    import pytest
+
+    from libplacebo_tpu.core.colorspace import CSP_SRGB
+    from libplacebo_tpu.ops.distort import DistortParams
+    from libplacebo_tpu.render.frame import frame_from_rgb
+    from libplacebo_tpu.render.renderer import (RenderError, RenderParams,
+                                                Renderer, Target)
+
+    rng = np.random.default_rng(0)
+    fr = frame_from_rgb(rng.random((16, 24, 3)).astype(np.float32))
+    tgt = Target(w=24, h=16, color=CSP_SRGB, bit_depth=0)
+    p = RenderParams(distort=DistortParams(
+        transform=((0.0, 0.0), (0.0, 1.0))))
+    with pytest.raises(RenderError, match="singular"):
+        Renderer()._render_once(fr, tgt, p)

@@ -17,6 +17,8 @@ not just fps — the reference bar is gpu_tests.c running every shader
 routine on every backend):
 
   hq        high_quality preset (EWA + peak + fused Pallas tail)
+  hq_ar     hq with ewa_lanczos4sharpest + antiringing_strength=0.8
+            (the scaled polar AR softmax on HDR linear light — r5)
   sep       separable lanczos
   config5   deband + AV1 film grain + EWA + 8-bit blue-noise dither
   config5_ed  same with Floyd-Steinberg error diffusion (the Pallas
@@ -148,6 +150,16 @@ def render_one(backend, preset, h, w, seed, out_path):
                              else None))
     elif preset == "hq":
         params = HIGH_QUALITY_PARAMS
+    elif preset == "hq_ar":
+        # anti-ringing through the polar soft-extrema softmax (scaled
+        # per-pixel since r5 — the raw (cc+0.1)^32 overflowed f32 on
+        # NORM linear light) with ewa_lanczos4sharpest's builtin
+        # cfg.antiring=0.8: the one Mosaic-lowered path the other
+        # presets never exercise
+        from dataclasses import replace as _rep
+        params = _rep(HIGH_QUALITY_PARAMS,
+                      upscaler="ewa_lanczos4sharpest",
+                      antiringing_strength=0.8)
     else:
         params = RenderParams(upscaler="lanczos")
     out = np.asarray(Renderer()._render_once(frame, target, params))
@@ -195,7 +207,7 @@ def main():
                     help="source HxW (default 128x224)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--presets",
-                    default="hq,sep,config5,config5_ed,hook,ed_kernel")
+                    default="hq,hq_ar,sep,config5,config5_ed,hook,ed_kernel")
     ap.add_argument("--out", default=None,
                     help="also write the result lines to a JSON file")
     ap.add_argument("--random", type=int, default=0, metavar="N",

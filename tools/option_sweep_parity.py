@@ -12,6 +12,13 @@ representative — or with --full, all — non-default choices), rendered
 through build_sharded_pipeline on the 8-virtual-device CPU mesh and
 compared against the single-chip Renderer.
 
+`--pairs N` samples N random PAIRS of keys, both at non-default values
+(uniform over the same probe values as the single sweep) — the
+structured middle ground between one-at-a-time (misses interactions)
+and the 5-key random combos (rarely samples a *given* pair).  Keys
+whose probe values come out empty (numeric default == both probes)
+never pair.
+
 Exclusions (documented, each covered elsewhere):
   preset            rewrites every other key at once (not one option)
   error_diffusion   minutes-long interpret-mode Mosaic compile per
@@ -102,17 +109,24 @@ def sweep_values(opt, full: bool):
     return []
 
 
-def run_one(key, val, mesh, frames, target):
-    """Render single-chip and sharded; return a result row."""
+def run_one(kvs, mesh, frames, target):
+    """Render single-chip and sharded; return a result row.
+
+    kvs: list of (key, value-string) pairs applied in order.
+    """
     from libplacebo_tpu.core.options import Options
     from libplacebo_tpu.parallel import (build_sharded_pipeline,
                                          shard_planes, sharded_state_init)
     from libplacebo_tpu.render.renderer import Renderer
 
     opts = Options()
-    opts.set(key, val)
+    for key, val in kvs:
+        opts.set(key, val)
     params = opts.params
-    row = {"key": key, "value": val, "combo": opts.save()}
+    row = {"keys": [k for k, _ in kvs], "values": [v for _, v in kvs],
+           "combo": opts.save()}
+    if len(kvs) == 1:  # keep the single-key artifact schema stable
+        row["key"], row["value"] = kvs[0]
     t0 = time.perf_counter()
     ref = err_ref = None
     try:
@@ -156,6 +170,11 @@ def main():
                     help="every enum choice (default: 3 representatives)")
     ap.add_argument("--keys", default=None,
                     help="comma-separated subset of option keys")
+    ap.add_argument("--pairs", type=int, default=0,
+                    help="instead of the exhaustive single-key sweep, "
+                         "sample N random key PAIRS at non-default values")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="RNG seed for --pairs sampling")
     ap.add_argument("--out", default="OPTION_SWEEP.json")
     args = ap.parse_args()
 
@@ -171,14 +190,12 @@ def main():
 
     defaults = Options()
     subset = set(args.keys.split(",")) if args.keys else None
-    rows = []
-    n_fail = 0
+    probes = {}  # key -> list of probe value strings
     for opt in OPTION_TABLE():
         if opt.type == "preset" or opt.key in EXCLUDE:
             continue
         if subset and opt.key not in subset:
             continue
-        o2 = type(opt)
         # default comes from a fresh Options, not the table row
         class _P:  # tiny shim so sweep_values sees the live default
             type = opt.type
@@ -188,19 +205,39 @@ def main():
             @staticmethod
             def get():
                 return defaults.get(opt.key)
-        for val in sweep_values(_P, args.full):
-            row = run_one(opt.key, val, mesh, frames, target)
-            rows.append(row)
-            if not row["ok"]:
-                n_fail += 1
-            print(f"[{row['status']:>15s}] {opt.key}={val}"
-                  f" ({row['seconds']}s"
-                  + (f", mean {row.get('diff_mean', 0):.2e}" if "diff_mean" in row else "")
-                  + ")", flush=True)
+        vals = sweep_values(_P, args.full)
+        if vals:
+            probes[opt.key] = vals
+
+    if args.pairs:
+        rng = np.random.default_rng(args.seed)
+        keys = sorted(probes)
+        combos = []
+        for _ in range(args.pairs):
+            ka, kb = (keys[i] for i in rng.choice(len(keys), 2, replace=False))
+            combos.append([(ka, probes[ka][rng.integers(len(probes[ka]))]),
+                           (kb, probes[kb][rng.integers(len(probes[kb]))])])
+    else:
+        combos = [[(k, v)] for k in probes for v in probes[k]]
+
+    rows = []
+    n_fail = 0
+    for kvs in combos:
+        row = run_one(kvs, mesh, frames, target)
+        rows.append(row)
+        if not row["ok"]:
+            n_fail += 1
+        label = " ".join(f"{k}={v}" for k, v in kvs)
+        print(f"[{row['status']:>15s}] {label}"
+              f" ({row['seconds']}s"
+              + (f", mean {row.get('diff_mean', 0):.2e}" if "diff_mean" in row else "")
+              + ")", flush=True)
 
     summary = {
         "configs": len(rows),
         "failed": n_fail,
+        "mode": f"pairs[{args.pairs}] seed={args.seed}" if args.pairs
+                else "single-key exhaustive",
         "excluded": EXCLUDE,
         "mesh": {"data": 1, "spatial": 4},
         "size": [src_h, src_w, target.h, target.w],

@@ -991,6 +991,28 @@ def test_option_sweep_artifact_covers_every_key():
             assert r["finite"] and r["diff_mean"] <= 5e-5, r
 
 
+def test_option_pair_sweep_artifact_clean():
+    """The random key-PAIR sweep (tools/option_sweep_parity.py --pairs)
+    probes option INTERACTIONS the one-at-a-time sweep cannot see and
+    the 5-key random combos rarely sample for a given pair.  The
+    committed artifact must be failure-free, and every row must carry
+    exactly two non-default keys (so the artifact really is the pair
+    net, not a mislabeled single sweep)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "OPTION_SWEEP_PAIRS_r*.json")))
+    assert files, "no OPTION_SWEEP_PAIRS_r*.json artifact committed"
+    data = json.load(open(files[-1]))
+    assert data["summary"]["failed"] == 0, data["summary"]
+    assert data["summary"]["configs"] >= 50
+    for r in data["rows"]:
+        assert r["ok"], r
+        assert len(r["keys"]) == 2 and r["keys"][0] != r["keys"][1], r
+
+
 def test_distort_singular_transform_clear_error():
     """A degenerate distortion (scale 0) has no inverse mapping: the
     renderer must raise its clear RenderError, not leak numpy's
